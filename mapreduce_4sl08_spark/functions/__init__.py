@@ -1,0 +1,90 @@
+"""Curated scalar-function facade.
+
+The reference's entire scalar-function surface is two string expressions
+(P1 tokenize, P2 normalize — /root/reference/src/WorkerNode.java:43-46).
+This module pins their exact Java-regex semantics (Spark's regexp functions
+run Java regex on the JVM, so parity is by construction) and adds the
+vector / text primitives the extended operators build on. Everything here
+is built-in-function composition — JVM-side, whole-stage-codegen friendly;
+no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# --- reference-parity text pipeline (P1-P3) ------------------------------
+
+#: Java `\s+` token splitter (P1, WorkerNode.java:43)
+TOKEN_SPLIT_RE = r"\s+"
+#: Java `\W` — ASCII word chars only; strips accents/punct (P2, WorkerNode.java:45)
+NON_WORD_RE = r"\W"
+
+
+def tokenize(col) -> Column:
+    """P1: trim + split on whitespace runs → array<string>."""
+    return F.split(F.trim(F.col(col) if isinstance(col, str) else col), TOKEN_SPLIT_RE)
+
+
+def normalize_word(col) -> Column:
+    """P2: lowercase then delete all Java-`\\W` chars."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.regexp_replace(c, NON_WORD_RE, ""))
+
+
+def words(col) -> Column:
+    """P1+P2 fused: array of normalized words (empties NOT yet filtered —
+    apply P3 ``!= ''`` after explode so the filter runs post-normalize,
+    matching WorkerNode.java:46)."""
+    return F.transform(tokenize(col), normalize_word)
+
+
+# --- vector primitives (similarity search) -------------------------------
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<numeric> columns, computed JVM-side."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+# --- text-analysis primitives -------------------------------------------
+
+
+def char_ngrams(col, n: int) -> Column:
+    """All length-n character shingles of a string column (array<string>).
+    Pure built-ins: sequence over offsets + substring."""
+    c = F.col(col) if isinstance(col, str) else col
+    # guard: sequence(1, 0) would count *down* in Spark, so emit [] when
+    # the string is shorter than n
+    return F.when(
+        F.length(c) >= n,
+        F.transform(F.sequence(F.lit(1), F.length(c) - (n - 1)),
+                    lambda i: c.substr(i, F.lit(n))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def word_shingles(tokens: Column, n: int) -> Column:
+    """Length-n word shingles from an array<string> of tokens, joined by a
+    single space (array<string>)."""
+    return F.when(
+        F.size(tokens) >= n,
+        F.transform(F.sequence(F.lit(0), F.size(tokens) - n),
+                    lambda i: F.array_join(F.slice(tokens, i + 1, n), " ")),
+    ).otherwise(F.array().cast("array<string>"))

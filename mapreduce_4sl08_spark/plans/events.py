@@ -1,0 +1,263 @@
+"""Event-stream-shaped plans over the `events` table (batch semantics;
+the same logic is exposed as true Structured Streaming in
+``mapreduce_4sl08_spark.streaming`` — these batch twins are what the
+DuckDB oracle can check).
+
+Covers: tumbling/sliding windows, sessionization (gaps-and-islands),
+JSON extraction, exact stream dedup, as-of join. Watermark/late-data
+semantics are exercised in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from .base import QuerySpec, t
+
+# ------------------------------------------------------------ tumbling
+
+
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """window(ts, 1 hour): epoch-aligned tumbling window agg. In streaming
+    this is the canonical watermarked agg; shuffle keys = (window, type)."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+        .orderBy("window_start", "event_type")
+    )
+
+
+EVENTS_TUMBLING_SQL = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+"""
+
+# ------------------------------------------------------------ sliding
+
+
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """window(ts, 1 hour, 30 min): each event lands in 2 windows."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        # avg kept in exact integer arithmetic end-to-end: double
+        # summation order differs between engines and 2-dec data lands
+        # exactly on round() ties, where Spark (decimal HALF_UP) and
+        # DuckDB (binary away-from-zero) disagree — so sum exact cents,
+        # floor-divide in 1e-4 units, and only then go to double
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_events",
+            (F.expr("(sum_cents * 100) div n_events") / 10000.0).alias("avg_value"),
+        )
+        .orderBy("window_start")
+    )
+
+
+# Oracle: replicate each event into its 2 containing 30-min-aligned
+# 1-hour windows via a 2-element offset unnest.
+EVENTS_SLIDING_SQL = """
+WITH exploded AS (
+  SELECT to_timestamp(floor(epoch(ts) / 1800) * 1800 - o * 1800) AS window_start,
+         value
+  FROM events, UNNEST([0, 1]) AS u(o)
+)
+SELECT window_start, n_events,
+       ((sum_cents * 100) // n_events) / 10000.0 AS avg_value
+FROM (
+  SELECT window_start, COUNT(*) AS n_events,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_cents
+  FROM exploded
+  GROUP BY 1
+)
+ORDER BY window_start
+"""
+
+# ------------------------------------------------------------ sessionization
+# Batch twin of session_window(ts, '30 minutes'): classic gaps-and-islands.
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts", 1).over(w))
+    sessions = (
+        e.withColumn("new_session", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .withColumn("session_seq", F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    )
+    return (
+        sessions.groupBy("user_id", "session_seq")
+        .agg(F.min("ts").alias("session_start"),
+             F.max("ts").alias("session_end"),
+             F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+        .orderBy("user_id", "session_seq")
+    )
+
+
+EVENTS_SESSION_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) IS NULL
+               OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+numbered AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq::BIGINT AS session_seq,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+FROM numbered
+GROUP BY user_id, session_seq
+ORDER BY user_id, session_seq
+"""
+
+# ------------------------------------------------------------ JSON extraction
+
+
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_json_object over the props JSON column + agg per type."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.select("event_type", F.get_json_object("props", "$.k").cast("int").alias("k"))
+        .groupBy("event_type")
+        .agg(F.round(F.avg("k"), 4).alias("avg_k"),
+             F.max("k").alias("max_k"),
+             F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )
+
+
+EVENTS_JSON_SQL = """
+SELECT event_type,
+       ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+# ------------------------------------------------------------ stream dedup (batch twin)
+
+
+def events_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicates on the business key (user_id, event_type, minute
+    bucket) keeping the earliest event — batch twin of
+    dropDuplicatesWithinWatermark. min_by keeps it deterministic."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.withColumn("minute", F.date_trunc("minute", F.col("ts")))
+        .groupBy("user_id", "event_type", "minute")
+        .agg(F.min("event_id").alias("kept_event_id"))
+        .orderBy("user_id", "event_type", "minute")
+    )
+
+
+EVENTS_DEDUP_SQL = """
+SELECT user_id, event_type, date_trunc('minute', ts) AS minute,
+       MIN(event_id) AS kept_event_id
+FROM events
+GROUP BY 1, 2, 3
+ORDER BY user_id, event_type, minute
+"""
+
+# ------------------------------------------------------------ as-of join
+
+
+def events_asof_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every 'purchase', the most recent strictly-prior
+    'view' by the same user. Implemented with a single sort-once window
+    over the unioned stream (no O(n²) inequality join): last('view' ts)
+    over rows preceding the current one, per user."""
+    e = t(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+         .rowsBetween(Window.unboundedPreceding, -1))
+    view_ts = F.when(F.col("event_type") == "view", F.col("ts"))
+    return (
+        e.withColumn("last_view_ts", F.last(view_ts, ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "last_view_ts")
+        .orderBy("event_id")
+    )
+
+
+# Oracle uses the identical window formulation (portable SQL, not DuckDB's
+# ASOF JOIN, so tie semantics are bit-identical).
+EVENTS_ASOF_SQL = """
+WITH marked AS (
+  SELECT event_id, user_id, ts, event_type,
+         LAST_VALUE(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view_ts
+  FROM events
+)
+SELECT event_id, user_id, ts, last_view_ts
+FROM marked
+WHERE event_type = 'purchase'
+ORDER BY event_id
+"""
+
+# ------------------------------------------------------------ pivot
+
+
+def events_pivot_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event_type counts into columns per day."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.withColumn("day", F.date_trunc("day", F.col("ts")))
+        .groupBy("day")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["click", "view", "purchase", "signup", "error"])
+        .orderBy("day")
+    )
+
+
+EVENTS_PIVOT_SQL = """
+SELECT date_trunc('day', ts) AS day,
+       COALESCE(COUNT(*) FILTER (WHERE event_type = 'click'), 0) AS click,
+       COALESCE(COUNT(*) FILTER (WHERE event_type = 'view'), 0) AS view,
+       COALESCE(COUNT(*) FILTER (WHERE event_type = 'purchase'), 0) AS purchase,
+       COALESCE(COUNT(*) FILTER (WHERE event_type = 'signup'), 0) AS signup,
+       COALESCE(COUNT(*) FILTER (WHERE event_type = 'error'), 0) AS error
+FROM events
+GROUP BY 1
+ORDER BY day
+"""
+
+
+SPECS: list[QuerySpec] = [
+    QuerySpec("events_tumbling_hourly", events_tumbling_hourly, EVENTS_TUMBLING_SQL,
+              "tumbling 1h window agg (streaming twin in streaming/)"),
+    QuerySpec("events_sliding_windows", events_sliding_windows, EVENTS_SLIDING_SQL,
+              "sliding 1h/30m window agg"),
+    QuerySpec("events_sessionize", events_sessionize, EVENTS_SESSION_SQL,
+              "30-min-gap sessionization (batch twin of session_window)"),
+    QuerySpec("events_json_extract", events_json_extract, EVENTS_JSON_SQL,
+              "JSON prop extraction + agg"),
+    QuerySpec("events_dedup_exact", events_dedup_exact, EVENTS_DEDUP_SQL,
+              "keyed dedup keeping earliest (watermark-dedup twin)"),
+    QuerySpec("events_asof_last_view", events_asof_last_view, EVENTS_ASOF_SQL,
+              "as-of join via single-sort window (no inequality join)"),
+    QuerySpec("events_pivot_types", events_pivot_types, EVENTS_PIVOT_SQL,
+              "pivot to per-type columns"),
+]

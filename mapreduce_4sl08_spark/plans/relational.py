@@ -1,0 +1,574 @@
+"""Relational query plans (SURVEY §7.2): scans, project/filter, hash
+aggregation (reference A1/A2 generalized), joins of every flavor, sorts /
+top-k (X2+O1+O2 generalized), set ops, grouping sets, window functions.
+
+All plans are declarative DataFrame compositions — Catalyst handles
+predicate pushdown, column pruning, and join selection; small dims
+(region/nation) are explicitly broadcast so the 6-table join never
+shuffles them at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+from pyspark.sql.functions import broadcast
+
+from .base import QuerySpec, t
+
+# ---------------------------------------------------------------- q1
+# TPC-H Q1 shape: the reference's A1 hash-agg generalized to multi-measure.
+# Map-side partial agg + single hash shuffle on a 6-value key; at 100 TB
+# this is scan-bound, exactly as it should be.
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 4) AS avg_price,
+       ROUND(AVG(l_discount), 4) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+# ---------------------------------------------------------------- q3
+# 3-way equi-join + agg + top-k: customer is the selective side.
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    l = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1997-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+# ---------------------------------------------------------------- q5
+# 6-table star join. region/nation broadcast (they are 5/25 rows at every
+# SF); customer/supplier co-partition with lineitem on the shuffle keys.
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = t(spark, sf_dir, "nation")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    l = t(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(c, (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
+        .join(broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )
+
+
+Q5_SQL = """
+SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+"""
+
+# ---------------------------------------------------------------- q6
+# Pure scan + filter + scalar agg: predicate pushdown showcase.
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03) & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+Q6_SQL = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+"""
+
+# ---------------------------------------------------------------- joins
+
+
+def join_left_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving order-less customers (count=0)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"),
+             F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spend"))
+        .orderBy("c_custkey")
+    )
+
+
+JOIN_LEFT_SQL = """
+SELECT c_custkey, c_name,
+       COUNT(o_orderkey) AS n_orders,
+       ROUND(COALESCE(SUM(o_totalprice), 0.0), 2) AS total_spend
+FROM customer
+LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+ORDER BY c_custkey
+"""
+
+
+def join_semi_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers having ≥1 order above 400k."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+JOIN_SEMI_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+ORDER BY c_custkey
+"""
+
+
+def join_anti_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no orders at all."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+JOIN_ANTI_SQL = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY c_custkey
+"""
+
+
+def join_full_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of per-nation customer vs supplier counts."""
+    c = (t(spark, sf_dir, "customer").groupBy("c_nationkey")
+         .agg(F.count(F.lit(1)).alias("n_customers")))
+    s = (t(spark, sf_dir, "supplier").groupBy("s_nationkey")
+         .agg(F.count(F.lit(1)).alias("n_suppliers")))
+    return (
+        c.join(s, c.c_nationkey == s.s_nationkey, "full")
+        .select(
+            F.coalesce(c.c_nationkey, s.s_nationkey).alias("nationkey"),
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+JOIN_FULL_SQL = """
+SELECT COALESCE(c.c_nationkey, s.s_nationkey) AS nationkey,
+       COALESCE(n_customers, 0) AS n_customers,
+       COALESCE(n_suppliers, 0) AS n_suppliers
+FROM (SELECT c_nationkey, COUNT(*) AS n_customers FROM customer GROUP BY c_nationkey) c
+FULL JOIN (SELECT s_nationkey, COUNT(*) AS n_suppliers FROM supplier GROUP BY s_nationkey) s
+  ON c.c_nationkey = s.s_nationkey
+ORDER BY nationkey
+"""
+
+
+def range_join_prompt_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi + range predicate join: lineitems shipped within 30 days of
+    their order date, per priority. The equi key carries the shuffle; the
+    range predicate evaluates post-join (no cross product)."""
+    o = t(spark, sf_dir, "orders")
+    l = t(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, (l.l_orderkey == o.o_orderkey)
+               & (l.l_shipdate >= o.o_orderdate)
+               & (l.l_shipdate < F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_prompt_items"))
+        .orderBy("o_orderpriority")
+    )
+
+
+RANGE_JOIN_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_prompt_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+ AND l_shipdate >= o_orderdate
+ AND l_shipdate < o_orderdate + INTERVAL 30 DAY
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+# ---------------------------------------------------------------- aggregation depth
+
+
+def agg_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = t(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+             F.count(F.lit(1)).alias("n_rows"))
+        .orderBy(F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first())
+    )
+
+
+AGG_ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+"""
+
+
+def agg_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.avg("o_totalprice"), 2).alias("avg_price"))
+        .orderBy(F.col("o_orderstatus").asc_nulls_first(), F.col("o_orderpriority").asc_nulls_first())
+    )
+
+
+AGG_CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       ROUND(AVG(o_totalprice), 2) AS avg_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+"""
+
+
+def agg_stats_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates incl. exact distinct count (two-level agg)."""
+    l = t(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_extendedprice"), 4).alias("std_price"),
+            F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+            F.countDistinct("l_suppkey").alias("n_supp"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+AGG_STATS_SQL = """
+SELECT l_returnflag,
+       ROUND(STDDEV_SAMP(l_extendedprice), 4) AS std_price,
+       ROUND(VAR_SAMP(l_discount), 6) AS var_disc,
+       ROUND(MIN(l_extendedprice), 2) AS min_price,
+       ROUND(MAX(l_extendedprice), 2) AS max_price,
+       COUNT(DISTINCT l_suppkey) AS n_supp,
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+# ---------------------------------------------------------------- sorts / top-k
+
+
+def topk_expensive_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark plans TakeOrderedAndProject — no full sort,
+    per-partition heaps + driver merge; the scalable form of O1+O2."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(25)
+    )
+
+
+TOPK_SQL = """
+SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 25
+"""
+
+
+def sort_customers_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global multi-column sort — Exchange rangepartitioning (X2+O1+O2
+    generalized; sampled boundaries replace MasterNode.java:154-164)."""
+    c = t(spark, sf_dir, "customer")
+    return (
+        c.select("c_custkey", "c_mktsegment", F.round("c_acctbal", 2).alias("c_acctbal"))
+        .orderBy(F.col("c_mktsegment").asc(), F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    )
+
+
+SORT_MULTI_SQL = """
+SELECT c_custkey, c_mktsegment, ROUND(c_acctbal, 2) AS c_acctbal
+FROM customer
+ORDER BY c_mktsegment ASC, c_acctbal DESC, c_custkey ASC
+"""
+
+# ---------------------------------------------------------------- set ops
+
+
+def set_ops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION in one result: tag per membership class
+    of nation keys across customer vs supplier."""
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").cast("int").alias("nationkey")).distinct()
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").cast("int").alias("nationkey")).distinct()
+    both = c.intersect(s).withColumn("membership", F.lit("both"))
+    c_only = c.exceptAll(s).withColumn("membership", F.lit("customer_only"))
+    s_only = s.exceptAll(c).withColumn("membership", F.lit("supplier_only"))
+    return both.unionByName(c_only).unionByName(s_only).orderBy("nationkey")
+
+
+SET_OPS_SQL = """
+WITH c AS (SELECT DISTINCT c_nationkey::INT AS nationkey FROM customer),
+     s AS (SELECT DISTINCT s_nationkey::INT AS nationkey FROM supplier)
+SELECT nationkey, 'both' AS membership FROM (SELECT nationkey FROM c INTERSECT SELECT nationkey FROM s)
+UNION ALL
+SELECT nationkey, 'customer_only' AS membership FROM (SELECT nationkey FROM c EXCEPT SELECT nationkey FROM s)
+UNION ALL
+SELECT nationkey, 'supplier_only' AS membership FROM (SELECT nationkey FROM s EXCEPT SELECT nationkey FROM c)
+ORDER BY nationkey
+"""
+
+# ---------------------------------------------------------------- windows
+
+
+def window_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via row_number — the scalable alternative to a
+    global sort when k × groups ≪ rows."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "rk", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+        .orderBy("o_custkey", "rk")
+    )
+
+
+WINDOW_TOPK_SQL = """
+SELECT o_custkey, rk, o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders
+)
+WHERE rk <= 3
+ORDER BY o_custkey, rk
+"""
+
+
+def window_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running cumulative sum per customer over order time (rows frame)."""
+    o = t(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey")
+         .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        o.select(
+            "o_custkey", "o_orderkey", "o_orderdate",
+            F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+        )
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    )
+
+
+WINDOW_RUNNING_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       ROUND(SUM(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+FROM orders
+ORDER BY o_custkey, o_orderdate, o_orderkey
+"""
+
+
+def window_lag_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() analytic: days since the customer's previous order."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    return (
+        o.select(
+            "o_custkey", "o_orderkey",
+            F.datediff(F.col("o_orderdate"), F.lag("o_orderdate", 1).over(w)).alias("gap_days"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+WINDOW_LAG_SQL = """
+SELECT o_custkey, o_orderkey,
+       DATE_DIFF('day',
+                 LAG(o_orderdate, 1) OVER (PARTITION BY o_custkey
+                                           ORDER BY o_orderdate ASC, o_orderkey ASC),
+                 o_orderdate)::INT AS gap_days
+FROM orders
+ORDER BY o_custkey, o_orderkey
+"""
+
+# ---------------------------------------------------------------- scalar-function surface
+
+
+def functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String / date / math / conditional scalar functions in one plan —
+    the curated facade exercised end-to-end (SURVEY §7.2 step 2)."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.concat(F.upper(F.substring("o_orderpriority", 1, 1)),
+                     F.lit("/"), F.lower("o_orderstatus")).alias("pri_code"),
+            F.length("o_orderpriority").alias("pri_len"),
+            F.year("o_orderdate").alias("o_year"),
+            F.month("o_orderdate").alias("o_month"),
+            F.round(F.sqrt(F.abs(F.col("o_totalprice"))), 4).alias("sqrt_price"),
+            F.round(F.ln(F.col("o_totalprice") + 1), 4).alias("ln_price"),
+            F.when(F.col("o_totalprice") > 300000, "high")
+             .when(F.col("o_totalprice") > 100000, "mid")
+             .otherwise("low").alias("bucket"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+FUNCTIONS_SQL = """
+SELECT o_orderkey,
+       UPPER(SUBSTR(o_orderpriority, 1, 1)) || '/' || LOWER(o_orderstatus) AS pri_code,
+       LENGTH(o_orderpriority) AS pri_len,
+       EXTRACT(year FROM o_orderdate)::INT AS o_year,
+       EXTRACT(month FROM o_orderdate)::INT AS o_month,
+       ROUND(SQRT(ABS(o_totalprice)), 4) AS sqrt_price,
+       ROUND(LN(o_totalprice + 1), 4) AS ln_price,
+       CASE WHEN o_totalprice > 300000 THEN 'high'
+            WHEN o_totalprice > 100000 THEN 'mid'
+            ELSE 'low' END AS bucket
+FROM orders
+ORDER BY o_orderkey
+"""
+
+
+SPECS: list[QuerySpec] = [
+    QuerySpec("q1_pricing_summary", q1_pricing_summary, Q1_SQL,
+              "TPC-H Q1: multi-measure hash agg (reference A1 generalized)"),
+    QuerySpec("q3_shipping_priority", q3_shipping_priority, Q3_SQL,
+              "3-way join + agg + top-k"),
+    QuerySpec("q5_local_supplier_volume", q5_local_supplier_volume, Q5_SQL,
+              "6-table star join w/ broadcast dims"),
+    QuerySpec("q6_forecast_revenue", q6_forecast_revenue, Q6_SQL,
+              "scan+filter+scalar agg, pushdown showcase"),
+    QuerySpec("join_left_order_counts", join_left_order_counts, JOIN_LEFT_SQL,
+              "left outer join + agg"),
+    QuerySpec("join_semi_big_spenders", join_semi_big_spenders, JOIN_SEMI_SQL,
+              "left-semi join (EXISTS)"),
+    QuerySpec("join_anti_inactive", join_anti_inactive, JOIN_ANTI_SQL,
+              "left-anti join (NOT EXISTS)"),
+    QuerySpec("join_full_nation_presence", join_full_nation_presence, JOIN_FULL_SQL,
+              "full outer join of two aggs"),
+    QuerySpec("range_join_prompt_ship", range_join_prompt_ship, RANGE_JOIN_SQL,
+              "equi+range predicate join"),
+    QuerySpec("agg_rollup_lineitem", agg_rollup_lineitem, AGG_ROLLUP_SQL,
+              "ROLLUP grouping sets"),
+    QuerySpec("agg_cube_orders", agg_cube_orders, AGG_CUBE_SQL,
+              "CUBE grouping sets"),
+    QuerySpec("agg_stats_by_flag", agg_stats_by_flag, AGG_STATS_SQL,
+              "stddev/var/min/max/count-distinct"),
+    QuerySpec("topk_expensive_orders", topk_expensive_orders, TOPK_SQL,
+              "global top-k (TakeOrderedAndProject)"),
+    QuerySpec("sort_customers_multi", sort_customers_multi, SORT_MULTI_SQL,
+              "global multi-column range sort (X2+O1+O2)"),
+    QuerySpec("set_ops_nations", set_ops_nations, SET_OPS_SQL,
+              "intersect/except/union"),
+    QuerySpec("window_topk_orders_per_customer", window_topk_orders_per_customer,
+              WINDOW_TOPK_SQL, "row_number per-group top-k"),
+    QuerySpec("window_running_spend", window_running_spend, WINDOW_RUNNING_SQL,
+              "cumulative sum, rows frame"),
+    QuerySpec("window_lag_gap_days", window_lag_gap_days, WINDOW_LAG_SQL,
+              "lag analytic"),
+    QuerySpec("functions_showcase", functions_showcase, FUNCTIONS_SQL,
+              "string/date/math/conditional scalar functions"),
+]

@@ -1,0 +1,444 @@
+"""Text / LLM-data-pipeline plans over the `documents` table:
+the flagship reference-parity word count, text analysis (token stats,
+quality scoring, language-ID heuristic, fingerprinting) and deduplication
+(exact, n-gram Jaccard, MinHash-LSH).
+
+Everything is built-in-function composition (JVM-side, codegen-friendly);
+the only hash primitive is md5, chosen because BOTH Spark and DuckDB
+implement it identically so every pipeline stays oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import NON_WORD_RE, TOKEN_SPLIT_RE, word_shingles
+from ..operators.wordcount import word_count
+from .base import QuerySpec, t
+
+# ------------------------------------------------------------ flagship
+# The whole reference engine (SURVEY §2.3) applied to documents.text.
+
+
+def wordcount_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return word_count(docs.select(F.col("text").alias("value")))
+
+
+WORDCOUNT_SQL = r"""
+WITH toks AS (
+  SELECT lower(regexp_replace(tok, '\W', '', 'g')) AS word
+  FROM documents, UNNEST(regexp_split_to_array(trim(text), '\s+')) AS u(tok)
+)
+SELECT word, COUNT(*) AS count
+FROM toks
+WHERE word <> ''
+GROUP BY word
+ORDER BY count ASC, word ASC
+"""
+
+# ------------------------------------------------------------ token stats
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counting: whitespace tokens + a BPE-ish
+    word/number/punct-run regex count + char stats."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), TOKEN_SPLIT_RE)
+    return (
+        d.select(
+            "doc_id",
+            F.size(toks).alias("n_tokens"),
+            F.length("text").alias("n_chars_measured"),
+            # BPE-ish subword proxy: alnum runs and single non-space punct
+            F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"), 0)).alias("n_subtokens"),
+            F.round(F.length("text") / F.size(toks), 4).alias("chars_per_token"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TOKEN_STATS_SQL = r"""
+SELECT doc_id,
+       len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+       length(text) AS n_chars_measured,
+       len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS n_subtokens,
+       ROUND(length(text) / len(regexp_split_to_array(trim(text), '\s+')), 4) AS chars_per_token
+FROM documents
+ORDER BY doc_id
+"""
+
+# ------------------------------------------------------------ quality score
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: length, mean word length, stopword
+    ratio, alpha ratio → [0,1]-ish score; typical pretraining-corpus
+    filter shape (C4/Gopher-style rules, arithmetic only)."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), TOKEN_SPLIT_RE)
+    n_tok = F.size(toks)
+    stop_hits = F.size(F.expr(
+        "filter(split(trim(lower(text)), '\\\\s+'), x -> x in ('the','a','of','and','to','in','is'))"))
+    alpha_chars = F.length(F.regexp_replace("text", r"[^A-Za-z]", ""))
+    score = (
+        F.when(n_tok >= 20, F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when((F.length("text") / n_tok).between(3, 12), F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.least(F.round(stop_hits / n_tok, 4), F.lit(0.3))
+    )
+    return (
+        d.select(
+            "doc_id",
+            n_tok.alias("n_tokens"),
+            F.round(stop_hits / n_tok, 4).alias("stopword_ratio"),
+            F.round(alpha_chars / F.length("text"), 4).alias("alpha_ratio"),
+            F.round(score, 4).alias("quality_score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUALITY_SQL = r"""
+WITH base AS (
+  SELECT doc_id, text,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tok,
+         len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+             x -> x IN ('the','a','of','and','to','in','is'))) AS stop_hits,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars
+  FROM documents
+)
+SELECT doc_id, n_tok AS n_tokens,
+       ROUND(stop_hits / n_tok, 4) AS stopword_ratio,
+       ROUND(alpha_chars / length(text), 4) AS alpha_ratio,
+       ROUND( (CASE WHEN n_tok >= 20 THEN 0.4 ELSE 0.0 END)
+            + (CASE WHEN length(text) / n_tok BETWEEN 3 AND 12 THEN 0.3 ELSE 0.0 END)
+            + LEAST(ROUND(stop_hits / n_tok, 4), 0.3), 4) AS quality_score
+FROM base
+ORDER BY doc_id
+"""
+
+# ------------------------------------------------------------ language ID
+# n-gram/stopword-marker heuristic (the container has no langdetect lib;
+# the heuristic itself is the operator under test, deterministic by design).
+
+_LANG_MARKERS = {
+    "en": ("the", "a", "of", "and", "is"),
+    "es": ("el", "la", "de", "y", "es"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "de", "et", "est"),
+}
+
+
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower("text")), TOKEN_SPLIT_RE)
+    hit_cols = []
+    for lang, markers in _LANG_MARKERS.items():
+        in_list = ",".join(f"'{m}'" for m in markers)
+        hits = F.size(F.expr(f"filter(split(trim(lower(text)), '\\\\s+'), x -> x in ({in_list}))"))
+        hit_cols.append(F.round(hits / F.size(toks), 4).alias(f"score_{lang}"))
+    d2 = d.select("doc_id", *hit_cols)
+    score_cols = [f"score_{lang}" for lang in _LANG_MARKERS]
+    # argmax with deterministic tie-break on language-name order
+    best = F.greatest(*[F.col(c) for c in score_cols])
+    pred = F.when(best <= 0, F.lit("und"))
+    for lang in sorted(_LANG_MARKERS):
+        pred = pred.when(F.col(f"score_{lang}") == best, F.lit(lang))
+    return d2.select("doc_id", *score_cols, pred.alias("pred_lang")).orderBy("doc_id")
+
+
+def _langid_sql() -> str:
+    score_exprs = []
+    for lang, markers in _LANG_MARKERS.items():
+        in_list = ",".join(f"'{m}'" for m in markers)
+        score_exprs.append(
+            f"ROUND(len(list_filter(toks, x -> x IN ({in_list}))) / len(toks), 4) AS score_{lang}")
+    langs_sorted = sorted(_LANG_MARKERS)
+    best = "GREATEST(" + ", ".join(f"score_{l}" for l in _LANG_MARKERS) + ")"
+    case = f"CASE WHEN {best} <= 0 THEN 'und' " + " ".join(
+        f"WHEN score_{l} = {best} THEN '{l}'" for l in langs_sorted) + " END"
+    return rf"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, {", ".join(score_exprs)}
+  FROM base
+)
+SELECT doc_id, {", ".join(f"score_{l}" for l in _LANG_MARKERS)},
+       {case} AS pred_lang
+FROM scored
+ORDER BY doc_id
+"""
+
+
+LANGID_SQL = _langid_sql()
+
+# ------------------------------------------------------------ fingerprint
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle fingerprint: min/max md5 over 5-token shingles of the
+    normalized text (a 2-hash sketch — the degenerate MinHash case) plus
+    a whole-text hash. Rolling-hash flavored but built from set ops so
+    both engines agree bit-for-bit."""
+    d = t(spark, sf_dir, "documents")
+    norm = F.lower(F.trim("text"))
+    toks = F.split(norm, TOKEN_SPLIT_RE)
+    sh = word_shingles(toks, 5)
+    return (
+        d.select(
+            "doc_id",
+            F.md5(norm).alias("full_hash"),
+            F.array_min(F.transform(sh, F.md5)).alias("min_shingle_hash"),
+            F.array_max(F.transform(sh, F.md5)).alias("max_shingle_hash"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+FINGERPRINT_SQL = r"""
+WITH base AS (
+  SELECT doc_id, lower(trim(text)) AS norm,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+  FROM documents
+),
+shingled AS (
+  SELECT doc_id, norm,
+         CASE WHEN len(toks) >= 5 THEN
+           [md5(array_to_string(toks[i:i+4], ' ')) FOR i IN range(1, len(toks) - 3)]
+         ELSE [] END AS sh
+  FROM base
+)
+SELECT doc_id, md5(norm) AS full_hash,
+       list_min(sh) AS min_shingle_hash,
+       list_max(sh) AS max_shingle_hash
+FROM shingled
+ORDER BY doc_id
+"""
+
+# ------------------------------------------------------------ exact dedup
+
+
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized-text hash: one survivor (min doc_id) per
+    content hash. At scale: single hash-shuffle on a 128-bit key."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.withColumn("content_hash", F.md5(F.lower(F.trim("text"))))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("kept_doc_id"),
+             F.count(F.lit(1)).alias("n_copies"))
+        .orderBy("kept_doc_id")
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(lower(trim(text))) AS content_hash,
+       MIN(doc_id) AS kept_doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+ORDER BY kept_doc_id
+"""
+
+# ------------------------------------------------------------ n-gram Jaccard near-dup
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by exact Jaccard over 3-token shingles,
+    threshold 0.5. Spark shape: explode distinct shingles → self-join on
+    shingle (the inverted-index join — only docs sharing ≥1 shingle ever
+    meet, no O(n²)) → per-pair intersection count → Jaccard.
+    At 100 TB the same plan holds; hot shingles would be dropped by a
+    document-frequency cap before the join (stopword-shingle skew guard).
+    """
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim("text")), TOKEN_SPLIT_RE)
+    sh = (
+        d.select("doc_id", F.explode(word_shingles(toks, 3)).alias("shingle"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    return (
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .withColumn("jaccard", F.round(
+            F.col("n_common") / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")), 4))
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+DEDUP_JACCARD_SQL = r"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, shingle
+  FROM (
+    SELECT doc_id,
+           array_to_string(toks[i:i+2], ' ') AS shingle
+    FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+          FROM documents),
+         UNNEST(range(1, len(toks) - 1)) AS u(i)
+    WHERE len(toks) >= 3
+  )
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_common,
+       ROUND(n_common / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+FROM pairs
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE ROUND(n_common / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.5
+ORDER BY doc_a, doc_b
+"""
+
+# ------------------------------------------------------------ MinHash-LSH near-dup
+# Deterministic md5-based MinHash (seeded by salt prefix) so both engines
+# compute identical signatures; banding pairs up candidates, exact Jaccard
+# verifies. This IS the scale path: candidate generation is
+# O(docs × bands), never O(n²).
+
+_MINHASH_PERMS = 8   # 4 bands × 2 rows
+_MINHASH_BANDS = 4
+_MINHASH_ROWS = 2
+_JACCARD_THRESHOLD = 0.4
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim("text")), TOKEN_SPLIT_RE)
+    sh = (
+        d.select("doc_id", F.explode(word_shingles(toks, 3)).alias("shingle"))
+        .distinct()
+    )
+    # signature: per doc, min over shingles of md5(perm_salt || shingle)
+    sig = sh.groupBy("doc_id").agg(
+        *[F.min(F.md5(F.concat(F.lit(f"p{p}:"), F.col("shingle")))).alias(f"mh{p}")
+          for p in range(_MINHASH_PERMS)],
+        F.count(F.lit(1)).alias("n_sh"),
+    )
+    # banding: hash the concatenation of each band's rows → bucket key
+    band_cols = []
+    for b in range(_MINHASH_BANDS):
+        rows = [F.col(f"mh{b * _MINHASH_ROWS + r}") for r in range(_MINHASH_ROWS)]
+        band_cols.append(F.md5(F.concat_ws("|", *rows)).alias(f"band{b}"))
+    banded = sig.select("doc_id", "n_sh", *band_cols)
+    # candidates: docs sharing any band bucket
+    bands_long = banded.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.concat(F.lit(f"b{b}:"), F.col(f"band{b}")) for b in range(_MINHASH_BANDS)
+        ])).alias("bucket"),
+    )
+    x, y = bands_long.alias("x"), bands_long.alias("y")
+    cand = (
+        x.join(y, (F.col("x.bucket") == F.col("y.bucket"))
+               & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # verify candidates with exact Jaccard (inverted-index join restricted
+    # to candidate pairs)
+    a, b2 = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b2, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_sh_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_sh_b"))
+    return (
+        cand.join(common, ["doc_a", "doc_b"])
+        .join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("jaccard", F.round(
+            F.col("n_common") / (F.col("n_sh_a") + F.col("n_sh_b") - F.col("n_common")), 4))
+        .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _minhash_sql() -> str:
+    mh_exprs = ", ".join(
+        f"MIN(md5('p{p}:' || shingle)) AS mh{p}" for p in range(_MINHASH_PERMS))
+    band_exprs = ", ".join(
+        "md5(" + " || '|' || ".join(f"mh{b * _MINHASH_ROWS + r}" for r in range(_MINHASH_ROWS))
+        + f") AS band{b}" for b in range(_MINHASH_BANDS))
+    bucket_union = " UNION ALL ".join(
+        f"SELECT doc_id, 'b{b}:' || band{b} AS bucket FROM banded" for b in range(_MINHASH_BANDS))
+    return rf"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, shingle
+  FROM (
+    SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+    FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+          FROM documents),
+         UNNEST(range(1, len(toks) - 1)) AS u(i)
+    WHERE len(toks) >= 3
+  )
+),
+sig AS (
+  SELECT doc_id, {mh_exprs}, COUNT(*) AS n_sh
+  FROM sh GROUP BY doc_id
+),
+banded AS (SELECT doc_id, {band_exprs} FROM sig),
+bands_long AS ({bucket_union}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands_long x JOIN bands_long y
+    ON x.bucket = y.bucket AND x.doc_id < y.doc_id
+),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT cand.doc_a AS doc_a, cand.doc_b AS doc_b,
+       ROUND(n_common / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+FROM cand
+JOIN common ON cand.doc_a = common.doc_a AND cand.doc_b = common.doc_b
+JOIN sig sa ON cand.doc_a = sa.doc_id
+JOIN sig sb ON cand.doc_b = sb.doc_id
+WHERE ROUND(n_common / (sa.n_sh + sb.n_sh - n_common), 4) >= {_JACCARD_THRESHOLD}
+ORDER BY cand.doc_a, cand.doc_b
+"""
+
+
+MINHASH_SQL = _minhash_sql()
+
+
+SPECS: list[QuerySpec] = [
+    QuerySpec("wordcount_documents", wordcount_documents, WORDCOUNT_SQL,
+              "FLAGSHIP: the full reference pipeline (S1..K1) on documents.text"),
+    QuerySpec("text_token_stats", text_token_stats, TOKEN_STATS_SQL,
+              "token counting (whitespace + BPE-ish regex)"),
+    QuerySpec("text_quality_score", text_quality_score, QUALITY_SQL,
+              "heuristic quality scoring (C4/Gopher-style)"),
+    QuerySpec("text_language_id", text_language_id, LANGID_SQL,
+              "stopword-marker language ID heuristic"),
+    QuerySpec("doc_fingerprint", doc_fingerprint, FINGERPRINT_SQL,
+              "shingle-hash document fingerprint"),
+    QuerySpec("dedup_exact_documents", dedup_exact_documents, DEDUP_EXACT_SQL,
+              "exact dedup via content hash"),
+    QuerySpec("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_JACCARD_SQL,
+              "near-dup pairs: 3-gram Jaccard via inverted-index join"),
+    QuerySpec("dedup_minhash_lsh", dedup_minhash_lsh, MINHASH_SQL,
+              "MinHash-LSH candidates + exact verify (deterministic md5 perms)"),
+]

@@ -1,0 +1,76 @@
+"""SparkSession factory.
+
+The reference hand-builds its whole control plane (sockets, barriers,
+latches — /root/reference/src/CommunicationHandler.java:22-124,
+/root/reference/src/MasterNode.java:121-193).  On Spark all of that is the
+scheduler's job; the only thing we own is configuration, and the defaults
+here are chosen for the 100 TB design point while staying sane on
+local[32]:
+
+- AQE on (runtime re-plan replaces the reference's hand-tuned log-spaced
+  range boundaries, /root/reference/src/MasterNode.java:154-164): skew-join
+  splitting, partition coalescing, dynamic join selection.
+- Arrow enabled: every pandas-UDF operator (similarity, multimodal) moves
+  columnar batches, never pickled rows.
+- UTC session timezone: deterministic timestamp semantics vs the DuckDB
+  oracle.
+- shuffle.partitions: modest default for local test scale; AQE coalesces
+  down and, on a real cluster, a job-level override scales it up.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults applied to sessions we build ourselves AND (where dynamic)
+# usable as per-query hints. Keys that matter at 100 TB are marked.
+ENGINE_CONF: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",                      # scale: runtime re-plan
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",   # scale: right-size reducers
+    "spark.sql.adaptive.skewJoin.enabled": "true",             # scale: Zipf keys
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    "spark.sql.parquet.compression.codec": "zstd",
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    "spark.sql.shuffle.partitions": "32",
+    "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+}
+
+
+def get_session(app_name: str = "mapreduce_4sl08_spark",
+                master: str | None = None,
+                extra_conf: dict[str, str] | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (or ``local[*]``)
+    for tests/bench; on a real cluster, leave it to spark-submit.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(ENGINE_CONF)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def apply_engine_conf(spark: SparkSession) -> SparkSession:
+    """Best-effort apply of *dynamic* engine confs to an externally-built
+    session (the driver hands us one in ``__spark_entry__.entry``).
+    Static confs (serializer, arrow) are skipped automatically by Spark.
+    """
+    for k, v in ENGINE_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf on a live session — keep the session's value
+    return spark

@@ -1,0 +1,51 @@
+"""Test-star-schema loaders.
+
+Generalizes the reference's source operator S1 (driver-side
+``Files.readString`` over CLI paths, /root/reference/src/MasterNode.java:64-66)
+into distributed, schema-aware scans. Nothing is ever materialized on the
+driver — the #1 scale ceiling of the reference (SURVEY §4.3).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+# Small dimensions a planner should broadcast in joins at any scale.
+BROADCAST_TABLES = frozenset({"region", "nation"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one parquet table. Column pruning / predicate pushdown are left
+    to Catalyst — callers express plans declaratively and the scan narrows
+    itself (verify with .explain: PushedFilters / ReadSchema).
+
+    `events.ts` is TIMESTAMP(NANOS) parquet, which Spark does not read
+    natively ([PARQUET_TYPE_ILLEGAL]); we read nanos as long and convert
+    to a microsecond timestamp — exact for this data (no sub-µs values),
+    and the same instant DuckDB sees."""
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+        # integer division — ns epoch values exceed double's exact range
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names=TABLE_NAMES) -> None:
+    """Register temp views so spark.sql(...) queries mirror the DuckDB
+    oracle's pre-registered view names one-to-one."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
