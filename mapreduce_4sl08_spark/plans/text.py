@@ -11,6 +11,7 @@ implement it identically so every pipeline stays oracle-checkable.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..functions import NON_WORD_RE, TOKEN_SPLIT_RE, word_shingles
@@ -247,35 +248,72 @@ ORDER BY kept_doc_id
 # ------------------------------------------------------------ n-gram Jaccard near-dup
 
 
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate pairs by exact Jaccard over 3-token shingles,
-    threshold 0.5. Spark shape: explode distinct shingles → self-join on
-    shingle (the inverted-index join — only docs sharing ≥1 shingle ever
-    meet, no O(n²)) → per-pair intersection count → Jaccard.
-    At 100 TB the same plan holds; hot shingles would be dropped by a
-    document-frequency cap before the join (stopword-shingle skew guard).
-    """
-    d = t(spark, sf_dir, "documents")
+def _shingle_sets(d: DataFrame, n: int = 3):
+    """(doc_id, shingle) exploded-distinct + per-doc sorted shingle-set
+    arrays. Shared by the Jaccard and MinHash pipelines."""
     toks = F.split(F.lower(F.trim("text")), TOKEN_SPLIT_RE)
     sh = (
-        d.select("doc_id", F.explode(word_shingles(toks, 3)).alias("shingle"))
+        d.select("doc_id", F.explode(word_shingles(toks, n)).alias("shingle"))
         .distinct()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    pairs = (
+    sets = sh.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("shingle")).alias("sh_set"),
+        F.count(F.lit(1)).alias("n_sh"))
+    return sh, sets
+
+
+def _verify_pairs(cand: DataFrame, sets: DataFrame, threshold: float) -> DataFrame:
+    """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs via
+    array_intersect against per-doc shingle sets — O(candidates), never a
+    second inverted-index join."""
+    sa = sets.select(F.col("doc_id").alias("doc_a"),
+                     F.col("sh_set").alias("set_a"), F.col("n_sh").alias("n_sh_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"),
+                     F.col("sh_set").alias("set_b"), F.col("n_sh").alias("n_sh_b"))
+    return (
+        cand.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("set_a", "set_b")))
+        .withColumn("jaccard", F.round(
+            F.col("n_common") / (F.col("n_sh_a") + F.col("n_sh_b") - F.col("n_common")), 4))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by exact Jaccard over 3-token shingles,
+    threshold 0.5 — the AllPairs/PPJoin prefix-filtering plan:
+
+    1. global shingle document-frequency, ascending = rarity order;
+    2. each doc keeps only its |S| - ceil(t·|S|) + 1 RAREST shingles (the
+       prefix): any pair with J ≥ t provably shares a prefix shingle;
+    3. inverted-index join on prefix shingles only — hot (stopword-like)
+       shingles never enter the join, which is what makes this survive
+       Zipfian shingle skew at 100 TB (a naive shingle self-join explodes
+       quadratically on hot shingles);
+    4. exact verification of the candidate pairs via array_intersect.
+    """
+    threshold = 0.5
+    d = t(spark, sf_dir, "documents")
+    sh, sets = _shingle_sets(d, 3)
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("shingle").asc())
+    prefix_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    pref = (
+        sh.join(freq, "shingle")
+        .withColumn("pos", F.row_number().over(w))
+        .join(sets.select("doc_id", "n_sh"), "doc_id")
+        .filter(F.col("pos") <= prefix_len)
+        .select("doc_id", "shingle")
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
     )
-    sa, sb = sizes.alias("sa"), sizes.alias("sb")
     return (
-        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .withColumn("jaccard", F.round(
-            F.col("n_common") / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")), 4))
-        .filter(F.col("jaccard") >= 0.5)
+        _verify_pairs(cand, sets, threshold)
         .select("doc_a", "doc_b", "n_common", "jaccard")
         .orderBy("doc_a", "doc_b")
     )
@@ -322,11 +360,7 @@ _JACCARD_THRESHOLD = 0.4
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.trim("text")), TOKEN_SPLIT_RE)
-    sh = (
-        d.select("doc_id", F.explode(word_shingles(toks, 3)).alias("shingle"))
-        .distinct()
-    )
+    sh, sets = _shingle_sets(d, 3)
     # signature: per doc, min over shingles of md5(perm_salt || shingle)
     sig = sh.groupBy("doc_id").agg(
         *[F.min(F.md5(F.concat(F.lit(f"p{p}:"), F.col("shingle")))).alias(f"mh{p}")
@@ -353,23 +387,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    # verify candidates with exact Jaccard (inverted-index join restricted
-    # to candidate pairs)
-    a, b2 = sh.alias("a"), sh.alias("b")
-    common = (
-        a.join(b2, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_sh_a"))
-    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_sh_b"))
+    # exact-Jaccard verification restricted to the banded candidates —
+    # array_intersect per pair, not a second inverted-index join
     return (
-        cand.join(common, ["doc_a", "doc_b"])
-        .join(sa, "doc_a").join(sb, "doc_b")
-        .withColumn("jaccard", F.round(
-            F.col("n_common") / (F.col("n_sh_a") + F.col("n_sh_b") - F.col("n_common")), 4))
-        .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+        _verify_pairs(cand, sets, _JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
     )
