@@ -1,0 +1,109 @@
+"""Structured Streaming operators (SURVEY §7.3.1).
+
+The reference is batch-only; this is the extended surface: file-source
+streams over the `events` table shape, tumbling/sliding windowed
+aggregation with watermarks for late data, session windows, and stateful
+dedup within a watermark. The batch twins in ``plans/events.py`` define
+the oracle-checked semantics; these run the same logic incrementally.
+
+At scale: watermarks bound state; shuffle keys are (window, group);
+`availableNow` gives reproducible batch-backfill runs of the same code.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType, LongType, StringType, StructField, StructType, TimestampType,
+)
+
+EVENTS_SCHEMA = StructType([
+    StructField("event_id", LongType()),
+    StructField("ts", TimestampType()),
+    StructField("user_id", LongType()),
+    StructField("event_type", StringType()),
+    StructField("value", DoubleType()),
+    StructField("props", StringType()),
+])
+
+
+def events_stream(spark: SparkSession, path: str,
+                  max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream with the events schema (parquet dir). The ts
+    column must already be microsecond timestamps (use
+    sources.tables.load_table + a re-write for the raw nanos testdata —
+    see tests/test_streaming.py)."""
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def stream_tumbling_counts(events: DataFrame,
+                           watermark: str = "2 hours",
+                           window: str = "1 hour") -> DataFrame:
+    """Watermarked tumbling-window agg — the streaming form of
+    plans/events.events_tumbling_hourly. Late rows beyond the watermark
+    are dropped; state is bounded by watermark horizon × groups."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "n_events", "sum_value")
+    )
+
+
+def stream_sliding_counts(events: DataFrame,
+                          watermark: str = "2 hours") -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+def stream_session_window(events: DataFrame,
+                          gap: str = "30 minutes",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Native session windows (dynamic gap-merged state) — the streaming
+    form of the gaps-and-islands batch twin plans/events.events_sessionize."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+        .select("user_id", F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"), "n_events", "sum_value")
+    )
+
+
+def stream_dedup_within_watermark(events: DataFrame,
+                                  watermark: str = "2 hours") -> DataFrame:
+    """Stateful exact dedup on event_id with bounded state:
+    dropDuplicatesWithinWatermark keeps state only for the watermark
+    horizon — the only sane form at 100 TB/day event volumes."""
+    return (
+        events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str,
+                  output_mode: str = "append") -> DataFrame:
+    """Execute a streaming query to completion over currently-available
+    data (availableNow trigger) into an in-memory table; returns the
+    result as a batch DataFrame. Test/backfill harness."""
+    q = (
+        stream_df.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)

@@ -1,0 +1,78 @@
+"""Property-based invariants (SURVEY §5.2.4) over the real test tables —
+cheap cross-checks that hold regardless of oracle availability."""
+
+from pyspark.sql import functions as F
+
+from mapreduce_4sl08_spark.operators.wordcount import word_count, words_from_lines
+from mapreduce_4sl08_spark.plans import QUERIES
+from mapreduce_4sl08_spark.sources import load_table
+
+
+def test_wordcount_conserves_tokens(spark, sf_smoke_dir):
+    docs = load_table(spark, sf_smoke_dir, "documents").select(
+        F.col("text").alias("value"))
+    total_words = words_from_lines(docs).count()
+    counted = word_count(docs).agg(F.sum("count")).collect()[0][0]
+    assert counted == total_words
+
+
+def test_groupby_invariant_under_repartition(spark, sf_smoke_dir):
+    docs = load_table(spark, sf_smoke_dir, "documents").select(
+        F.col("text").alias("value"))
+    base = {(r.word, r["count"]) for r in word_count(docs).collect()}
+    shuffled = {(r.word, r["count"])
+                for r in word_count(docs.repartition(13)).collect()}
+    assert base == shuffled
+
+
+def test_sort_is_permutation(spark, sf_smoke_dir):
+    c = load_table(spark, sf_smoke_dir, "customer")
+    out = QUERIES["sort_customers_multi"].fn(spark, sf_smoke_dir)
+    assert out.count() == c.count()
+    assert set(r.c_custkey for r in out.collect()) == \
+        set(r.c_custkey for r in c.select("c_custkey").collect())
+
+
+def test_dedup_output_subset_and_unique(spark, sf_smoke_dir):
+    d = load_table(spark, sf_smoke_dir, "documents")
+    out = QUERIES["dedup_exact_documents"].fn(spark, sf_smoke_dir)
+    kept = [r.kept_doc_id for r in out.collect()]
+    assert len(kept) == len(set(kept))
+    all_ids = {r.doc_id for r in d.select("doc_id").collect()}
+    assert set(kept) <= all_ids
+    # conservation: copies sum to table size
+    assert out.agg(F.sum("n_copies")).collect()[0][0] == d.count()
+
+
+def test_jaccard_pairs_are_symmetric_free_and_bounded(spark, sf_smoke_dir):
+    out = QUERIES["dedup_ngram_jaccard"].fn(spark, sf_smoke_dir).collect()
+    for r in out:
+        assert r.doc_a < r.doc_b        # no self/duplicate-orientation pairs
+        assert 0.0 <= r.jaccard <= 1.0
+        assert r.n_common >= 1
+
+
+def test_minhash_candidates_superset_check(spark, sf_smoke_dir):
+    """Every pair the exact prefix-filter join finds at J>=0.5 should be
+    found by MinHash-LSH at its lower 0.4 threshold IF banding caught it;
+    here we check the verified outputs are consistent: any (a,b) in both
+    results carries the identical jaccard value."""
+    exact = {(r.doc_a, r.doc_b): r.jaccard
+             for r in QUERIES["dedup_ngram_jaccard"].fn(spark, sf_smoke_dir).collect()}
+    lsh = {(r.doc_a, r.doc_b): r.jaccard
+           for r in QUERIES["dedup_minhash_lsh"].fn(spark, sf_smoke_dir).collect()}
+    for pair, j in exact.items():
+        if pair in lsh:
+            assert lsh[pair] == j
+
+
+def test_knn_rank_ordering(spark, sf_smoke_dir):
+    rows = QUERIES["knn_bruteforce_cosine"].fn(spark, sf_smoke_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append((r.rk, r.cos_sim))
+    for q, lst in by_q.items():
+        lst.sort()
+        sims = [s for _, s in lst]
+        assert sims == sorted(sims, reverse=True)
+        assert [rk for rk, _ in lst] == list(range(1, len(lst) + 1))
