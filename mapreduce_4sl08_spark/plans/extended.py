@@ -1,0 +1,392 @@
+"""Extended operator coverage: subqueries (EXISTS / IN / correlated),
+explicit GROUPING SETS, array/map function surface, SimHash near-dup,
+n-gram frequencies, cross-table feature joins, embedding near-dup, and
+the Pandas-UDF (Arrow) execution path.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast, pandas_udf
+from pyspark.sql.types import DoubleType
+
+from ..functions import TOKEN_SPLIT_RE
+from ..sources import register_views
+from .base import QuerySpec, t
+
+# ---------------------------------------------------------------- subqueries
+
+
+def q4_late_ship_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS subquery → left-semi join. Orders with at
+    least one lineitem shipped >60 days after the order date."""
+    o = t(spark, sf_dir, "orders")
+    l = t(spark, sf_dir, "lineitem")
+    late = l.join(o.select("o_orderkey", "o_orderdate"), l.l_orderkey == F.col("o_orderkey")) \
+            .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")) \
+            .select(F.col("l_orderkey").alias("k")).distinct()
+    return (
+        o.join(late, o.o_orderkey == late.k, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_late_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_late_orders
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey
+    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q2_min_balance_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated min subquery, expressed as a window
+    min (one shuffle instead of a per-row subquery)."""
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    w = Window.partitionBy("s_nationkey")
+    return (
+        s.withColumn("min_bal", F.min("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("min_bal"))
+        .join(broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("n_name", "s_suppkey", "s_name",
+                F.round("s_acctbal", 2).alias("s_acctbal"))
+        .orderBy("n_name", "s_suppkey")
+    )
+
+
+Q2_SQL = """
+SELECT n_name, s_suppkey, s_name, ROUND(s_acctbal, 2) AS s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE s_acctbal = (SELECT MIN(s2.s_acctbal) FROM supplier s2
+                   WHERE s2.s_nationkey = supplier.s_nationkey)
+ORDER BY n_name, s_suppkey
+"""
+
+
+def in_subquery_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery: customers in nations that have suppliers with
+    acctbal > 4000 (semi-join through a dim)."""
+    register_views(spark, sf_dir, ["customer", "supplier"])
+    return spark.sql("""
+        SELECT c_mktsegment, COUNT(*) AS n_customers
+        FROM customer
+        WHERE c_nationkey IN (SELECT s_nationkey FROM supplier
+                              WHERE s_acctbal > 4000)
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """)
+
+
+IN_SUBQ_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_customers
+FROM customer
+WHERE c_nationkey IN (SELECT s_nationkey FROM supplier WHERE s_acctbal > 4000)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube): totals by
+    (status, priority), by status alone, and grand total."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               ROUND(SUM(o_totalprice), 2) AS revenue,
+               COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+        ORDER BY o_orderstatus ASC NULLS FIRST,
+                 o_orderpriority ASC NULLS FIRST
+    """)
+
+
+GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       ROUND(SUM(o_totalprice), 2) AS revenue,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+"""
+
+# ---------------------------------------------------------------- array/map surface
+
+
+def array_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function surface over tokenized text: size, distinct,
+    slice+join, containment, sort."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower("text")), TOKEN_SPLIT_RE)
+    return (
+        d.select(
+            "doc_id",
+            F.size(toks).alias("n_tokens"),
+            F.size(F.array_distinct(toks)).alias("n_distinct"),
+            F.array_join(F.slice(toks, 1, 3), " ").alias("first3"),
+            F.array_contains(toks, "the").cast("int").alias("has_the"),
+            F.element_at(F.array_sort(F.array_distinct(toks)), 1).alias("first_alpha"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ARRAY_FUNCS_SQL = r"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       len(list_distinct(toks)) AS n_distinct,
+       array_to_string(toks[1:3], ' ') AS first3,
+       CAST(list_contains(toks, 'the') AS INT) AS has_the,
+       list_sort(list_distinct(toks))[1] AS first_alpha
+FROM base
+ORDER BY doc_id
+"""
+
+# ---------------------------------------------------------------- SimHash near-dup
+
+_SIMHASH_BITS = 32
+_SIMHASH_BANDS = 4  # 8 bits per band; hamming<=3 → >=1 identical band (pigeonhole)
+_HAMMING_MAX = 3
+
+
+def _token_bit(bit: int):
+    """+1/-1 contribution of a token to simhash bit `bit`, from the md5
+    of the token (first 8 hex chars = 32 bits). JVM-side only."""
+    v = F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("long")
+    return (F.shiftright(v, bit).bitwiseAND(F.lit(1)) * 2 - 1)
+
+
+def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup detection, fully scalable shape:
+    per-doc 32-bit simhash over distinct tokens (md5-derived bit
+    contributions, deterministic in both engines); banded into 4×8-bit
+    keys — any pair within hamming distance 3 must share a band
+    (pigeonhole), so candidate generation is an equi-join, never O(n²);
+    verified by exact popcount(xor) <= 3."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower("text")), TOKEN_SPLIT_RE)).alias("token"),
+    ).filter(F.col("token") != "").distinct()
+    sim = toks.groupBy("doc_id").agg(
+        *[F.sum(_token_bit(b)).alias(f"s{b}") for b in range(_SIMHASH_BITS)])
+    bits = None
+    for b in range(_SIMHASH_BITS):
+        term = F.when(F.col(f"s{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+        bits = term if bits is None else bits + term
+    hashed = sim.select("doc_id", bits.cast("long").alias("simhash"))
+    bands = hashed.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.concat(F.lit(f"{band}:"),
+                     F.shiftright(F.col("simhash"), band * 8).bitwiseAND(F.lit(255)))
+            for band in range(_SIMHASH_BANDS)
+        ])).alias("band_key"),
+    )
+    a, b2 = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b2, (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+                F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= _HAMMING_MAX)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+SIMHASH_SQL = rf"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, token
+  FROM (SELECT doc_id,
+               UNNEST(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        FROM documents)
+  WHERE token <> ''
+),
+contrib AS (
+  SELECT doc_id, ('0x' || substr(md5(token), 1, 8))::BIGINT AS h
+  FROM toks
+),
+sums AS (
+  SELECT doc_id,
+         {", ".join(f"SUM(((h >> {b}) & 1) * 2 - 1) AS s{b}" for b in range(_SIMHASH_BITS))}
+  FROM contrib GROUP BY doc_id
+),
+hashed AS (
+  SELECT doc_id,
+         CAST({" + ".join(f"(CASE WHEN s{b} >= 0 THEN {1 << b} ELSE 0 END)" for b in range(_SIMHASH_BITS))} AS BIGINT) AS simhash
+  FROM sums
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM hashed a JOIN hashed b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {_HAMMING_MAX}
+ORDER BY doc_a, doc_b
+"""
+
+# ---------------------------------------------------------------- n-gram frequency
+
+
+def text_bigram_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level bigram frequency, top-20 — n-gram generation via
+    word shingles + the same count/top-k machinery as the flagship."""
+    from ..functions import word_shingles
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower("text")), TOKEN_SPLIT_RE)
+    return (
+        d.select(F.explode(word_shingles(toks, 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(20)
+    )
+
+
+BIGRAM_SQL = r"""
+SELECT array_to_string(toks[i:i+1], ' ') AS bigram, COUNT(*) AS n
+FROM (SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      FROM documents),
+     UNNEST(range(1, len(toks))) AS u(i)
+WHERE len(toks) >= 2
+GROUP BY 1
+ORDER BY n DESC, bigram ASC
+LIMIT 20
+"""
+
+# ---------------------------------------------------------------- cross-table feature join
+
+
+def docs_with_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature join across modalities: documents ⋈ embeddings
+    (doc_id = vec_id) with per-row text + vector features — the typical
+    training-data assembly shape."""
+    from ..functions import l2_norm
+    d = t(spark, sf_dir, "documents")
+    e = t(spark, sf_dir, "embeddings")
+    return (
+        d.join(e, d.doc_id == e.vec_id)
+        .select(
+            "doc_id", "lang", "label",
+            F.size(F.split(F.trim("text"), TOKEN_SPLIT_RE)).alias("n_tokens"),
+            F.round(l2_norm(F.col("embedding")), 4).alias("emb_norm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DOCS_EMB_SQL = r"""
+SELECT doc_id, lang, label,
+       len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+       ROUND(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 4) AS emb_norm
+FROM documents
+JOIN embeddings ON doc_id = vec_id
+ORDER BY doc_id
+"""
+
+# ---------------------------------------------------------------- embedding near-dup
+
+
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold 0.45 — the test
+    vectors are near-orthogonal, so only genuine outlier pairs match).
+    Brute-force at test SF; the LSH-bucketed variant (lsh_bucket_ann) is
+    the scale path for the same semantics."""
+    from ..functions import cosine
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", cosine(F.col("emb_a"), F.col("emb_b")))
+        .filter(F.col("cos_sim") >= 0.45)
+        .select("id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+EMB_NEAR_DUP_SQL = """
+WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_dot_product(a.emb, b.emb)
+             / (sqrt(list_dot_product(a.emb, a.emb))
+                * sqrt(list_dot_product(b.emb, b.emb))), 4) AS cos_sim
+FROM t a JOIN t b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.emb, b.emb)
+      / (sqrt(list_dot_product(a.emb, a.emb))
+         * sqrt(list_dot_product(b.emb, b.emb))) >= 0.45
+ORDER BY id_a, id_b
+"""
+
+# ---------------------------------------------------------------- pandas UDF path
+
+
+@pandas_udf(DoubleType())
+def _norm_udf(emb: pd.Series) -> pd.Series:
+    """Arrow-batched vector norm — the vectorized-Python execution path
+    (10-100x over row-at-a-time UDFs; SURVEY §7.3)."""
+    import numpy as np
+    return emb.map(lambda v: float(np.sqrt(np.dot(np.asarray(v, dtype="float64"),
+                                                  np.asarray(v, dtype="float64")))))
+
+
+def pandas_udf_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result as embedding_norms but through a Pandas UDF —
+    exercises the Arrow serialization path end to end (oracle-checked:
+    numpy double dot == JVM double fold at 4dp)."""
+    e = t(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", _norm_udf(F.col("embedding")).alias("norm"))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_vecs"),
+             F.round(F.avg("norm"), 4).alias("avg_norm"))
+        .orderBy("label")
+    )
+
+
+PANDAS_NORMS_SQL = """
+SELECT label, COUNT(*) AS n_vecs,
+       ROUND(AVG(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4) AS avg_norm
+FROM embeddings
+GROUP BY label
+ORDER BY label
+"""
+
+
+SPECS: list[QuerySpec] = [
+    QuerySpec("q4_late_ship_orders", q4_late_ship_orders, Q4_SQL,
+              "EXISTS subquery → left-semi join"),
+    QuerySpec("q2_min_balance_supplier", q2_min_balance_supplier, Q2_SQL,
+              "correlated min subquery as window min"),
+    QuerySpec("in_subquery_customers", in_subquery_customers, IN_SUBQ_SQL,
+              "IN subquery via spark.sql"),
+    QuerySpec("grouping_sets_revenue", grouping_sets_revenue, GROUPING_SETS_SQL,
+              "explicit GROUPING SETS"),
+    QuerySpec("array_functions_showcase", array_functions_showcase, ARRAY_FUNCS_SQL,
+              "array function surface"),
+    QuerySpec("simhash_dedup", simhash_dedup, SIMHASH_SQL,
+              "banded SimHash near-dup (pigeonhole-exact candidates)"),
+    QuerySpec("text_bigram_top20", text_bigram_top20, BIGRAM_SQL,
+              "corpus bigram top-k"),
+    QuerySpec("docs_with_embeddings", docs_with_embeddings, DOCS_EMB_SQL,
+              "multimodal feature join"),
+    QuerySpec("embedding_near_dup", embedding_near_dup, EMB_NEAR_DUP_SQL,
+              "embedding-cosine near-dup pairs"),
+    QuerySpec("pandas_udf_norms", pandas_udf_norms, PANDAS_NORMS_SQL,
+              "Pandas-UDF (Arrow) execution path"),
+]

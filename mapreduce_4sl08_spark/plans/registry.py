@@ -11,7 +11,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import events, relational, text, vectors
+from . import events, extended, relational, text, vectors
 from .base import QuerySpec
 
 _ALL_SPECS: list[QuerySpec] = [
@@ -19,6 +19,7 @@ _ALL_SPECS: list[QuerySpec] = [
     *relational.SPECS,
     *events.SPECS,
     *vectors.SPECS,
+    *extended.SPECS,
 ]
 
 QUERIES: dict[str, QuerySpec] = {s.name: s for s in _ALL_SPECS}
