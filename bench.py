@@ -33,8 +33,11 @@ HEADLINE = [
     "events_sessionize",          # stateful sessionization twin
     "dedup_exact_documents",      # content-hash dedup
     "dedup_minhash_lsh",          # MinHash-LSH near-dup (scale path)
+    "simhash_dedup",              # banded SimHash near-dup
     "knn_bruteforce_cosine",      # vector similarity
     "multimodal_decode_stub",     # Arrow mapInPandas plumbing
+    "events_user_features",       # applyInPandas grouped map
+    "pandas_udf_norms",           # Arrow pandas-UDF scalar path
 ]
 
 

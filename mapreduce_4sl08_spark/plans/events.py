@@ -245,9 +245,55 @@ ORDER BY day
 """
 
 
+# ------------------------------------------------------------ applyInPandas grouped map
+
+
+def events_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sequence features via applyInPandas (grouped-map Arrow
+    path) — custom per-entity logic the built-ins can't express. The
+    oracle recomputes the same closed-form features in SQL."""
+    from ..operators.grouped import user_session_features
+    e = t(spark, sf_dir, "events")
+    feats = user_session_features(e)
+    return (
+        feats.select(
+            "user_id", "n_events",
+            F.round("span_seconds", 4).alias("span_seconds"),
+            F.round("mean_gap_seconds", 4).alias("mean_gap_seconds"),
+            F.round("max_value_delta", 4).alias("max_value_delta"),
+        )
+        .orderBy("user_id")
+    )
+
+
+EVENTS_USER_FEATURES_SQL = """
+WITH ordered AS (
+  SELECT user_id, ts, value,
+         ABS(value - LAG(value) OVER (PARTITION BY user_id
+                                      ORDER BY ts ASC, event_id ASC)) AS vdelta
+  FROM events
+),
+agg AS (
+  SELECT user_id, COUNT(*) AS n_events,
+         epoch(MAX(ts)) - epoch(MIN(ts)) AS span,
+         MAX(vdelta) AS max_delta
+  FROM ordered
+  GROUP BY user_id
+)
+SELECT user_id, n_events,
+       ROUND(span, 4) AS span_seconds,
+       ROUND(CASE WHEN n_events > 1 THEN span / (n_events - 1) ELSE 0.0 END, 4) AS mean_gap_seconds,
+       ROUND(COALESCE(max_delta, 0.0), 4) AS max_value_delta
+FROM agg
+ORDER BY user_id
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("events_tumbling_hourly", events_tumbling_hourly, EVENTS_TUMBLING_SQL,
               "tumbling 1h window agg (streaming twin in streaming/)"),
+    QuerySpec("events_user_features", events_user_features, EVENTS_USER_FEATURES_SQL,
+              "applyInPandas grouped-map per-user sequence features"),
     QuerySpec("events_sliding_windows", events_sliding_windows, EVENTS_SLIDING_SQL,
               "sliding 1h/30m window agg"),
     QuerySpec("events_sessionize", events_sessionize, EVENTS_SESSION_SQL,
