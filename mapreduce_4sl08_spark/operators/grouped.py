@@ -50,3 +50,44 @@ def user_session_features(events: DataFrame) -> DataFrame:
         .groupBy("user_id")
         .applyInPandas(features, USER_FEATURES_SCHEMA)
     )
+
+
+def user_session_features_fast(events: DataFrame) -> DataFrame:
+    """Same result as ``user_session_features`` but via
+    repartition(key) + sortWithinPartitions + mapInPandas with a pandas
+    groupby inside the partition. applyInPandas ships ONE Arrow batch per
+    group — at millions of small groups the per-group round-trip
+    dominates; this shape ships whole partitions (one batch each) and
+    groups in-process, which is the 100 TB form of per-entity logic.
+    """
+
+    def features_partition(batches):
+        import pandas as pd
+
+        def one(pdf: pd.DataFrame) -> pd.DataFrame:
+            groups = []
+            for uid, g in pdf.groupby("user_id", sort=False):
+                g = g.sort_values(["ts", "event_id"])
+                ts = g["ts"].astype("int64") / 1e9
+                n = len(g)
+                span = float(ts.iloc[-1] - ts.iloc[0]) if n > 1 else 0.0
+                deltas = g["value"].diff().abs().dropna()
+                groups.append((uid, n, span,
+                               span / (n - 1) if n > 1 else 0.0,
+                               float(deltas.max()) if len(deltas) else 0.0))
+            return pd.DataFrame(groups, columns=[
+                "user_id", "n_events", "span_seconds",
+                "mean_gap_seconds", "max_value_delta"])
+
+        # a group never spans batches: the input is hash-partitioned on
+        # user_id, but one PARTITION can arrive as several Arrow batches,
+        # so buffer the partition before grouping
+        parts = [pdf for pdf in batches]
+        if parts:
+            yield one(pd.concat(parts, ignore_index=True))
+
+    return (
+        events.select("user_id", "event_id", "ts", "value")
+        .repartition("user_id")
+        .mapInPandas(features_partition, USER_FEATURES_SCHEMA)
+    )

@@ -252,9 +252,9 @@ def events_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user sequence features via applyInPandas (grouped-map Arrow
     path) — custom per-entity logic the built-ins can't express. The
     oracle recomputes the same closed-form features in SQL."""
-    from ..operators.grouped import user_session_features
+    from ..operators.grouped import user_session_features_fast
     e = t(spark, sf_dir, "events")
-    feats = user_session_features(e)
+    feats = user_session_features_fast(e)
     return (
         feats.select(
             "user_id", "n_events",

@@ -166,10 +166,11 @@ _HAMMING_MAX = 3
 
 
 def _token_bit(bit: int):
-    """+1/-1 contribution of a token to simhash bit `bit`, from the md5
-    of the token (first 8 hex chars = 32 bits). JVM-side only."""
-    v = F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("long")
-    return (F.shiftright(v, bit).bitwiseAND(F.lit(1)) * 2 - 1)
+    """+1/-1 contribution of a token to simhash bit `bit`, reading the
+    pre-computed 32-bit token hash column `h` (hash the token ONCE in a
+    projection — aggregate expressions are not CSE'd, so embedding md5
+    here would compute it 32 times per row)."""
+    return (F.shiftright(F.col("h"), bit).bitwiseAND(F.lit(1)) * 2 - 1)
 
 
 def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -184,7 +185,9 @@ def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.split(F.trim(F.lower("text")), TOKEN_SPLIT_RE)).alias("token"),
     ).filter(F.col("token") != "").distinct()
-    sim = toks.groupBy("doc_id").agg(
+    hashed_toks = toks.withColumn(
+        "h", F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("long"))
+    sim = hashed_toks.groupBy("doc_id").agg(
         *[F.sum(_token_bit(b)).alias(f"s{b}") for b in range(_SIMHASH_BITS)])
     bits = None
     for b in range(_SIMHASH_BITS):

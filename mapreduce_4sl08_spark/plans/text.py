@@ -361,9 +361,13 @@ _JACCARD_THRESHOLD = 0.4
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     sh, sets = _shingle_sets(d, 3)
-    # signature: per doc, min over shingles of md5(perm_salt || shingle)
-    sig = sh.groupBy("doc_id").agg(
-        *[F.min(F.md5(F.concat(F.lit(f"p{p}:"), F.col("shingle")))).alias(f"mh{p}")
+    # signature: per doc, min over shingles of 8-hex slices of ONE md5 —
+    # one hash per row instead of _MINHASH_PERMS hashes (aggregate exprs
+    # are not CSE'd); slices of a cryptographic digest are independent
+    # enough for LSH banding
+    digested = sh.withColumn("dg", F.md5(F.col("shingle")))
+    sig = digested.groupBy("doc_id").agg(
+        *[F.min(F.substring(F.col("dg"), 1 + 3 * p, 8)).alias(f"mh{p}")
           for p in range(_MINHASH_PERMS)],
         F.count(F.lit(1)).alias("n_sh"),
     )
@@ -398,7 +402,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_sql() -> str:
     mh_exprs = ", ".join(
-        f"MIN(md5('p{p}:' || shingle)) AS mh{p}" for p in range(_MINHASH_PERMS))
+        f"MIN(substr(md5(shingle), {1 + 3 * p}, 8)) AS mh{p}"
+        for p in range(_MINHASH_PERMS))
     band_exprs = ", ".join(
         "md5(" + " || '|' || ".join(f"mh{b * _MINHASH_ROWS + r}" for r in range(_MINHASH_ROWS))
         + f") AS band{b}" for b in range(_MINHASH_BANDS))
@@ -445,9 +450,37 @@ ORDER BY cand.doc_a, cand.doc_b
 MINHASH_SQL = _minhash_sql()
 
 
+# ------------------------------------------------------------ UDTF chunking
+
+
+def text_chunking_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking via Python UDTF (1→N table
+    function). Oracle reproduces the window arithmetic with
+    generate_series + array slices."""
+    from ..operators.chunking import chunk_documents
+    d = t(spark, sf_dir, "documents")
+    return chunk_documents(d).orderBy("doc_id", "chunk_idx")
+
+
+CHUNKING_SQL = r"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(s / 40 AS INT) AS chunk_idx,
+       array_to_string(toks[s + 1 : s + 50], ' ') AS chunk,
+       CAST(len(toks[s + 1 : s + 50]) AS INT) AS n_chunk_tokens
+FROM base, UNNEST(range(0, len(toks), 40)) AS u(s)
+ORDER BY doc_id, chunk_idx
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("wordcount_documents", wordcount_documents, WORDCOUNT_SQL,
               "FLAGSHIP: the full reference pipeline (S1..K1) on documents.text"),
+    QuerySpec("text_chunking_udtf", text_chunking_udtf, CHUNKING_SQL,
+              "overlapping token-window chunking via Python UDTF"),
     QuerySpec("text_token_stats", text_token_stats, TOKEN_STATS_SQL,
               "token counting (whitespace + BPE-ish regex)"),
     QuerySpec("text_quality_score", text_quality_score, QUALITY_SQL,

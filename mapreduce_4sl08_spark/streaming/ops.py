@@ -92,6 +92,59 @@ def stream_dedup_within_watermark(events: DataFrame,
     )
 
 
+RUNNING_STATS_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("n_events_total", LongType()),
+    StructField("value_total", DoubleType()),
+    StructField("batch_events", LongType()),
+])
+
+_RUNNING_STATE_SCHEMA = StructType([
+    StructField("n", LongType()),
+    StructField("total", DoubleType()),
+])
+
+
+def stream_running_user_stats(events: DataFrame,
+                              watermark: str = "2 hours") -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running totals that survive across micro-batches (the arbitrary-state
+    API — for logic that windowed aggs can't express, e.g. monotone
+    counters, custom sessionization, model state).
+
+    State is one (n, total) pair per user — O(users) bounded state; at
+    scale the shuffle key is user_id and state lives in the state store
+    partition-local to the key."""
+
+    def update(key, pdfs, state):
+        import pandas as pd
+        n, total = state.get if state.exists else (0, 0.0)
+        batch_n = 0
+        for pdf in pdfs:
+            batch_n += len(pdf)
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame({
+            "user_id": [key[0]],
+            "n_events_total": [n],
+            "value_total": [round(total, 2)],
+            "batch_events": [batch_n],
+        })
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=RUNNING_STATS_SCHEMA,
+            stateStructType=_RUNNING_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str,
                   output_mode: str = "append") -> DataFrame:
     """Execute a streaming query to completion over currently-available

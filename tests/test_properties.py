@@ -76,3 +76,14 @@ def test_knn_rank_ordering(spark, sf_smoke_dir):
         sims = [s for _, s in lst]
         assert sims == sorted(sims, reverse=True)
         assert [rk for rk, _ in lst] == list(range(1, len(lst) + 1))
+
+
+def test_grouped_map_fast_equals_canonical(spark, sf_smoke_dir):
+    """mapInPandas partition-grouped implementation must equal the
+    canonical applyInPandas one row-for-row."""
+    from mapreduce_4sl08_spark.operators.grouped import (
+        user_session_features, user_session_features_fast)
+    e = load_table(spark, sf_smoke_dir, "events")
+    a = sorted(map(tuple, user_session_features(e).collect()))
+    b = sorted(map(tuple, user_session_features_fast(e).collect()))
+    assert a == b

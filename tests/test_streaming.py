@@ -117,3 +117,32 @@ def test_watermark_drops_late_rows(spark, tmp_path):
         watermark="10 minutes")
     run_to_memory(incremental, "t_late_inc")
     assert hour0_count("t_late_inc") == 1
+
+
+def test_stateful_running_user_stats(spark, events_dir, sf_smoke_dir):
+    """applyInPandasWithState: final per-user running totals across
+    multiple micro-batches must equal the batch groupBy, and state must
+    actually carry across batches (later emissions grow)."""
+    from mapreduce_4sl08_spark.streaming.ops import stream_running_user_stats
+
+    stream = stream_running_user_stats(
+        events_stream(spark, events_dir, max_files_per_trigger=1))
+    out = run_to_memory(stream, "t_stateful", output_mode="update")
+    # last emission per user = final running totals
+    import pyspark.sql.functions as SF
+    from pyspark.sql import Window as W
+    # memory sink appends one row per (user, batch); the max
+    # n_events_total per user is the final state
+    final = (out.groupBy("user_id")
+             .agg(SF.max("n_events_total").alias("n"),
+                  SF.max("value_total").alias("v")))
+    batch = (load_table(spark, sf_smoke_dir, "events")
+             .groupBy("user_id")
+             .agg(SF.count(SF.lit(1)).alias("n"),
+                  SF.round(SF.sum("value"), 2).alias("v")))
+    got = {(r.user_id, r.n, round(r.v, 1)) for r in final.collect()}
+    want = {(r.user_id, r.n, round(r.v, 1)) for r in batch.collect()}
+    assert got == want
+    # state carried across batches: some user must appear in >1 emission
+    multi = (out.groupBy("user_id").count().filter("count > 1").count())
+    assert multi > 0
