@@ -238,9 +238,36 @@ ORDER BY doc_id
 """
 
 
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling (1→N mapInPandas fan-out): payload →
+    sampled frame rows. The demux is a byte-chunk stub (no codecs in
+    this container); the fan-out plumbing is the production shape. The
+    oracle reproduces the byte arithmetic in SQL (documents are ASCII,
+    so byte slices == char slices)."""
+    from ..operators.multimodal import frame_sample
+
+    d = t(spark, sf_dir, "documents")
+    blobs = d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    return frame_sample(blobs, every_n=10).orderBy("doc_id", "frame_idx")
+
+
+FRAME_SAMPLE_SQL = """
+WITH f AS (
+  SELECT doc_id, text, GREATEST(length(text) // 100, 1) AS n_frames
+  FROM documents
+)
+SELECT doc_id, i AS frame_idx,
+       md5(substr(text, i * 100 + 1, 100)) AS frame_md5
+FROM f, UNNEST(range(0, n_frames, 10)) AS u(i)
+ORDER BY doc_id, frame_idx
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("knn_bruteforce_cosine", knn_bruteforce_cosine, KNN_SQL,
               "exact cosine top-k, broadcast probes, JVM-side math"),
+    QuerySpec("multimodal_frame_sample", multimodal_frame_sample, FRAME_SAMPLE_SQL,
+              "1→N frame-sampling fan-out via mapInPandas (stub demux)"),
     QuerySpec("lsh_bucket_ann", lsh_bucket_ann, LSH_ANN_SQL,
               "ANN via deterministic random-hyperplane buckets"),
     QuerySpec("embedding_norms", embedding_norms, EMB_NORMS_SQL,

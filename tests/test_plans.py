@@ -1,0 +1,64 @@
+"""Physical-plan regression tests: the scale-critical plan properties
+(pushdown, pruning, broadcast, partial aggregation, top-k pushdown)
+must survive refactors. These assert on the executed plan text — the
+same thing a human checks with .explain('formatted')."""
+
+from mapreduce_4sl08_spark.plans import QUERIES
+
+
+def plan_of(spark, name, sf_dir):
+    df = QUERIES[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q6_pushdown_and_pruning(spark, sf_dir):
+    plan = plan_of(spark, "q6_forecast_revenue", sf_dir)
+    # predicate pushdown reaches the parquet scan
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    # column pruning: only the 4 referenced columns are read
+    assert "ReadSchema: struct<l_quantity:double,l_extendedprice:double," \
+        "l_discount:double,l_shipdate:timestamp" in plan
+    # map-side partial aggregation (the combiner the reference lacked)
+    assert "partial_sum" in plan
+
+
+def test_q5_broadcasts_dims(spark, sf_dir):
+    plan = plan_of(spark, "q5_local_supplier_volume", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    # the aggregate is partial+final (two-phase)
+    assert "partial_sum" in plan
+
+
+def test_wordcount_is_the_reference_plan_plus_combiner(spark, sf_dir):
+    plan = plan_of(spark, "wordcount_documents", sf_dir)
+    # hash shuffle for the agg (X1), range shuffle for the sort (X2)
+    assert "hashpartitioning(word" in plan
+    assert "rangepartitioning(count" in plan
+    # map-side combine — the reference shipped every (word,1) over the
+    # network (SURVEY §4.3); Spark pre-aggregates
+    assert "partial_count" in plan
+    # only the text column is scanned
+    assert "ReadSchema: struct<text:string>" in plan
+
+
+def test_global_topk_avoids_full_sort(spark, sf_dir):
+    plan = plan_of(spark, "topk_expensive_orders", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan  # no global sort shuffle
+
+
+def test_window_topk_uses_group_limit_pushdown(spark, sf_dir):
+    plan = plan_of(spark, "window_topk_orders_per_customer", sf_dir)
+    # Spark 3.5+ WindowGroupLimit: per-partition top-k BEFORE the shuffle
+    assert "WindowGroupLimit" in plan
+    assert plan.count("WindowGroupLimit") >= 2  # partial + final
+
+
+def test_semi_join_stays_semi(spark, sf_dir):
+    plan = plan_of(spark, "join_semi_big_spenders", sf_dir)
+    assert "LeftSemi" in plan
+
+
+def test_knn_broadcasts_probes(spark, sf_dir):
+    plan = plan_of(spark, "knn_bruteforce_cosine", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
