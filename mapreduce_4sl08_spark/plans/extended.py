@@ -371,9 +371,81 @@ ORDER BY label
 """
 
 
+# ---------------------------------------------------------------- approx aggregates
+
+
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates: HyperLogLog++ distinct counts + quantile
+    sketches — THE constant-memory shapes for 100 TB cardinality work.
+    No SQL oracle (DuckDB's sketches differ by design); accuracy is
+    property-tested against exact counts in tests/test_properties.py."""
+    l = t(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("median_price_approx"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------- char n-grams
+
+
+def text_char_trigram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang top-5 character trigrams of the normalized text — the
+    classic language-profile n-gram statistic, via char_ngrams."""
+    from ..functions import char_ngrams, normalize_word
+    d = t(spark, sf_dir, "documents")
+    tri = (
+        d.select("lang", F.explode(
+            char_ngrams(F.lower(F.regexp_replace("text", r"[^A-Za-z]", "")), 3)
+        ).alias("tri"))
+        .groupBy("lang", "tri")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("tri").asc())
+    return (
+        tri.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("lang", "rk", "tri", "n")
+        .orderBy("lang", "rk")
+    )
+
+
+CHAR_TRIGRAM_SQL = """
+WITH norm AS (
+  SELECT lang, lower(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS s
+  FROM documents
+),
+tri AS (
+  SELECT lang, substr(s, i, 3) AS tri
+  FROM norm, UNNEST(range(1, length(s) - 1)) AS u(i)
+  WHERE length(s) >= 3
+),
+counted AS (
+  SELECT lang, tri, COUNT(*) AS n FROM tri GROUP BY 1, 2
+),
+ranked AS (
+  SELECT lang, tri, n,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, tri ASC) AS rk
+  FROM counted
+)
+SELECT lang, CAST(rk AS INT) AS rk, tri, n
+FROM ranked WHERE rk <= 5
+ORDER BY lang, rk
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("q4_late_ship_orders", q4_late_ship_orders, Q4_SQL,
               "EXISTS subquery → left-semi join"),
+    QuerySpec("agg_approx_distinct", agg_approx_distinct, None,
+              "HLL++ / quantile sketch aggregates (accuracy property-tested)"),
+    QuerySpec("text_char_trigram_profile", text_char_trigram_profile, CHAR_TRIGRAM_SQL,
+              "per-lang top-5 char trigrams"),
     QuerySpec("q2_min_balance_supplier", q2_min_balance_supplier, Q2_SQL,
               "correlated min subquery as window min"),
     QuerySpec("in_subquery_customers", in_subquery_customers, IN_SUBQ_SQL,

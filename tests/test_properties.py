@@ -87,3 +87,19 @@ def test_grouped_map_fast_equals_canonical(spark, sf_smoke_dir):
     a = sorted(map(tuple, user_session_features(e).collect()))
     b = sorted(map(tuple, user_session_features_fast(e).collect()))
     assert a == b
+
+
+def test_approx_distinct_within_tolerance(spark, sf_dir):
+    """HLL++ at rsd=2% must land within 5% of exact counts."""
+    from mapreduce_4sl08_spark.plans import QUERIES
+    approx = {r.l_returnflag: (r.approx_parts, r.approx_orders)
+              for r in QUERIES["agg_approx_distinct"].fn(spark, sf_dir).collect()}
+    l = load_table(spark, sf_dir, "lineitem")
+    exact = {r.l_returnflag: (r.p, r.o)
+             for r in l.groupBy("l_returnflag")
+             .agg(F.countDistinct("l_partkey").alias("p"),
+                  F.countDistinct("l_orderkey").alias("o")).collect()}
+    for flag, (ap, ao) in approx.items():
+        ep, eo = exact[flag]
+        assert abs(ap - ep) / ep < 0.05
+        assert abs(ao - eo) / eo < 0.05
