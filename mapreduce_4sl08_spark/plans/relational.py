@@ -532,9 +532,127 @@ ORDER BY o_orderkey
 """
 
 
+def join_right_order_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join (orders ⟖ customer): every customer row kept."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "right")
+        .groupBy("c_nationkey")
+        .agg(F.count("o_orderkey").alias("n_orders"),
+             F.countDistinct("c_custkey").alias("n_customers"))
+        .orderBy("c_nationkey")
+    )
+
+
+JOIN_RIGHT_SQL = """
+SELECT c_nationkey,
+       COUNT(o_orderkey) AS n_orders,
+       COUNT(DISTINCT c_custkey) AS n_customers
+FROM orders
+RIGHT JOIN customer ON o_custkey = c_custkey
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest dedup via max_by (argmax) — the standard CDC/upsert
+    compaction shape: one aggregation, no window sort."""
+    e = t(spark, sf_dir, "events")
+    # deterministic argmax key: fixed-width (ts, event_id) string —
+    # lexicographic order == numeric order, portable across engines
+    key = F.format_string("%020d%010d", F.unix_micros("ts"), F.col("event_id"))
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.max_by("event_id", key).alias("last_event_id"),
+            F.max("ts").alias("last_ts"),
+            F.max_by("event_type", key).alias("last_type"),
+        )
+        .orderBy("user_id")
+    )
+
+
+LATEST_EVENT_SQL = """
+SELECT user_id,
+       arg_max(event_id, printf('%020d%010d', epoch_us(ts), event_id)) AS last_event_id,
+       MAX(ts) AS last_ts,
+       arg_max(event_type, printf('%020d%010d', epoch_us(ts), event_id)) AS last_type
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+def window_trailing_30d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame: per-customer trailing-30-day spend (value-based frame
+    over days-since-epoch — range frames complete the rows-frame surface)."""
+    o = t(spark, sf_dir, "orders").withColumn(
+        "day", F.datediff("o_orderdate", F.lit("1970-01-01").cast("timestamp")))
+    w = (Window.partitionBy("o_custkey").orderBy("day")
+         .rangeBetween(-30, 0))
+    return (
+        o.select(
+            "o_custkey", "o_orderkey", "day",
+            F.round(F.sum("o_totalprice").over(w), 2).alias("spend_30d"),
+        )
+        .orderBy("o_custkey", "day", "o_orderkey")
+    )
+
+
+WINDOW_RANGE_SQL = """
+WITH d AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         date_diff('day', TIMESTAMP '1970-01-01', o_orderdate)::INT AS day
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, day,
+       ROUND(SUM(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY day
+         RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2) AS spend_30d
+FROM d
+ORDER BY o_custkey, day, o_orderkey
+"""
+
+
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation) per group — Spark
+    `percentile` and DuckDB `quantile_cont` share the definition."""
+    l = t(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_linestatus")
+        .agg(
+            F.round(F.percentile("l_extendedprice", 0.25), 4).alias("p25"),
+            F.round(F.percentile("l_extendedprice", 0.5), 4).alias("p50"),
+            F.round(F.percentile("l_extendedprice", 0.75), 4).alias("p75"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+AGG_PERCENTILES_SQL = """
+SELECT l_linestatus,
+       ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+       ROUND(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+       ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+FROM lineitem
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("q1_pricing_summary", q1_pricing_summary, Q1_SQL,
               "TPC-H Q1: multi-measure hash agg (reference A1 generalized)"),
+    QuerySpec("join_right_order_customer", join_right_order_customer, JOIN_RIGHT_SQL,
+              "right outer join + agg"),
+    QuerySpec("latest_event_per_user", latest_event_per_user, LATEST_EVENT_SQL,
+              "keep-latest dedup via max_by argmax"),
+    QuerySpec("window_trailing_30d_spend", window_trailing_30d_spend, WINDOW_RANGE_SQL,
+              "RANGE-frame trailing 30-day window"),
+    QuerySpec("agg_percentiles", agg_percentiles, AGG_PERCENTILES_SQL,
+              "exact interpolated percentiles"),
     QuerySpec("q3_shipping_priority", q3_shipping_priority, Q3_SQL,
               "3-way join + agg + top-k"),
     QuerySpec("q5_local_supplier_volume", q5_local_supplier_volume, Q5_SQL,
