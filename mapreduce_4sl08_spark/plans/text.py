@@ -476,9 +476,87 @@ ORDER BY doc_id, chunk_idx
 """
 
 
+# ------------------------------------------------------------ connected-components dedup
+# The end-of-pipeline step every near-dup system needs: dup PAIRS →
+# dup CLUSTERS → one survivor per cluster. Iterative min-label
+# propagation (the Pregel/GraphX pattern as plain DataFrame joins);
+# the oracle is a recursive CTE computing min reachable label.
+
+
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster the Jaccard>=0.5 near-dup pairs into components; survivor
+    = min doc_id per component. Driver loop controls ITERATION only
+    (convergence flag = one int per round); all data flow is joins.
+    At scale: edges ≪ docs, each round is one shuffle join; rounds ≈
+    component diameter (near-dup clusters are tiny)."""
+    d = t(spark, sf_dir, "documents")
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .cache()
+    )
+    labels = d.select("doc_id", F.col("doc_id").alias("component")).cache()
+    for _ in range(20):  # diameter cap; converges in O(log n) for real clusters
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select("doc_id",
+                    F.least(F.col("component"),
+                            F.coalesce("nbr_component", F.col("component"))).alias("component"))
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n").join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component") != F.col("o.component")).count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return (
+        labels.withColumn("is_kept", (F.col("component") == F.col("doc_id")).cast("int"))
+        .orderBy("doc_id")
+    )
+
+
+def _components_sql() -> str:
+    # reuse the pair query verbatim so edges match the Spark side exactly
+    pair_sql = DEDUP_JACCARD_SQL.strip().rstrip(";")
+    return f"""
+WITH RECURSIVE
+pairs AS ({pair_sql}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+walk(doc_id, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, w.label
+  FROM walk w JOIN edges e ON w.doc_id = e.src
+)
+SELECT doc_id, MIN(label) AS component,
+       CAST(MIN(label) = doc_id AS INT) AS is_kept
+FROM walk
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+COMPONENTS_SQL = _components_sql()
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("wordcount_documents", wordcount_documents, WORDCOUNT_SQL,
               "FLAGSHIP: the full reference pipeline (S1..K1) on documents.text"),
+    QuerySpec("dedup_connected_components", dedup_connected_components, COMPONENTS_SQL,
+              "near-dup clusters via iterative label propagation (recursive-CTE oracle)"),
     QuerySpec("text_chunking_udtf", text_chunking_udtf, CHUNKING_SQL,
               "overlapping token-window chunking via Python UDTF"),
     QuerySpec("text_token_stats", text_token_stats, TOKEN_STATS_SQL,
