@@ -532,6 +532,51 @@ ORDER BY o_orderkey
 """
 
 
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: supplier-nation × customer-nation trade volume by
+    year for a nation pair, both directions. Dims broadcast; the fact
+    join carries the shuffle."""
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    n1 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation"))
+    n2 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation"))
+    pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2") | \
+           (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(broadcast(n1), s.s_nationkey == F.col("s_nkey"))
+        .join(broadcast(n2), c.c_nationkey == F.col("c_nkey"))
+        .filter(pair)
+        .withColumn("l_year", F.year("l_shipdate"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+Q7_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       EXTRACT(year FROM l_shipdate)::INT AS l_year,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
 def join_right_order_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Right outer join (orders ⟖ customer): every customer row kept."""
     o = t(spark, sf_dir, "orders")
@@ -645,6 +690,8 @@ ORDER BY l_linestatus
 SPECS: list[QuerySpec] = [
     QuerySpec("q1_pricing_summary", q1_pricing_summary, Q1_SQL,
               "TPC-H Q1: multi-measure hash agg (reference A1 generalized)"),
+    QuerySpec("q7_nation_volume", q7_nation_volume, Q7_SQL,
+              "TPC-H Q7: nation-pair trade volume, dual-dim join"),
     QuerySpec("join_right_order_customer", join_right_order_customer, JOIN_RIGHT_SQL,
               "right outer join + agg"),
     QuerySpec("latest_event_per_user", latest_event_per_user, LATEST_EVENT_SQL,

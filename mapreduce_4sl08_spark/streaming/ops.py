@@ -92,6 +92,39 @@ def stream_dedup_within_watermark(events: DataFrame,
     )
 
 
+def stream_stream_purchase_attribution(events: DataFrame,
+                                       horizon: str = "1 hour") -> DataFrame:
+    """Stream-stream inner join with event-time bounds: attribute each
+    purchase to same-user views within the preceding `horizon`. Both
+    sides carry watermarks so the join state is bounded (views older
+    than purchase_wm - horizon are evicted) — the only viable
+    stream-stream join shape at scale."""
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user_id"),
+                F.col("event_id").alias("view_id"),
+                F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", "2 hours")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user_id"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    return purchases.join(
+        views,
+        F.expr(f"""
+            p_user_id = v_user_id AND
+            view_ts <= purchase_ts AND
+            view_ts >= purchase_ts - INTERVAL {horizon}
+        """),
+        "inner",
+    ).select("purchase_id", "view_id",
+             F.col("p_user_id").alias("user_id"), "purchase_ts", "view_ts")
+
+
 RUNNING_STATS_SCHEMA = StructType([
     StructField("user_id", LongType()),
     StructField("n_events_total", LongType()),

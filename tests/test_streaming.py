@@ -146,3 +146,26 @@ def test_stateful_running_user_stats(spark, events_dir, sf_smoke_dir):
     # state carried across batches: some user must appear in >1 emission
     multi = (out.groupBy("user_id").count().filter("count > 1").count())
     assert multi > 0
+
+
+def test_stream_stream_join_matches_batch(spark, events_dir, sf_smoke_dir):
+    """Stream-stream purchase←view attribution join over fully-available
+    data must equal the equivalent batch join."""
+    from mapreduce_4sl08_spark.streaming.ops import stream_stream_purchase_attribution
+
+    stream = stream_stream_purchase_attribution(events_stream(spark, events_dir))
+    got = sorted((r.purchase_id, r.view_id)
+                 for r in run_to_memory(stream, "t_ssj").collect())
+
+    e = load_table(spark, sf_smoke_dir, "events")
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user_id"), F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"))
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"), F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"))
+    want = sorted((r.purchase_id, r.view_id) for r in p.join(
+        v, F.expr("p_user_id = v_user_id AND view_ts <= purchase_ts "
+                  "AND view_ts >= purchase_ts - INTERVAL 1 HOUR"), "inner").collect())
+    assert got == want
+    assert len(got) > 0
