@@ -577,6 +577,88 @@ ORDER BY supp_nation, cust_nation, l_year
 """
 
 
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit per supplier-nation per year for parts
+    matching a name pattern (LIKE pushdown on the part dim)."""
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%")) \
+        .select("p_partkey", "p_retailprice")
+    n = t(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(broadcast(p), l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(broadcast(n), s.s_nationkey == n.n_nationkey)
+        .withColumn("o_year", F.year("o_orderdate"))
+        # profit terms are 4-decimal multiples; double sums of mixed signs
+        # land on 2dp rounding ties where engines disagree — sum exact
+        # 1e-4-unit integers and floor to cents instead
+        .withColumn("profit_e4", F.round(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+             - F.col("p_retailprice") * F.col("l_quantity")) * 10000).cast("long"))
+        .groupBy("n_name", "o_year")
+        .agg(F.sum("profit_e4").alias("sum_e4"),
+             F.count(F.lit(1)).alias("n_items"))
+        .select("n_name", "o_year",
+                (F.floor(F.col("sum_e4") / 100.0) / 100.0).alias("profit"), "n_items")
+        .orderBy("n_name", "o_year")
+    )
+
+
+Q9_SQL = """
+SELECT n_name, o_year, FLOOR(sum_e4 / 100.0) / 100.0 AS profit, n_items
+FROM (
+  SELECT n_name, EXTRACT(year FROM o_orderdate)::INT AS o_year,
+         SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)
+                         - p_retailprice * l_quantity) * 10000) AS BIGINT)) AS sum_e4,
+         COUNT(*) AS n_items
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%widget%'
+  GROUP BY 1, 2
+)
+ORDER BY n_name, o_year
+"""
+
+
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregation ratio (promo revenue
+    share) over one month — case-when inside sum."""
+    l = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-06-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp")))
+    p = t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            F.round(F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)), 2).alias("promo_revenue"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+            F.round(F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)) * 100.0
+                    / F.sum(rev), 2).alias("promo_pct"),
+        )
+    )
+
+
+Q14_SQL = """
+SELECT ROUND(SUM(CASE WHEN p_type = 'PROMO'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END), 2) AS promo_revenue,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue,
+       ROUND(SUM(CASE WHEN p_type = 'PROMO'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) * 100.0
+             / SUM(l_extendedprice * (1 - l_discount)), 2) AS promo_pct
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-06-01'
+  AND l_shipdate < TIMESTAMP '1997-07-01'
+"""
+
+
 def join_right_order_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Right outer join (orders ⟖ customer): every customer row kept."""
     o = t(spark, sf_dir, "orders")
@@ -692,6 +774,10 @@ SPECS: list[QuerySpec] = [
               "TPC-H Q1: multi-measure hash agg (reference A1 generalized)"),
     QuerySpec("q7_nation_volume", q7_nation_volume, Q7_SQL,
               "TPC-H Q7: nation-pair trade volume, dual-dim join"),
+    QuerySpec("q9_product_profit", q9_product_profit, Q9_SQL,
+              "TPC-H Q9: profit per nation-year, LIKE-filtered part dim"),
+    QuerySpec("q14_promo_share", q14_promo_share, Q14_SQL,
+              "TPC-H Q14: conditional-agg ratio (promo share)"),
     QuerySpec("join_right_order_customer", join_right_order_customer, JOIN_RIGHT_SQL,
               "right outer join + agg"),
     QuerySpec("latest_event_per_user", latest_event_per_user, LATEST_EVENT_SQL,

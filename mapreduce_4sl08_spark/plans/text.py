@@ -39,6 +39,30 @@ GROUP BY word
 ORDER BY count ASC, word ASC
 """
 
+# ------------------------------------------------------------ positional tokens
+
+
+def text_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode: tokens with their ordinal positions (the positional
+    variant of the flagship's explode) — restricted to the first 5
+    positions of each doc to keep the check sharp."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower("text")), TOKEN_SPLIT_RE)
+    return (
+        d.select("doc_id", F.posexplode(toks).alias("pos", "token"))
+        .filter(F.col("pos") < 5)
+        .orderBy("doc_id", "pos")
+    )
+
+
+TOKEN_POSITIONS_SQL = r"""
+SELECT doc_id, CAST(i - 1 AS INT) AS pos, toks[i] AS token
+FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      FROM documents),
+     UNNEST(range(1, LEAST(len(toks), 5) + 1)) AS u(i)
+ORDER BY doc_id, pos
+"""
+
 # ------------------------------------------------------------ token stats
 
 
@@ -559,6 +583,8 @@ SPECS: list[QuerySpec] = [
               "near-dup clusters via iterative label propagation (recursive-CTE oracle)"),
     QuerySpec("text_chunking_udtf", text_chunking_udtf, CHUNKING_SQL,
               "overlapping token-window chunking via Python UDTF"),
+    QuerySpec("text_token_positions", text_token_positions, TOKEN_POSITIONS_SQL,
+              "posexplode positional tokenization"),
     QuerySpec("text_token_stats", text_token_stats, TOKEN_STATS_SQL,
               "token counting (whitespace + BPE-ish regex)"),
     QuerySpec("text_quality_score", text_quality_score, QUALITY_SQL,

@@ -60,3 +60,40 @@ def test_text_source(spark, tmp_path):
     p.write_text("alpha beta\ngamma\n", encoding="utf-8")
     df = read_any(spark, "text", str(p))
     assert [r.value for r in df.collect()] == ["alpha beta", "gamma"]
+
+
+def test_orc_roundtrip(spark, sf_smoke_dir, tmp_path):
+    df = _nation(spark, sf_smoke_dir)
+    write_any(df, "orc", str(tmp_path / "o"))
+    back = read_any(spark, "orc", str(tmp_path / "o"))
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_schema_evolution_mergeschema(spark, tmp_path):
+    """Schema evolution across parquet files: mergeSchema unions the
+    columns (new columns null for old files) — the long-lived-dataset
+    reality at 100 TB."""
+    from pyspark.sql import Row
+    spark.createDataFrame([Row(id=1, a="x")]).write.parquet(str(tmp_path / "ev"), mode="append")
+    spark.createDataFrame([Row(id=2, a="y", b=7)]).write.parquet(str(tmp_path / "ev"), mode="append")
+    merged = spark.read.option("mergeSchema", "true").parquet(str(tmp_path / "ev"))
+    assert set(merged.columns) == {"id", "a", "b"}
+    rows = {r.id: (r.a, r.b) for r in merged.collect()}
+    assert rows[1] == ("x", None) and rows[2] == ("y", 7)
+
+
+def test_corrupt_json_permissive(spark, tmp_path):
+    """PERMISSIVE JSON read: malformed rows land in _corrupt_record
+    instead of failing the job."""
+    p = tmp_path / "bad.json"
+    p.write_text('{"id": 1, "v": "ok"}\n{not json at all}\n{"id": 3, "v": "ok2"}\n')
+    from pyspark.sql.types import StructType, StructField, LongType, StringType
+    schema = StructType([
+        StructField("id", LongType()), StructField("v", StringType()),
+        StructField("_corrupt_record", StringType()),
+    ])
+    df = spark.read.schema(schema).option("mode", "PERMISSIVE") \
+        .option("columnNameOfCorruptRecord", "_corrupt_record").json(str(p))
+    rows = df.collect()
+    assert sum(1 for r in rows if r._corrupt_record is not None) == 1
+    assert sum(1 for r in rows if r.id is not None) == 2
