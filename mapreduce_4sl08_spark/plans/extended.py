@@ -149,8 +149,8 @@ WITH base AS (
   FROM documents
 )
 SELECT doc_id,
-       len(toks) AS n_tokens,
-       len(list_distinct(toks)) AS n_distinct,
+       len(toks)::INT AS n_tokens,
+       len(list_distinct(toks))::INT AS n_distinct,
        array_to_string(toks[1:3], ' ') AS first3,
        CAST(list_contains(toks, 'the') AS INT) AS has_the,
        list_sort(list_distinct(toks))[1] AS first_alpha
@@ -237,7 +237,7 @@ hashed AS (
   FROM sums
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       bit_count(xor(a.simhash, b.simhash)) AS hamming
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
 FROM hashed a JOIN hashed b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {_HAMMING_MAX}
 ORDER BY doc_a, doc_b
@@ -295,7 +295,7 @@ def docs_with_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DOCS_EMB_SQL = r"""
 SELECT doc_id, lang, label,
-       len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+       len(regexp_split_to_array(trim(text), '\s+'))::INT AS n_tokens,
        ROUND(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 4) AS emb_norm
 FROM documents
 JOIN embeddings ON doc_id = vec_id

@@ -431,7 +431,7 @@ def window_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 WINDOW_TOPK_SQL = """
-SELECT o_custkey, rk, o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice
+SELECT o_custkey, CAST(rk AS INT) AS rk, o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice
 FROM (
   SELECT o_custkey, o_orderkey, o_totalprice,
          ROW_NUMBER() OVER (PARTITION BY o_custkey
@@ -519,7 +519,7 @@ def functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
 FUNCTIONS_SQL = """
 SELECT o_orderkey,
        UPPER(SUBSTR(o_orderpriority, 1, 1)) || '/' || LOWER(o_orderstatus) AS pri_code,
-       LENGTH(o_orderpriority) AS pri_len,
+       LENGTH(o_orderpriority)::INT AS pri_len,
        EXTRACT(year FROM o_orderdate)::INT AS o_year,
        EXTRACT(month FROM o_orderdate)::INT AS o_month,
        ROUND(SQRT(ABS(o_totalprice)), 4) AS sqrt_price,

@@ -86,9 +86,9 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TOKEN_STATS_SQL = r"""
 SELECT doc_id,
-       len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
-       length(text) AS n_chars_measured,
-       len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS n_subtokens,
+       len(regexp_split_to_array(trim(text), '\s+'))::INT AS n_tokens,
+       length(text)::INT AS n_chars_measured,
+       len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))::INT AS n_subtokens,
        ROUND(length(text) / len(regexp_split_to_array(trim(text), '\s+')), 4) AS chars_per_token
 FROM documents
 ORDER BY doc_id
@@ -133,7 +133,7 @@ WITH base AS (
          length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars
   FROM documents
 )
-SELECT doc_id, n_tok AS n_tokens,
+SELECT doc_id, n_tok::INT AS n_tokens,
        ROUND(stop_hits / n_tok, 4) AS stopword_ratio,
        ROUND(alpha_chars / length(text), 4) AS alpha_ratio,
        ROUND( (CASE WHEN n_tok >= 20 THEN 0.4 ELSE 0.0 END)
@@ -296,7 +296,7 @@ def _verify_pairs(cand: DataFrame, sets: DataFrame, threshold: float) -> DataFra
                      F.col("sh_set").alias("set_b"), F.col("n_sh").alias("n_sh_b"))
     return (
         cand.join(sa, "doc_a").join(sb, "doc_b")
-        .withColumn("n_common", F.size(F.array_intersect("set_a", "set_b")))
+        .withColumn("n_common", F.size(F.array_intersect("set_a", "set_b")).cast("long"))
         .withColumn("jaccard", F.round(
             F.col("n_common") / (F.col("n_sh_a") + F.col("n_sh_b") - F.col("n_common")), 4))
         .filter(F.col("jaccard") >= threshold)

@@ -71,7 +71,7 @@ ranked AS (
                             ORDER BY sim_exact DESC, vec_id ASC) AS rk
   FROM scored
 )
-SELECT query_id, rk, vec_id, ROUND(sim_exact, 4) AS cos_sim
+SELECT query_id, CAST(rk AS INT) AS rk, vec_id, ROUND(sim_exact, 4) AS cos_sim
 FROM ranked
 WHERE rk <= {_TOP_K}
 ORDER BY query_id, rk
@@ -167,7 +167,7 @@ ranked AS (
                             ORDER BY sim_exact DESC, vec_id ASC) AS rk
   FROM scored
 )
-SELECT query_id, rk, vec_id, ROUND(sim_exact, 4) AS cos_sim
+SELECT query_id, CAST(rk AS INT) AS rk, vec_id, ROUND(sim_exact, 4) AS cos_sim
 FROM ranked
 WHERE rk <= {_TOP_K}
 ORDER BY query_id, rk

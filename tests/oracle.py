@@ -52,9 +52,28 @@ def canonicalize(df: pd.DataFrame) -> list[tuple]:
     return sorted(rows)
 
 
+def _dtype_key(dtype) -> str:
+    """Canonical dtype family+width: catches int32-vs-int64 drift between
+    the Spark plan and the oracle SQL (values alone wouldn't)."""
+    kind = dtype.kind if hasattr(dtype, "kind") else "O"
+    if kind in "iu":
+        return f"int{dtype.itemsize * 8}"
+    if kind == "f":
+        return "float"
+    if kind == "M":
+        return "timestamp"
+    if kind == "b":
+        return "bool"
+    return "object"
+
+
 def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str):
     assert sorted(spark_pdf.columns) == sorted(oracle_pdf.columns), (
         f"{name}: column mismatch {sorted(spark_pdf.columns)} vs {sorted(oracle_pdf.columns)}")
+    s_types = {c: _dtype_key(spark_pdf[c].dtype) for c in spark_pdf.columns}
+    o_types = {c: _dtype_key(oracle_pdf[c].dtype) for c in oracle_pdf.columns}
+    mismatched = {c: (s_types[c], o_types[c]) for c in s_types if s_types[c] != o_types[c]}
+    assert not mismatched, f"{name}: dtype mismatch {mismatched}"
     assert len(spark_pdf) == len(oracle_pdf), (
         f"{name}: row count {len(spark_pdf)} vs {len(oracle_pdf)}")
     s_rows, o_rows = canonicalize(spark_pdf), canonicalize(oracle_pdf)
