@@ -34,12 +34,15 @@ def main() -> None:
         "Beyond the registry (library surface, tested in tests/):",
         "",
         "- `streaming/`: watermarked tumbling/sliding/session windows,",
-        "  dropDuplicatesWithinWatermark, applyInPandasWithState running stats",
+        "  dropDuplicatesWithinWatermark, applyInPandasWithState running stats,",
+        "  stream-stream attribution join, foreachBatch idempotent sink",
         "- `operators/skew.py`: salted aggregate / salted join",
         "- `operators/grouped.py`: applyInPandas + partition-grouped mapInPandas",
         "- `operators/chunking.py`: Python UDTF text chunking",
         "- `operators/multimodal.py`: binary payload decode / frame sampling",
+        "- `operators/sampling.py`: stratified sampling, unique/consecutive row ids",
         "- `sources/bucketing.py`: bucketed writes + shuffle-free joins",
+        "- `sources/compaction.py`: small-file compaction to target file size",
         "- `sources/io.py`: parquet/csv/json/text/orc read-write, partitioned sinks",
     ]
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
