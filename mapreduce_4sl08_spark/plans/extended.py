@@ -371,6 +371,92 @@ ORDER BY label
 """
 
 
+# ---------------------------------------------------------------- map type surface
+
+
+def map_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: parse props JSON into map<string,int>, then
+    map_keys / element_at / map_concat with a literal map."""
+    from pyspark.sql.types import IntegerType, MapType, StringType
+    e = t(spark, sf_dir, "events")
+    m = F.from_json("props", MapType(StringType(), IntegerType()))
+    enriched = F.map_concat(m, F.create_map(F.lit("type_len"), F.length("event_type")))
+    return (
+        e.select(
+            "event_id",
+            F.array_join(F.map_keys(m), ",").alias("prop_keys"),
+            F.element_at(m, "k").alias("k_value"),
+            F.element_at(enriched, "type_len").alias("type_len"),
+        )
+        .orderBy("event_id")
+    )
+
+
+MAP_FUNCS_SQL = """
+SELECT event_id,
+       'k' AS prop_keys,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k_value,
+       LENGTH(event_type)::INT AS type_len
+FROM events
+ORDER BY event_id
+"""
+
+
+def regexp_extract_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract with capture groups: parse the numeric id out of
+    'Customer#000000123' and verify it round-trips to the key."""
+    c = t(spark, sf_dir, "customer")
+    extracted = F.regexp_extract("c_name", r"Customer#(\d+)", 1).cast("long")
+    return (
+        c.select(
+            "c_custkey",
+            extracted.alias("name_id"),
+            (extracted == F.col("c_custkey")).cast("int").alias("id_matches"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+REGEXP_EXTRACT_SQL = r"""
+SELECT c_custkey,
+       CAST(regexp_extract(c_name, 'Customer#(\d+)', 1) AS BIGINT) AS name_id,
+       CAST(CAST(regexp_extract(c_name, 'Customer#(\d+)', 1) AS BIGINT) = c_custkey AS INT) AS id_matches
+FROM customer
+ORDER BY c_custkey
+"""
+
+
+def date_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function surface: truncation, arithmetic, extraction,
+    end-of-month — all JVM-side."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.date_trunc("quarter", "o_orderdate").alias("order_quarter"),
+            F.add_months(F.col("o_orderdate"), 3).cast("timestamp").alias("plus3m"),
+            F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
+            F.dayofweek("o_orderdate").alias("dow"),
+            F.dayofyear("o_orderdate").alias("doy"),
+            F.quarter("o_orderdate").alias("qtr"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+DATE_FUNCS_SQL = """
+SELECT o_orderkey,
+       date_trunc('quarter', o_orderdate) AS order_quarter,
+       (o_orderdate + INTERVAL 3 MONTH) AS plus3m,
+       CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end,
+       (EXTRACT(dow FROM o_orderdate)::INT + 1) AS dow,
+       EXTRACT(doy FROM o_orderdate)::INT AS doy,
+       EXTRACT(quarter FROM o_orderdate)::INT AS qtr
+FROM orders
+ORDER BY o_orderkey
+"""
+
+
 # ---------------------------------------------------------------- approx aggregates
 
 
@@ -444,6 +530,12 @@ SPECS: list[QuerySpec] = [
               "EXISTS subquery → left-semi join"),
     QuerySpec("agg_approx_distinct", agg_approx_distinct, None,
               "HLL++ / quantile sketch aggregates (accuracy property-tested)"),
+    QuerySpec("map_functions_showcase", map_functions_showcase, MAP_FUNCS_SQL,
+              "MapType surface: from_json map, keys, element_at, map_concat"),
+    QuerySpec("regexp_extract_ids", regexp_extract_ids, REGEXP_EXTRACT_SQL,
+              "regexp capture groups round-trip to keys"),
+    QuerySpec("date_functions_showcase", date_functions_showcase, DATE_FUNCS_SQL,
+              "date truncation/arithmetic/extraction surface"),
     QuerySpec("text_char_trigram_profile", text_char_trigram_profile, CHAR_TRIGRAM_SQL,
               "per-lang top-5 char trigrams"),
     QuerySpec("q2_min_balance_supplier", q2_min_balance_supplier, Q2_SQL,
