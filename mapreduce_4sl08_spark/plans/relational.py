@@ -491,6 +491,141 @@ FROM orders
 ORDER BY o_custkey, o_orderkey
 """
 
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns per customer, top 20."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp")))
+    l = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = t(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1997-07-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING on an aggregate (orders whose total
+    quantity exceeds a threshold), joined back for customer context."""
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    big = (l.groupBy("l_orderkey")
+           .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+           .filter(F.col("total_qty") > 150))
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey",
+                F.round("o_totalprice", 2).alias("o_totalprice"), "total_qty")
+        .orderBy(F.col("o_orderkey").asc())
+    )
+
+
+Q18_SQL = """
+SELECT c_custkey, c_name, o_orderkey,
+       ROUND(o_totalprice, 2) AS o_totalprice, total_qty
+FROM (
+  SELECT l_orderkey, ROUND(SUM(l_quantity), 2) AS total_qty
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING ROUND(SUM(l_quantity), 2) > 150
+)
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_orderkey ASC
+"""
+
+
+def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete ranking family in one plan: rank, dense_rank,
+    percent_rank, cume_dist, ntile — per market segment over acctbal."""
+    c = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    return (
+        c.select(
+            "c_mktsegment", "c_custkey",
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
+            F.round(F.percent_rank().over(w), 6).alias("prnk"),
+            F.round(F.cume_dist().over(w), 6).alias("cdist"),
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+        )
+        .orderBy("c_mktsegment", "c_custkey")
+    )
+
+
+WINDOW_RANK_FAMILY_SQL = """
+SELECT c_mktsegment, c_custkey,
+       RANK() OVER w AS rnk,
+       DENSE_RANK() OVER w AS drnk,
+       ROUND(PERCENT_RANK() OVER w, 6) AS prnk,
+       ROUND(CUME_DIST() OVER w, 6) AS cdist,
+       NTILE(4) OVER w AS quartile
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
+ORDER BY c_mktsegment, c_custkey
+"""
+
+
+def string_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function surface: pad, translate, replace, position,
+    reverse, repeat, predicates."""
+    n = t(spark, sf_dir, "nation")
+    return (
+        n.select(
+            "n_nationkey",
+            F.lpad("n_name", 12, "*").alias("padded"),
+            F.translate("n_name", "_N", "-n").alias("translated"),
+            F.replace(F.col("n_name"), F.lit("NATION"), F.lit("COUNTRY")).alias("replaced"),
+            F.instr(F.col("n_name"), "_").cast("long").alias("underscore_at"),
+            F.reverse(F.col("n_name")).alias("reversed"),
+            F.repeat(F.substring("n_name", 1, 1), 3).alias("tripled"),
+            F.col("n_name").startswith("NATION").cast("int").alias("is_nation"),
+            F.col("n_name").endswith("_1").cast("int").alias("ends_1"),
+        )
+        .orderBy("n_nationkey")
+    )
+
+
+STRING_FUNCS_SQL = """
+SELECT n_nationkey,
+       lpad(n_name, 12, '*') AS padded,
+       translate(n_name, '_N', '-n') AS translated,
+       replace(n_name, 'NATION', 'COUNTRY') AS replaced,
+       strpos(n_name, '_')::BIGINT AS underscore_at,
+       reverse(n_name) AS reversed,
+       repeat(substr(n_name, 1, 1), 3) AS tripled,
+       CAST(starts_with(n_name, 'NATION') AS INT) AS is_nation,
+       CAST(n_name LIKE '%\\_1' ESCAPE '\\' AS INT) AS ends_1
+FROM nation
+ORDER BY n_nationkey
+"""
+
+
 # ---------------------------------------------------------------- scalar-function surface
 
 
@@ -822,4 +957,12 @@ SPECS: list[QuerySpec] = [
               "lag analytic"),
     QuerySpec("functions_showcase", functions_showcase, FUNCTIONS_SQL,
               "string/date/math/conditional scalar functions"),
+    QuerySpec("q10_returned_items", q10_returned_items, Q10_SQL,
+              "TPC-H Q10: returned-item revenue, 4-way join top-k"),
+    QuerySpec("q18_large_orders", q18_large_orders, Q18_SQL,
+              "TPC-H Q18: HAVING on aggregate + join back"),
+    QuerySpec("window_rank_family", window_rank_family, WINDOW_RANK_FAMILY_SQL,
+              "rank/dense_rank/percent_rank/cume_dist/ntile"),
+    QuerySpec("string_functions_showcase", string_functions_showcase, STRING_FUNCS_SQL,
+              "pad/translate/replace/position/reverse/repeat/predicates"),
 ]
