@@ -576,9 +576,71 @@ ORDER BY doc_id
 COMPONENTS_SQL = _components_sql()
 
 
+# ------------------------------------------------------------ corpus curation pipeline
+# The composition flagship: what a real pretraining-data pipeline runs —
+# language filter → quality filter → exact dedup → near-dup clustering,
+# producing a keep/drop decision with the FIRST failing reason per doc.
+
+_QUALITY_THRESHOLD = 0.70
+
+
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    lang = text_language_id(spark, sf_dir).select("doc_id", "pred_lang")
+    qual = text_quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    exact_kept = dedup_exact_documents(spark, sf_dir).select(
+        F.col("kept_doc_id").alias("doc_id"), F.lit(1).alias("ex_kept"))
+    comp = dedup_connected_components(spark, sf_dir).select(
+        "doc_id", F.col("is_kept").alias("nd_kept"))
+    reason = (
+        F.when(F.col("pred_lang") != "en", "lang")
+        .when(F.col("quality_score") < _QUALITY_THRESHOLD, "quality")
+        .when(F.col("ex_kept").isNull(), "exact_dup")
+        .when(F.col("nd_kept") == 0, "near_dup")
+    )
+    return (
+        d.join(lang, "doc_id").join(qual, "doc_id")
+        .join(exact_kept, "doc_id", "left").join(comp, "doc_id")
+        .select("doc_id", reason.alias("drop_reason"),
+                reason.isNull().cast("int").alias("is_kept"))
+        .orderBy("doc_id")
+    )
+
+
+def _curation_sql() -> str:
+    return f"""
+WITH lang AS ({LANGID_SQL.strip()}),
+qual AS ({QUALITY_SQL.strip()}),
+ex AS ({DEDUP_EXACT_SQL.strip()}),
+comp AS (SELECT * FROM ({COMPONENTS_SQL.strip()}))
+SELECT d.doc_id,
+       CASE WHEN lang.pred_lang <> 'en' THEN 'lang'
+            WHEN qual.quality_score < {_QUALITY_THRESHOLD} THEN 'quality'
+            WHEN ex.kept_doc_id IS NULL THEN 'exact_dup'
+            WHEN comp.is_kept = 0 THEN 'near_dup'
+       END AS drop_reason,
+       CAST(CASE WHEN lang.pred_lang <> 'en' THEN 'lang'
+            WHEN qual.quality_score < {_QUALITY_THRESHOLD} THEN 'quality'
+            WHEN ex.kept_doc_id IS NULL THEN 'exact_dup'
+            WHEN comp.is_kept = 0 THEN 'near_dup'
+       END IS NULL AS INT) AS is_kept
+FROM documents d
+JOIN lang ON d.doc_id = lang.doc_id
+JOIN qual ON d.doc_id = qual.doc_id
+LEFT JOIN ex ON d.doc_id = ex.kept_doc_id
+JOIN comp ON d.doc_id = comp.doc_id
+ORDER BY d.doc_id
+"""
+
+
+CURATION_SQL = _curation_sql()
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("wordcount_documents", wordcount_documents, WORDCOUNT_SQL,
               "FLAGSHIP: the full reference pipeline (S1..K1) on documents.text"),
+    QuerySpec("corpus_curation_pipeline", corpus_curation_pipeline, CURATION_SQL,
+              "lang → quality → exact-dup → near-dup keep/drop pipeline"),
     QuerySpec("dedup_connected_components", dedup_connected_components, COMPONENTS_SQL,
               "near-dup clusters via iterative label propagation (recursive-CTE oracle)"),
     QuerySpec("text_chunking_udtf", text_chunking_udtf, CHUNKING_SQL,
