@@ -626,6 +626,43 @@ ORDER BY n_nationkey
 """
 
 
+def lineitem_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unpivot (melt): wide measure columns to (measure, value) long form
+    — the inverse of events_pivot_types. Restricted to one order's items
+    to keep the golden sharp."""
+    l = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 100)
+    return (
+        l.unpivot(
+            ids=["l_orderkey", "l_linenumber"],
+            values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+            variableColumnName="measure",
+            valueColumnName="value",
+        )
+        .select("l_orderkey", "l_linenumber", "measure",
+                F.round("value", 4).alias("value"))
+        .orderBy("l_orderkey", "l_linenumber", "measure")
+    )
+
+
+UNPIVOT_SQL = """
+SELECT l_orderkey, l_linenumber, measure, ROUND(value, 4) AS value
+FROM (
+  SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value
+  FROM lineitem WHERE l_orderkey <= 100
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+  FROM lineitem WHERE l_orderkey <= 100
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+  FROM lineitem WHERE l_orderkey <= 100
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+  FROM lineitem WHERE l_orderkey <= 100
+)
+ORDER BY l_orderkey, l_linenumber, measure
+"""
+
+
 # ---------------------------------------------------------------- scalar-function surface
 
 
@@ -965,4 +1002,6 @@ SPECS: list[QuerySpec] = [
               "rank/dense_rank/percent_rank/cume_dist/ntile"),
     QuerySpec("string_functions_showcase", string_functions_showcase, STRING_FUNCS_SQL,
               "pad/translate/replace/position/reverse/repeat/predicates"),
+    QuerySpec("lineitem_unpivot_measures", lineitem_unpivot_measures, UNPIVOT_SQL,
+              "unpivot/melt wide measures to long form"),
 ]

@@ -64,3 +64,25 @@ def test_foreach_batch_sink(spark, sf_smoke_dir, tmp_path):
     assert back.select("event_id").distinct().count() == 1000
     # one directory per micro-batch
     assert len(glob.glob(f"{out}/batch_id=*")) >= 3
+
+
+def test_merge_upsert(spark):
+    """CDC apply: updates replace, inserts add, deletes remove, stale
+    changes (older version) lose to base."""
+    from pyspark.sql import Row
+    from mapreduce_4sl08_spark.operators.merge import merge_upsert
+
+    base = spark.createDataFrame([
+        Row(id=1, v=1, payload="a"),
+        Row(id=2, v=5, payload="b"),
+        Row(id=3, v=1, payload="c"),
+    ])
+    changes = spark.createDataFrame([
+        Row(id=2, v=6, payload="b2", op="U"),   # newer update wins
+        Row(id=3, v=2, payload="tomb", op="D"), # delete
+        Row(id=4, v=1, payload="d", op="U"),    # insert
+        Row(id=1, v=0, payload="stale", op="U"),  # older than base -> loses
+    ])
+    out = {r.id: (r.v, r.payload)
+           for r in merge_upsert(base, changes, "id", "v").collect()}
+    assert out == {1: (1, "a"), 2: (6, "b2"), 4: (1, "d")}
