@@ -179,7 +179,12 @@ def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     contributions, deterministic in both engines); banded into 4×8-bit
     keys — any pair within hamming distance 3 must share a band
     (pigeonhole), so candidate generation is an equi-join, never O(n²);
-    verified by exact popcount(xor) <= 3."""
+    verified by exact popcount(xor) <= 3.
+
+    SimHash per Charikar, "Similarity estimation techniques from
+    rounding algorithms" (STOC 2002); the banded hamming search follows
+    Manku/Jain/Das Sarma, "Detecting near-duplicates for web crawling"
+    (WWW 2007)."""
     d = t(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",

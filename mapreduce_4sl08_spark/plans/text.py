@@ -315,6 +315,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
        Zipfian shingle skew at 100 TB (a naive shingle self-join explodes
        quadratically on hot shingles);
     4. exact verification of the candidate pairs via array_intersect.
+
+    Prefix filtering per Bayardo, Ma & Srikant, "Scaling Up All Pairs
+    Similarity Search" (WWW 2007); positional/suffix refinements
+    (PPJoin, Xiao et al., WWW 2008) are a further-pruning option if the
+    candidate set ever dominates.
     """
     threshold = 0.5
     d = t(spark, sf_dir, "documents")
@@ -371,10 +376,12 @@ ORDER BY doc_a, doc_b
 """
 
 # ------------------------------------------------------------ MinHash-LSH near-dup
-# Deterministic md5-based MinHash (seeded by salt prefix) so both engines
-# compute identical signatures; banding pairs up candidates, exact Jaccard
-# verifies. This IS the scale path: candidate generation is
-# O(docs × bands), never O(n²).
+# Deterministic md5-based MinHash so both engines compute identical
+# signatures (Broder, "On the resemblance and containment of documents",
+# 1997; banding analysis per Leskovec/Rajaraman/Ullman, Mining of Massive
+# Datasets ch.3). Banding pairs up candidates, exact Jaccard verifies.
+# This IS the scale path: candidate generation is O(docs × bands), never
+# O(n²).
 
 _MINHASH_PERMS = 8   # 4 bands × 2 rows
 _MINHASH_BANDS = 4

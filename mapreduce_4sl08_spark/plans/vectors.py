@@ -78,10 +78,10 @@ ORDER BY query_id, rk
 """
 
 # ------------------------------------------------------------ LSH-bucketed ANN
-# Random-hyperplane signs without any random state: hyperplane b's weight
-# for dimension d is +1/-1 from a bit of md5(b:d). Deterministic in both
-# engines → oracle-checkable, and at scale the bucket key prunes the
-# candidate set before any pairwise work.
+# Random-hyperplane LSH (Charikar, STOC 2002) without any random state:
+# hyperplane b's weight for dimension d is +1/-1 from a bit of md5(b:d).
+# Deterministic in both engines → oracle-checkable, and at scale the
+# bucket key prunes the candidate set before any pairwise work.
 
 _N_PLANES = 6
 _EMB_DIM = 64
