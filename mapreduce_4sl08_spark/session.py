@@ -64,6 +64,35 @@ def get_session(app_name: str = "mapreduce_4sl08_spark",
     return spark
 
 
+def cluster_conf(total_cores: int, input_bytes: int,
+                 executor_mem_bytes: int = 16 * 1024**3) -> dict[str, str]:
+    """Scale-out configuration for a real cluster run (the 100 TB path;
+    local[32] tests never need this). The sizing rules:
+
+    - shuffle partitions: one per ~TARGET_SHUFFLE_PARTITION_BYTES of
+      input (shuffled data is usually ≤ input after projection), floored
+      at 2× total cores so every core gets work even post-AQE-coalesce.
+      100 TB / 256 MB ≈ 400k partitions — large, but AQE coalesces the
+      small ones and each task stays memory-safe, which is the constraint
+      that matters (a too-small partition count OOMs, a too-large one
+      just schedules more tasks).
+    - maxPartitionBytes: scan-side split size; 256 MB keeps the task
+      count ≈ file-block count without tiny-task overhead.
+    - advisoryPartitionSize: what AQE coalesces toward.
+    """
+    target_shuffle_bytes = 256 * 1024 * 1024
+    n_shuffle = max(2 * total_cores,
+                    min(input_bytes // target_shuffle_bytes + 1, 500_000))
+    return {
+        **ENGINE_CONF,
+        "spark.sql.shuffle.partitions": str(n_shuffle),
+        "spark.sql.files.maxPartitionBytes": str(256 * 1024 * 1024),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(128 * 1024 * 1024),
+        # keep per-task state well under executor memory
+        "spark.memory.fraction": "0.6",
+    }
+
+
 def apply_engine_conf(spark: SparkSession) -> SparkSession:
     """Best-effort apply of *dynamic* engine confs to an externally-built
     session (the driver hands us one in ``__spark_entry__.entry``).

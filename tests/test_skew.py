@@ -42,3 +42,38 @@ def test_salted_join_matches_plain(spark, sf_smoke_dir):
     salted = sorted((r.l_orderkey, r.s_suppkey, r.s_name)
                     for r in salted_join(l, s, "s_suppkey").collect())
     assert plain == salted
+
+
+def test_salting_actually_spreads_hot_key(spark):
+    """Effectiveness, not just equivalence: a 90%-hot key must spread
+    across many shuffle partitions after salting (it lands in ONE
+    without)."""
+    from pyspark.sql import functions as F
+    hot = spark.range(0, 9000).select(F.lit(7).alias("k"), F.col("id").alias("v"))
+    cold = spark.range(0, 1000).select((F.col("id") % 100).alias("k"), F.col("id").alias("v"))
+    df = hot.unionByName(cold)
+
+    from mapreduce_4sl08_spark.operators.skew import with_salt
+    salted = with_salt(df, 16)
+    spread = (salted.filter(F.col("k") == 7)
+              .repartition(32, "k", "_salt")
+              .select(F.spark_partition_id().alias("pid"))
+              .distinct().count())
+    unsalted_spread = (df.filter(F.col("k") == 7)
+                       .repartition(32, "k")
+                       .select(F.spark_partition_id().alias("pid"))
+                       .distinct().count())
+    assert unsalted_spread == 1
+    assert spread >= 8  # hot key now occupies many partitions
+
+
+def test_cluster_conf_sizing(spark):
+    """The 100 TB sizing math: partition counts scale with input bytes
+    and floor at 2x cores."""
+    from mapreduce_4sl08_spark.session import cluster_conf
+    small = cluster_conf(total_cores=32, input_bytes=10 * 1024**3)
+    assert int(small["spark.sql.shuffle.partitions"]) == 64  # floor: 2x cores
+    big = cluster_conf(total_cores=4000, input_bytes=100 * 1024**4)
+    n = int(big["spark.sql.shuffle.partitions"])
+    assert 400_000 <= n <= 500_000  # ~1 per 256MB of 100TB
+    assert big["spark.sql.adaptive.enabled"] == "true"
