@@ -62,3 +62,34 @@ def test_semi_join_stays_semi(spark, sf_dir):
 def test_knn_broadcasts_probes(spark, sf_dir):
     plan = plan_of(spark, "knn_bruteforce_cosine", sf_dir)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_dynamic_partition_pruning(spark, sf_smoke_dir, tmp_path):
+    """DPP: joining a year-partitioned fact to a filtered dim prunes fact
+    partitions at runtime — the scan must carry a dynamicpruning
+    subquery filter. At 100 TB this is the difference between scanning
+    one partition and scanning the lake."""
+    from pyspark.sql import functions as F
+    from mapreduce_4sl08_spark.sources import load_table
+
+    fact_dir = str(tmp_path / "orders_by_year")
+    (load_table(spark, sf_smoke_dir, "orders")
+     .withColumn("o_year", F.year("o_orderdate"))
+     .write.partitionBy("o_year").parquet(fact_dir))
+    fact = spark.read.parquet(fact_dir)
+    # dim must be filtered on a column Catalyst can't constant-fold onto
+    # the join key (a literal o_year filter becomes a STATIC partition
+    # filter — good, but not DPP); a parquet-backed flag column forces
+    # the pruning values to be discovered at runtime
+    dim_dir = str(tmp_path / "year_dim")
+    years = (load_table(spark, sf_smoke_dir, "orders")
+             .select(F.year("o_orderdate").alias("o_year")).distinct()
+             .withColumn("flag", F.when(F.col("o_year") == 1997, "keep").otherwise("skip")))
+    years.write.parquet(dim_dir)
+    dim = spark.read.parquet(dim_dir).filter(F.col("flag") == "keep")
+    joined = fact.join(dim, "o_year")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:1000]
+    want = (load_table(spark, sf_smoke_dir, "orders")
+            .filter(F.year("o_orderdate") == 1997).count())
+    assert joined.count() == want

@@ -169,3 +169,37 @@ def test_stream_stream_join_matches_batch(spark, events_dir, sf_smoke_dir):
                   "AND view_ts >= purchase_ts - INTERVAL 1 HOUR"), "inner").collect())
     assert got == want
     assert len(got) > 0
+
+
+def test_checkpoint_restart_exactly_once(spark, sf_smoke_dir, tmp_path):
+    """Restarting a checkpointed stream processes ONLY new files — the
+    exactly-once guarantee across restarts that makes streaming
+    ingestion safe to re-run."""
+    import time
+    from mapreduce_4sl08_spark.streaming.ops import EVENTS_SCHEMA
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    events = load_table(spark, sf_smoke_dir, "events")
+    first_half = events.filter(F.col("event_id") < 500)
+    second_half = events.filter(F.col("event_id") >= 500)
+    first_half.coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        q = (spark.readStream.schema(EVENTS_SCHEMA).parquet(src)
+             .writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    run_once()
+    n1 = spark.read.parquet(out).count()
+    assert n1 == first_half.count()
+
+    time.sleep(1.1)
+    second_half.coalesce(1).write.mode("append").parquet(src)
+    run_once()  # restart from the same checkpoint
+    final = spark.read.parquet(out)
+    assert final.count() == events.count()  # no reprocessing, no loss
+    assert final.select("event_id").distinct().count() == events.count()
