@@ -1,0 +1,58 @@
+"""Iterative graph operators as DataFrame joins (the Pregel pattern, same
+driver-loop shape as dedup_connected_components).
+
+PageRank: rank_i+1 = (1-d)/N + d * Σ rank_j/outdeg_j over in-neighbors.
+Each iteration is one join + one aggregation — at scale, co-partitioning
+edges and ranks on src (bucketing) removes the per-iteration shuffle of
+the edge table; only the small rank vector moves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(edges: DataFrame, iterations: int = 10,
+             damping: float = 0.85) -> DataFrame:
+    """edges(src, dst) directed → (node, rank). Dangling nodes keep the
+    teleport mass (standard simplified treatment). Deterministic up to
+    float summation order."""
+    nodes = (edges.select(F.col("src").alias("node"))
+             .unionByName(edges.select(F.col("dst").alias("node")))
+             .distinct().cache())
+    n_nodes = nodes.count()
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    links = edges.join(outdeg, "src").cache()
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    for _ in range(iterations):
+        contribs = (
+            links.join(ranks, links.src == ranks.node)
+            .select("dst", (F.col("rank") / F.col("outdeg")).alias("contrib"))
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("in_mass"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes.node == contribs.dst, "left")
+            .select(
+                "node",
+                (F.lit((1.0 - damping) / n_nodes)
+                 + F.lit(damping) * F.coalesce("in_mass", F.lit(0.0))).alias("rank"),
+            )
+        )
+    return ranks
+
+
+def purchase_graph(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """Directed customer→supplier edges: customer bought from supplier."""
+    return (
+        lineitem.select("l_orderkey", "l_suppkey")
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )

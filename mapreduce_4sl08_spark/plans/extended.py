@@ -376,6 +376,24 @@ ORDER BY label
 """
 
 
+# ---------------------------------------------------------------- pagerank
+
+
+def graph_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer→supplier purchase graph — iterative
+    numeric algorithm, rows-only check (float iteration isn't
+    hash-portable); invariants (mass conservation, positivity,
+    convergence) are property-tested in tests/test_properties.py."""
+    from ..operators.graph import pagerank, purchase_graph
+    edges = purchase_graph(t(spark, sf_dir, "lineitem"), t(spark, sf_dir, "orders"))
+    return (
+        pagerank(edges, iterations=10)
+        .select("node", F.round("rank", 8).alias("rank"))
+        .orderBy(F.col("rank").desc(), F.col("node").asc())
+        .limit(50)
+    )
+
+
 # ---------------------------------------------------------------- map type surface
 
 
@@ -535,6 +553,8 @@ SPECS: list[QuerySpec] = [
               "EXISTS subquery → left-semi join"),
     QuerySpec("agg_approx_distinct", agg_approx_distinct, None,
               "HLL++ / quantile sketch aggregates (accuracy property-tested)"),
+    QuerySpec("graph_pagerank_purchases", graph_pagerank_purchases, None,
+              "PageRank over customer→supplier graph (iterative; property-tested)"),
     QuerySpec("map_functions_showcase", map_functions_showcase, MAP_FUNCS_SQL,
               "MapType surface: from_json map, keys, element_at, map_concat"),
     QuerySpec("regexp_extract_ids", regexp_extract_ids, REGEXP_EXTRACT_SQL,

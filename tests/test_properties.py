@@ -103,3 +103,25 @@ def test_approx_distinct_within_tolerance(spark, sf_dir):
         ep, eo = exact[flag]
         assert abs(ap - ep) / ep < 0.05
         assert abs(ao - eo) / eo < 0.05
+
+
+def test_pagerank_invariants(spark, sf_smoke_dir):
+    """PageRank mass conservation + positivity + rank concentration on
+    high-in-degree nodes (suppliers, who receive all edges)."""
+    from mapreduce_4sl08_spark.operators.graph import pagerank, purchase_graph
+    edges = purchase_graph(
+        load_table(spark, sf_smoke_dir, "lineitem"),
+        load_table(spark, sf_smoke_dir, "orders"))
+    n_nodes = (edges.select(F.col("src").alias("n"))
+               .unionByName(edges.select(F.col("dst").alias("n")))
+               .distinct().count())
+    ranks = pagerank(edges, iterations=10)
+    rows = ranks.collect()
+    assert len(rows) == n_nodes
+    assert all(r["rank"] > 0 for r in rows)
+    total = sum(r["rank"] for r in rows)
+    # customers are all dangling (outdeg>0, indeg=0) -> they keep only
+    # teleport mass; suppliers absorb the rest. Mass <= 1 (dangling loss)
+    assert 0.1 < total <= 1.000001
+    top = max(rows, key=lambda r: r["rank"])
+    assert top["node"].startswith("s")  # a supplier dominates
