@@ -155,6 +155,34 @@ GROUP BY event_type
 ORDER BY event_type
 """
 
+# ------------------------------------------------------------ variant (semi-structured)
+
+
+def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VariantType path: parse props into a variant once, extract with
+    variant_get — the open-schema way to handle semi-structured columns
+    (vs. the fixed-schema from_json in events_json_extract)."""
+    e = t(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return (
+        e.select("event_id",
+                 F.expr("variant_get(parse_json(props), '$.k', 'int')").alias("k"),
+                 F.expr("schema_of_variant(parse_json(props))").alias("props_schema"))
+        .filter(F.col("k") % 10 == 0)
+        .orderBy("event_id")
+    )
+
+
+EVENTS_VARIANT_SQL = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k,
+       'OBJECT<k: BIGINT>' AS props_schema
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS INT) % 10 = 0
+ORDER BY event_id
+"""
+
+
 # ------------------------------------------------------------ stream dedup (batch twin)
 
 
@@ -300,6 +328,8 @@ SPECS: list[QuerySpec] = [
               "30-min-gap sessionization (batch twin of session_window)"),
     QuerySpec("events_json_extract", events_json_extract, EVENTS_JSON_SQL,
               "JSON prop extraction + agg"),
+    QuerySpec("events_variant_extract", events_variant_extract, EVENTS_VARIANT_SQL,
+              "VariantType semi-structured extraction (parse_json/variant_get)"),
     QuerySpec("events_dedup_exact", events_dedup_exact, EVENTS_DEDUP_SQL,
               "keyed dedup keeping earliest (watermark-dedup twin)"),
     QuerySpec("events_asof_last_view", events_asof_last_view, EVENTS_ASOF_SQL,

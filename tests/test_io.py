@@ -97,3 +97,33 @@ def test_corrupt_json_permissive(spark, tmp_path):
     rows = df.collect()
     assert sum(1 for r in rows if r._corrupt_record is not None) == 1
     assert sum(1 for r in rows if r.id is not None) == 2
+
+
+def test_python_datasource_synthetic_corpus(spark):
+    """Spark 4 Python DataSource API: the custom partitioned connector
+    generates deterministic docs executor-side (nothing on the driver)."""
+    from mapreduce_4sl08_spark.sources.synthetic import SyntheticCorpusDataSource
+    spark.dataSource.register(SyntheticCorpusDataSource)
+    df = (spark.read.format("synthetic_corpus")
+          .option("n_docs", 500).option("n_partitions", 8)
+          .option("seed", 7).load())
+    assert df.count() == 500
+    assert df.rdd.getNumPartitions() == 8
+    rows = {r.doc_id: (r.text, r.n_tokens) for r in df.collect()}
+    assert len(rows) == 500
+    # deterministic: same seed → same docs; different seed → different
+    df2 = (spark.read.format("synthetic_corpus")
+           .option("n_docs", 500).option("n_partitions", 4)  # partitioning-invariant
+           .option("seed", 7).load())
+    rows2 = {r.doc_id: (r.text, r.n_tokens) for r in df2.collect()}
+    assert rows == rows2
+    df3 = (spark.read.format("synthetic_corpus")
+           .option("n_docs", 500).option("n_partitions", 8)
+           .option("seed", 8).load())
+    rows3 = {r.doc_id: (r.text, r.n_tokens) for r in df3.collect()}
+    assert rows != rows3
+    # composes with the engine: word count over the custom source
+    from mapreduce_4sl08_spark.operators.wordcount import word_count
+    from pyspark.sql import functions as F
+    wc = word_count(df.select(F.col("text").alias("value")))
+    assert wc.count() == 25  # full vocab appears
