@@ -94,6 +94,50 @@ FROM documents
 ORDER BY doc_id
 """
 
+# ------------------------------------------------------------ repetition stats
+
+
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition: fraction of duplicated 3-gram
+    occurrences (Gopher-style repetition filter signal) — 1 means the doc
+    is pure repeats; pure built-ins, no UDF."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim("text")), TOKEN_SPLIT_RE)
+    sh = word_shingles(toks, 3)
+    return (
+        d.select(
+            "doc_id",
+            F.size(sh).cast("long").alias("n_ngrams"),
+            F.size(F.array_distinct(sh)).cast("long").alias("n_distinct_ngrams"),
+        )
+        .withColumn("dup_ratio", F.round(
+            F.when(F.col("n_ngrams") > 0,
+                   1 - F.col("n_distinct_ngrams") / F.col("n_ngrams"))
+            .otherwise(0.0), 4))
+        .orderBy("doc_id")
+    )
+
+
+REPETITION_SQL = r"""
+WITH sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3 THEN
+           [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]
+         ELSE [] END AS grams
+  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        FROM documents)
+)
+SELECT doc_id,
+       len(grams)::BIGINT AS n_ngrams,
+       len(list_distinct(grams))::BIGINT AS n_distinct_ngrams,
+       ROUND(CASE WHEN len(grams) > 0
+                  THEN 1 - len(list_distinct(grams)) / len(grams)
+                  ELSE 0.0 END, 4) AS dup_ratio
+FROM sh
+ORDER BY doc_id
+"""
+
+
 # ------------------------------------------------------------ quality score
 
 
@@ -656,6 +700,8 @@ SPECS: list[QuerySpec] = [
               "posexplode positional tokenization"),
     QuerySpec("text_token_stats", text_token_stats, TOKEN_STATS_SQL,
               "token counting (whitespace + BPE-ish regex)"),
+    QuerySpec("text_repetition_stats", text_repetition_stats, REPETITION_SQL,
+              "within-doc duplicate-ngram ratio (Gopher repetition rule)"),
     QuerySpec("text_quality_score", text_quality_score, QUALITY_SQL,
               "heuristic quality scoring (C4/Gopher-style)"),
     QuerySpec("text_language_id", text_language_id, LANGID_SQL,

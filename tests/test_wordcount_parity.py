@@ -80,3 +80,22 @@ def test_parity_zipfian_corpus(spark, tmp_path):
     assert got == want
     # property: total counts == total tokens
     assert sum(c for _, c in got) == 2000 * 12
+
+
+def test_cli_end_to_end(spark, tmp_path):
+    """The reference's user interface: text files in, sorted word counts
+    out (K2 single-file mode)."""
+    import glob
+    from mapreduce_4sl08_spark.cli import main
+
+    (tmp_path / "a.txt").write_text("the quick fox\nthe lazy dog the end.\n")
+    (tmp_path / "b.txt").write_text("fox and dog and fox\n")
+    out = str(tmp_path / "out")
+    rc = main([str(tmp_path / "a.txt"), str(tmp_path / "b.txt"),
+               "-o", out, "--format", "csv", "--single-file"])
+    assert rc == 0
+    [csv_file] = glob.glob(f"{out}/part-*.csv")
+    lines = open(csv_file).read().strip().splitlines()
+    assert lines[0] == "word,count"
+    assert lines[1:] == ["end,1", "lazy,1", "quick,1", "and,2",
+                         "dog,2", "fox,3", "the,3"]
