@@ -178,6 +178,65 @@ def stream_running_user_stats(events: DataFrame,
     )
 
 
+EMA_OUTPUT_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("ema", DoubleType()),
+    StructField("n_seen", LongType()),
+])
+
+
+def stream_user_value_ema(events: DataFrame, alpha: float = 0.3) -> DataFrame:
+    """Custom stateful operator on the transformWithStateInPandas API
+    (the arbitrary-state v2 successor to applyInPandasWithState):
+    per-user exponential moving average of `value`, state carried across
+    micro-batches in a typed ValueState. Rows within a batch are applied
+    in (ts, event_id) order so the fold is deterministic.
+
+    NOTE: this API needs `protobuf` at runtime (Spark's state-server
+    protocol), which this container does not ship — the test skips when
+    protobuf is absent. ``stream_running_user_stats``
+    (applyInPandasWithState) is the dependency-free arbitrary-state path.
+    """
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "transformWithStateInPandas requires the protobuf package") from e
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+    import pandas as pd
+
+    class EmaProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "ema_state",
+                StructType([StructField("ema", DoubleType()),
+                            StructField("n", LongType())]))
+
+        def handleInputRows(self, key, rows, timerValues):
+            ema, n = (self._state.get() if self._state.exists() else (None, 0))
+            for pdf in rows:
+                pdf = pdf.sort_values(["ts", "event_id"])
+                for v in pdf["value"]:
+                    v = float(v)
+                    ema = v if ema is None else alpha * v + (1 - alpha) * ema
+                    n += 1
+            self._state.update((ema, n))
+            yield pd.DataFrame({"user_id": [key[0]], "ema": [ema], "n_seen": [n]})
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=EmaProcessor(),
+            outputStructType=EMA_OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str,
                   output_mode: str = "append") -> DataFrame:
     """Execute a streaming query to completion over currently-available

@@ -127,3 +127,28 @@ def test_python_datasource_synthetic_corpus(spark):
     from pyspark.sql import functions as F
     wc = word_count(df.select(F.col("text").alias("value")))
     assert wc.count() == 25  # full vocab appears
+
+
+def test_python_datasource_jsonl_sink(spark, sf_smoke_dir, tmp_path):
+    """Custom writer: sharded JSONL + manifest via two-phase commit."""
+    import json, glob
+    from mapreduce_4sl08_spark.sources.jsonl_sink import JsonlManifestDataSource
+    spark.dataSource.register(JsonlManifestDataSource)
+    out = str(tmp_path / "jsonl_out")
+    nation = _nation(spark, sf_smoke_dir).repartition(3)
+    nation.write.format("jsonl_manifest").option("path", out).mode("append").save()
+
+    manifest = json.load(open(f"{out}/_MANIFEST.json"))
+    assert manifest["total_rows"] == 25
+    shard_files = glob.glob(f"{out}/shard-*.jsonl")
+    assert {s["file"] for s in manifest["shards"]} == \
+        {f.split("/")[-1] for f in shard_files}
+    rows = []
+    for f in shard_files:
+        rows += [json.loads(line) for line in open(f)]
+    assert len(rows) == 25
+    assert {r["n_name"] for r in rows} == \
+        {r.n_name for r in nation.collect()}
+    # round-trip through a normal spark json read
+    back = spark.read.json(f"{out}/shard-*.jsonl")
+    assert back.count() == 25

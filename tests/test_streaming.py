@@ -203,3 +203,45 @@ def test_checkpoint_restart_exactly_once(spark, sf_smoke_dir, tmp_path):
     final = spark.read.parquet(out)
     assert final.count() == events.count()  # no reprocessing, no loss
     assert final.select("event_id").distinct().count() == events.count()
+
+
+def test_transform_with_state_ema(spark, sf_smoke_dir, tmp_path):
+    """transformWithStateInPandas: per-user EMA with typed ValueState
+    carried across two time-ordered micro-batches must equal a single
+    sequential fold over the full ordered stream. Requires protobuf
+    (Spark's state-server protocol) — skipped where absent."""
+    pytest.importorskip("google.protobuf")
+    import time
+    from mapreduce_4sl08_spark.streaming.ops import (
+        EVENTS_SCHEMA, stream_user_value_ema)
+
+    events = load_table(spark, sf_smoke_dir, "events")
+    median_us = events.agg(F.expr("percentile(unix_micros(ts), 0.5)")).collect()[0][0]
+    early = events.filter(F.unix_micros("ts") <= median_us)
+    late = events.filter(F.unix_micros("ts") > median_us)
+    src = str(tmp_path / "ema_src")
+    early.coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    late.coalesce(1).write.mode("append").parquet(src)
+
+    stream = stream_user_value_ema(
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1).parquet(src))
+    out = run_to_memory(stream, "t_ema", output_mode="update")
+    # last emission per user (the one with max n_seen) = final state
+    final = {r.user_id: (r.n_seen, r.ema)
+             for r in out.orderBy("n_seen").collect()}  # later overwrite earlier
+
+    # python oracle: sequential EMA over the fully ordered stream
+    alpha = 0.3
+    want = {}
+    for r in events.orderBy("ts", "event_id").collect():
+        ema, n = want.get(r.user_id, (None, 0))
+        v = float(r.value)
+        ema = v if ema is None else alpha * v + (1 - alpha) * ema
+        want[r.user_id] = (ema, n + 1)
+    assert set(final) == set(want)
+    for uid, (n_seen, ema) in final.items():
+        w_ema, w_n = want[uid]
+        assert n_seen == w_n, uid
+        assert abs(ema - w_ema) < 1e-9, uid
