@@ -17,7 +17,8 @@ CHUNK_SIZE = 50
 CHUNK_STRIDE = 40  # 10-token overlap
 
 
-@udtf(returnType="chunk_idx: int, chunk: string, n_chunk_tokens: int")
+@udtf(returnType="chunk_idx: int, chunk: string, n_chunk_tokens: int",
+      useArrow=True)
 class ChunkText:
     """split(text) → overlapping token windows."""
 

@@ -94,6 +94,54 @@ FROM documents
 ORDER BY doc_id
 """
 
+# ------------------------------------------------------------ rule-engine audit
+
+
+def quality_rules_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative rule engine over documents: every failing rule per doc
+    (vs the curation pipeline's first-reason-only) — the audit view a
+    data curator debugs with."""
+    from ..operators.rules import apply_rules
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower("text")), TOKEN_SPLIT_RE)
+    rules = {
+        "min_tokens": F.size(toks) >= 30,
+        "has_stopword": F.arrays_overlap(
+            toks, F.array(F.lit("the"), F.lit("a"), F.lit("of"))),
+        "no_all_caps": F.col("text") != F.upper("text"),
+        "chars_sane": F.col("n_chars") == F.length("text"),
+    }
+    return (
+        apply_rules(d, rules)
+        .select("doc_id",
+                F.array_join("failed_rules", ",").alias("failed"),
+                (F.size("failed_rules") == 0).cast("int").alias("passes"))
+        .orderBy("doc_id")
+    )
+
+
+RULES_AUDIT_SQL = r"""
+WITH checks AS (
+  SELECT doc_id,
+         list_sort(list_filter([
+           CASE WHEN NOT (len(regexp_split_to_array(trim(lower(text)), '\s+')) >= 30)
+                THEN 'min_tokens' END,
+           CASE WHEN NOT (len(list_intersect(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                             ['the', 'a', 'of'])) > 0)
+                THEN 'has_stopword' END,
+           CASE WHEN NOT (text <> upper(text)) THEN 'no_all_caps' END,
+           CASE WHEN NOT (n_chars = length(text)) THEN 'chars_sane' END
+         ], x -> x IS NOT NULL)) AS failed_rules
+  FROM documents
+)
+SELECT doc_id,
+       COALESCE(array_to_string(failed_rules, ','), '') AS failed,
+       CAST(len(failed_rules) = 0 AS INT) AS passes
+FROM checks
+ORDER BY doc_id
+"""
+
+
 # ------------------------------------------------------------ repetition stats
 
 
@@ -692,6 +740,8 @@ SPECS: list[QuerySpec] = [
               "FLAGSHIP: the full reference pipeline (S1..K1) on documents.text"),
     QuerySpec("corpus_curation_pipeline", corpus_curation_pipeline, CURATION_SQL,
               "lang → quality → exact-dup → near-dup keep/drop pipeline"),
+    QuerySpec("quality_rules_audit", quality_rules_audit, RULES_AUDIT_SQL,
+              "declarative rule engine: ALL failing rules per doc"),
     QuerySpec("dedup_connected_components", dedup_connected_components, COMPONENTS_SQL,
               "near-dup clusters via iterative label propagation (recursive-CTE oracle)"),
     QuerySpec("text_chunking_udtf", text_chunking_udtf, CHUNKING_SQL,

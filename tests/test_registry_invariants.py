@@ -1,0 +1,49 @@
+"""Registry-wide invariants — enforced for EVERY query, present and
+future:
+
+1. No row-at-a-time Python UDF in any physical plan (BatchEvalPython).
+   Python is allowed only at the Arrow boundary (ArrowEvalPython,
+   FlatMapGroupsInPandas/ArrowExec, MapInPandas/ArrowExec, PythonUDTF)
+   — the '10-100x' rule as a hard gate, not a guideline.
+2. Every oracle SQL is deterministic: ends in an ORDER BY unless the
+   query is a single-row scalar aggregate.
+3. Every query name is a valid identifier and has a description.
+"""
+
+import re
+
+import pytest
+
+from mapreduce_4sl08_spark.plans import QUERIES
+
+SCALAR_AGG_QUERIES = {
+    # single-row results: no ORDER BY needed for determinism
+    "q6_forecast_revenue", "q14_promo_share", "q19_disjunctive_revenue",
+}
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES), ids=str)
+def test_no_row_at_a_time_python(spark, name):
+    df = QUERIES[name].fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan, (
+        f"{name} uses a row-at-a-time Python UDF — use built-ins or an "
+        f"Arrow-batched form:\n{plan[:600]}")
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES), ids=str)
+def test_oracle_is_deterministic(name):
+    spec = QUERIES[name]
+    if spec.oracle is None:
+        return
+    if name in SCALAR_AGG_QUERIES:
+        return
+    assert re.search(r"ORDER BY", spec.oracle, re.IGNORECASE), (
+        f"{name}: oracle SQL has no ORDER BY — hash comparison would be "
+        f"order-sensitive")
+
+
+def test_registry_metadata():
+    for name, spec in QUERIES.items():
+        assert re.fullmatch(r"[a-z][a-z0-9_]*", name), name
+        assert spec.doc, f"{name} has no description"
