@@ -381,13 +381,17 @@ def _shingle_sets(d: DataFrame, n: int = 3):
 def _verify_pairs(cand: DataFrame, sets: DataFrame, threshold: float) -> DataFrame:
     """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs via
     array_intersect against per-doc shingle sets — O(candidates), never a
-    second inverted-index join."""
+    second inverted-index join. The AllPairs length filter runs first:
+    J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so pairs with size ratio < t are
+    provably below threshold and skip the set intersection entirely."""
     sa = sets.select(F.col("doc_id").alias("doc_a"),
                      F.col("sh_set").alias("set_a"), F.col("n_sh").alias("n_sh_a"))
     sb = sets.select(F.col("doc_id").alias("doc_b"),
                      F.col("sh_set").alias("set_b"), F.col("n_sh").alias("n_sh_b"))
     return (
         cand.join(sa, "doc_a").join(sb, "doc_b")
+        .filter(F.least("n_sh_a", "n_sh_b")
+                >= F.lit(threshold) * F.greatest("n_sh_a", "n_sh_b"))
         .withColumn("n_common", F.size(F.array_intersect("set_a", "set_b")).cast("long"))
         .withColumn("jaccard", F.round(
             F.col("n_common") / (F.col("n_sh_a") + F.col("n_sh_b") - F.col("n_common")), 4))
