@@ -753,6 +753,101 @@ ORDER BY o_custkey, o_orderkey
 """
 
 
+def q13_order_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: double aggregation — orders per customer, then
+    the histogram of those counts (including zero-order customers via
+    the outer join)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy(F.col("n_customers").desc(), F.col("c_count").desc())
+    )
+
+
+Q13_SQL = """
+SELECT c_count, COUNT(*) AS n_customers
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey
+   AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY n_customers DESC, c_count DESC
+"""
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: group aggregate kept only if it exceeds a
+    fraction of the GLOBAL total (HAVING vs scalar subquery)."""
+    l = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    value = F.sum(F.col("l_extendedprice") * F.col("l_quantity"))
+    per_supp = (
+        l.join(s, l.l_suppkey == s.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(value.alias("stock_value"))
+    )
+    total = per_supp.agg(F.sum("stock_value")).collect()[0][0]
+    return (
+        per_supp.filter(F.col("stock_value") > 0.0105 * total)
+        .select("s_suppkey", "s_name",
+                F.round("stock_value", 2).alias("stock_value"))
+        .orderBy(F.col("stock_value").desc(), F.col("s_suppkey").asc())
+    )
+
+
+Q11_SQL = """
+WITH per_supp AS (
+  SELECT s_suppkey, s_name,
+         SUM(l_extendedprice * l_quantity) AS stock_value
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY s_suppkey, s_name
+)
+SELECT s_suppkey, s_name, ROUND(stock_value, 2) AS stock_value
+FROM per_supp
+WHERE stock_value > 0.0105 * (SELECT SUM(stock_value) FROM per_supp)
+ORDER BY ROUND(stock_value, 2) DESC, s_suppkey ASC
+"""
+
+
+def q16_supplier_cnt_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: NOT IN subquery (excluded suppliers) + distinct
+    count per part attribute group."""
+    p = t(spark, sf_dir, "part").filter(F.col("p_type") != "PROMO")
+    l = t(spark, sf_dir, "lineitem")
+    excluded = t(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 500).select("s_suppkey")
+    return (
+        l.join(broadcast(p), l.l_partkey == p.p_partkey)
+        .join(excluded, l.l_suppkey == excluded.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), F.col("p_brand").asc(), F.col("p_type").asc())
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_type <> 'PROMO'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 500)
+GROUP BY p_brand, p_type
+ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC
+"""
+
+
 # ---------------------------------------------------------------- scalar-function surface
 
 
@@ -1096,6 +1191,12 @@ SPECS: list[QuerySpec] = [
               "unpivot/melt wide measures to long form"),
     QuerySpec("q19_disjunctive_revenue", q19_disjunctive_revenue, Q19_SQL,
               "TPC-H Q19: OR-of-ANDs predicates across a join"),
+    QuerySpec("q13_order_count_histogram", q13_order_count_histogram, Q13_SQL,
+              "TPC-H Q13: double aggregation histogram incl. zeros"),
+    QuerySpec("q11_important_stock", q11_important_stock, Q11_SQL,
+              "TPC-H Q11: HAVING vs global-total scalar subquery"),
+    QuerySpec("q16_supplier_cnt_by_part", q16_supplier_cnt_by_part, Q16_SQL,
+              "TPC-H Q16: NOT IN exclusion + distinct count"),
     QuerySpec("q22_idle_rich_customers", q22_idle_rich_customers, Q22_SQL,
               "TPC-H Q22: scalar subquery + anti join"),
     QuerySpec("window_value_functions", window_value_functions, WINDOW_VALUE_SQL,
