@@ -848,6 +848,110 @@ ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC
 """
 
 
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: a nation's share of regional revenue per year —
+    conditional aggregation (share = sum(if)/sum) over the full star."""
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    n_c = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("c_region"))
+    n_s = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(broadcast(n_c), c.c_nationkey == F.col("cn_key"))
+        .join(broadcast(n_s), s.s_nationkey == F.col("sn_key"))
+        .join(broadcast(r), F.col("c_region") == r.r_regionkey)
+        .withColumn("o_year", F.year("o_orderdate"))
+        .groupBy("o_year")
+        .agg(
+            F.round(F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0.0))
+                    / F.sum(vol), 6).alias("mkt_share"),
+            F.round(F.sum(vol), 2).alias("total_volume"),
+        )
+        .orderBy("o_year")
+    )
+
+
+Q8_SQL = """
+SELECT EXTRACT(year FROM o_orderdate)::INT AS o_year,
+       ROUND(SUM(CASE WHEN ns.n_name = 'NATION_3'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 6) AS mkt_share,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_volume
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+JOIN region ON nc.n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY 1
+ORDER BY o_year
+"""
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: chained EXISTS / NOT EXISTS over aliases of the
+    same relation — suppliers whose lineitem was the ONLY late one in a
+    multi-supplier order. Each correlated predicate becomes one
+    semi/anti join."""
+    l = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    o_all = t(spark, sf_dir, "orders")
+    o = o_all.filter(F.col("o_orderstatus") == "F")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS")
+
+    l1 = (l.join(o, l.l_orderkey == o.o_orderkey)
+          .filter(late)
+          .select("l_orderkey", "l_suppkey"))
+    # EXISTS: another supplier in the same order
+    l2 = l.select(F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2"))
+    with_other = l1.join(
+        l2, (l1.l_orderkey == F.col("k2")) & (l1.l_suppkey != F.col("s2")),
+        "left_semi")
+    # NOT EXISTS: another supplier in the same order who was ALSO late
+    l3 = (l.join(o_all.select("o_orderkey", "o_orderdate"), l.l_orderkey == F.col("o_orderkey"))
+          .filter(late)
+          .select(F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")))
+    sole_late = with_other.join(
+        l3, (with_other.l_orderkey == F.col("k3")) & (with_other.l_suppkey != F.col("s3")),
+        "left_anti")
+    return (
+        sole_late.join(s, sole_late.l_suppkey == s.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_suppkey").asc())
+    )
+
+
+Q21_SQL = """
+SELECT s_suppkey, s_name, COUNT(DISTINCT l1.l_orderkey) AS numwait
+FROM lineitem l1
+JOIN orders ON l1.l_orderkey = o_orderkey
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 45 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 45 DAY)
+GROUP BY s_suppkey, s_name
+ORDER BY numwait DESC, s_suppkey ASC
+"""
+
+
 # ---------------------------------------------------------------- scalar-function surface
 
 
@@ -1197,6 +1301,10 @@ SPECS: list[QuerySpec] = [
               "TPC-H Q11: HAVING vs global-total scalar subquery"),
     QuerySpec("q16_supplier_cnt_by_part", q16_supplier_cnt_by_part, Q16_SQL,
               "TPC-H Q16: NOT IN exclusion + distinct count"),
+    QuerySpec("q8_market_share", q8_market_share, Q8_SQL,
+              "TPC-H Q8: market-share ratio via conditional agg, 7-table star"),
+    QuerySpec("q21_waiting_suppliers", q21_waiting_suppliers, Q21_SQL,
+              "TPC-H Q21: chained EXISTS/NOT EXISTS self-joins"),
     QuerySpec("q22_idle_rich_customers", q22_idle_rich_customers, Q22_SQL,
               "TPC-H Q22: scalar subquery + anti join"),
     QuerySpec("window_value_functions", window_value_functions, WINDOW_VALUE_SQL,
