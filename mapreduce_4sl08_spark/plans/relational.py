@@ -952,6 +952,81 @@ ORDER BY numwait DESC, s_suppkey ASC
 """
 
 
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: revenue 'view' + equality with its MAX (no limit
+    — ties all surface, which is the point of the original)."""
+    l = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp")))
+    s = t(spark, sf_dir, "supplier")
+    revenue = (
+        l.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("total_revenue"))
+    )
+    max_rev = revenue.agg(F.max("total_revenue")).collect()[0][0]
+    return (
+        revenue.filter(F.col("total_revenue") == max_rev)
+        .join(s, revenue.supplier_no == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM revenue
+JOIN supplier ON supplier_no = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: per-part correlated average — lineitems below
+    20% of their part's mean quantity. The correlated subquery becomes a
+    broadcast of the per-part aggregate."""
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    # exact integer-cents average (cross-engine round-tie discipline)
+    per_part = (
+        l.groupBy(F.col("l_partkey").alias("pk"))
+        .agg((F.sum(F.round(F.col("l_quantity") * 100).cast("long"))
+              / (F.count(F.lit(1)) * 100.0)).alias("avg_qty"))
+    )
+    return (
+        l.join(broadcast(p), l.l_partkey == p.p_partkey)
+        .join(broadcast(per_part), l.l_partkey == F.col("pk"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+Q17_SQL = """
+WITH per_part AS (
+  SELECT l_partkey AS pk,
+         SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) / (COUNT(*) * 100.0) AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN per_part ON l_partkey = pk
+WHERE p_brand = 'Brand#3'
+  AND l_quantity < 0.2 * avg_qty
+"""
+
+
 # ---------------------------------------------------------------- scalar-function surface
 
 
@@ -1305,6 +1380,10 @@ SPECS: list[QuerySpec] = [
               "TPC-H Q8: market-share ratio via conditional agg, 7-table star"),
     QuerySpec("q21_waiting_suppliers", q21_waiting_suppliers, Q21_SQL,
               "TPC-H Q21: chained EXISTS/NOT EXISTS self-joins"),
+    QuerySpec("q15_top_supplier", q15_top_supplier, Q15_SQL,
+              "TPC-H Q15: revenue view + max-equality (ties surface)"),
+    QuerySpec("q17_small_quantity_revenue", q17_small_quantity_revenue, Q17_SQL,
+              "TPC-H Q17: per-part correlated average filter"),
     QuerySpec("q22_idle_rich_customers", q22_idle_rich_customers, Q22_SQL,
               "TPC-H Q22: scalar subquery + anti join"),
     QuerySpec("window_value_functions", window_value_functions, WINDOW_VALUE_SQL,
