@@ -38,6 +38,8 @@ HEADLINE = [
     "multimodal_decode_stub",     # Arrow mapInPandas plumbing
     "events_user_features",       # applyInPandas grouped map
     "pandas_udf_norms",           # Arrow pandas-UDF scalar path
+    "q13_order_count_histogram",  # double aggregation
+    "dedup_connected_components", # iterative label propagation
 ]
 
 
