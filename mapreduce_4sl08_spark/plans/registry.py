@@ -14,12 +14,45 @@ from pyspark.sql import DataFrame, SparkSession
 from . import events, extended, relational, text, vectors
 from .base import QuerySpec
 
-_ALL_SPECS: list[QuerySpec] = [
+_MODULE_SPECS: list[QuerySpec] = [
     *text.SPECS,
     *relational.SPECS,
     *events.SPECS,
     *vectors.SPECS,
     *extended.SPECS,
+]
+
+# The round-1 driver CORRECTNESS pass covered exactly the first 50 registry
+# entries (CORRECTNESS_r01.json) — these names are already proven green.
+# Order never-driver-checked queries FIRST so any driver budget/truncation
+# reaches them before re-proving the round-1 set. New queries added in later
+# rounds are automatically "unchecked" and sort to the front.
+_R1_DRIVER_CHECKED: frozenset[str] = frozenset(
+    {
+        "wordcount_documents", "corpus_curation_pipeline", "quality_rules_audit",
+        "dedup_connected_components", "text_chunking_udtf", "text_token_positions",
+        "text_token_stats", "text_repetition_stats", "text_quality_score",
+        "text_language_id", "doc_fingerprint", "dedup_exact_documents",
+        "dedup_ngram_jaccard", "dedup_minhash_lsh", "q1_pricing_summary",
+        "q7_nation_volume", "q9_product_profit", "q14_promo_share",
+        "join_right_order_customer", "latest_event_per_user",
+        "window_trailing_30d_spend", "agg_percentiles", "q3_shipping_priority",
+        "q5_local_supplier_volume", "q6_forecast_revenue", "join_left_order_counts",
+        "join_semi_big_spenders", "join_anti_inactive", "join_full_nation_presence",
+        "range_join_prompt_ship", "agg_rollup_lineitem", "agg_cube_orders",
+        "agg_stats_by_flag", "topk_expensive_orders", "sort_customers_multi",
+        "set_ops_nations", "window_topk_orders_per_customer", "window_running_spend",
+        "window_lag_gap_days", "functions_showcase", "q10_returned_items",
+        "q18_large_orders", "window_rank_family", "string_functions_showcase",
+        "lineitem_unpivot_measures", "q19_disjunctive_revenue",
+        "q13_order_count_histogram", "q11_important_stock",
+        "q16_supplier_cnt_by_part", "q8_market_share",
+    }
+)
+
+_ALL_SPECS: list[QuerySpec] = [
+    *(s for s in _MODULE_SPECS if s.name not in _R1_DRIVER_CHECKED),
+    *(s for s in _MODULE_SPECS if s.name in _R1_DRIVER_CHECKED),
 ]
 
 QUERIES: dict[str, QuerySpec] = {s.name: s for s in _ALL_SPECS}

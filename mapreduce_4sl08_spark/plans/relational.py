@@ -700,9 +700,14 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = t(spark, sf_dir, "customer")
     o = t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
-    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal")).collect()[0][0]
+    # Scalar subquery as a broadcast cross join: the global average stays
+    # inside ONE lazy plan (no driver .collect() → no double customer scan
+    # at 100 TB; the 1-row agg is broadcast to every partition).
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("_avg_bal"))
     return (
-        c.filter(F.col("c_acctbal") > avg_bal)
+        c.crossJoin(broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
         .join(o, c.c_custkey == o.o_custkey, "left_anti")
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n_customers"),
@@ -797,9 +802,13 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_suppkey", "s_name")
         .agg(value.alias("stock_value"))
     )
-    total = per_supp.agg(F.sum("stock_value")).collect()[0][0]
+    # Global total via broadcast cross join, not a driver .collect():
+    # the shared per_supp subplan is computed once (ReusedExchange) instead
+    # of two full lineitem⋈supplier scans.
+    total = per_supp.agg(F.sum("stock_value").alias("_total"))
     return (
-        per_supp.filter(F.col("stock_value") > 0.0105 * total)
+        per_supp.crossJoin(broadcast(total))
+        .filter(F.col("stock_value") > 0.0105 * F.col("_total"))
         .select("s_suppkey", "s_name",
                 F.round("stock_value", 2).alias("stock_value"))
         .orderBy(F.col("stock_value").desc(), F.col("s_suppkey").asc())
@@ -955,18 +964,26 @@ ORDER BY numwait DESC, s_suppkey ASC
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: revenue 'view' + equality with its MAX (no limit
     — ties all surface, which is the point of the original)."""
+    # The explicit isnotnull(l_suppkey) mirrors the null filter the supplier
+    # join pushes into the main branch — with both branches canonically
+    # identical, Spark reuses the revenue exchange instead of scanning
+    # lineitem twice.
     l = t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp")))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        & F.col("l_suppkey").isNotNull())
     s = t(spark, sf_dir, "supplier")
     revenue = (
         l.groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
              .alias("total_revenue"))
     )
-    max_rev = revenue.agg(F.max("total_revenue")).collect()[0][0]
+    # MAX as a broadcast cross join keeps the revenue agg in one lazy plan
+    # (ReusedExchange) instead of a driver .collect() + second lineitem scan.
+    max_rev = revenue.agg(F.max("total_revenue").alias("_max_rev"))
     return (
-        revenue.filter(F.col("total_revenue") == max_rev)
+        revenue.crossJoin(broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("_max_rev"))
         .join(s, revenue.supplier_no == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")

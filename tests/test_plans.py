@@ -64,6 +64,25 @@ def test_knn_broadcasts_probes(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_scalar_subquery_single_plan_with_reuse(spark, sf_dir):
+    """TPC-H Q11/Q15 scalar subqueries must stay inside ONE lazy plan
+    (broadcast cross join), with the shared aggregate exchange computed
+    once (ReusedExchange) — not a driver .collect() + second fact scan."""
+    for name in ("q11_important_stock", "q15_top_supplier"):
+        df = QUERIES[name].fn(spark, sf_dir)
+        df.collect()  # AQE finalizes stage reuse at runtime
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "ReusedExchange" in plan, f"{name}: shared subplan scanned twice"
+
+
+def test_q22_is_one_lazy_plan(spark, sf_dir):
+    """Q22's global-average threshold joins in as a broadcast scalar —
+    no nested-loop fallback, single job."""
+    plan = plan_of(spark, "q22_idle_rich_customers", sf_dir)
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_dynamic_partition_pruning(spark, sf_smoke_dir, tmp_path):
     """DPP: joining a year-partitioned fact to a filtered dim prunes fact
     partitions at runtime — the scan must carry a dynamicpruning

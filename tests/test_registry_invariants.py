@@ -48,3 +48,34 @@ def test_registry_metadata():
     for name, spec in QUERIES.items():
         assert re.fullmatch(r"[a-z][a-z0-9_]*", name), name
         assert spec.doc, f"{name} has no description"
+
+
+def test_no_driver_collect_in_plan_builders():
+    """No registry plan builder may materialize data on the driver.
+
+    A ``.collect()``/``.toPandas()``/``.head(``/``.first()`` inside a plan
+    builder forces an eager job AND re-runs the shared subplan — at 100 TB
+    that is a double full-table scan. Scalar subqueries must be expressed
+    as ``crossJoin(broadcast(agg_df))`` so everything stays one lazy plan.
+    Iterative algorithms (connected components, pagerank) may use actions
+    for convergence only — they are explicitly allowlisted.
+    """
+    import inspect
+
+    ITERATIVE_ALLOWLIST = {
+        # driver carries only a convergence scalar per round, never data
+        "dedup_connected_components", "graph_pagerank_purchases",
+        "corpus_curation_pipeline",  # composes the connected-components step
+    }
+    # (?<!F) keeps the aggregate function F.first() legal — only the
+    # DataFrame action df.first() is a driver materialization.
+    banned = re.compile(r"\.(collect|toPandas|head|take)\(|(?<!F)\.first\(")
+    for name, spec in QUERIES.items():
+        if name in ITERATIVE_ALLOWLIST:
+            continue
+        src = inspect.getsource(spec.fn)
+        code_only = "\n".join(line.split("#", 1)[0] for line in src.splitlines())
+        m = banned.search(code_only)
+        assert m is None, (
+            f"{name} materializes on the driver via '{m.group(0)}' — "
+            f"express scalar subqueries as crossJoin(broadcast(agg))")
