@@ -32,6 +32,7 @@ HEADLINE = [
     "events_tumbling_hourly",     # streaming-twin window agg
     "events_sessionize",          # stateful sessionization twin
     "dedup_exact_documents",      # content-hash dedup
+    "dedup_ngram_jaccard",        # AllPairs/PPJoin exact-Jaccard near-dup
     "dedup_minhash_lsh",          # MinHash-LSH near-dup (scale path)
     "simhash_dedup",              # banded SimHash near-dup
     "knn_bruteforce_cosine",      # vector similarity

@@ -160,63 +160,89 @@ ORDER BY doc_id
 
 # ---------------------------------------------------------------- SimHash near-dup
 
-_SIMHASH_BITS = 32
-_SIMHASH_BANDS = 4  # 8 bits per band; hamming<=3 → >=1 identical band (pigeonhole)
+# 64-bit fingerprint (Manku/Jain/Das Sarma WWW'07 use 64-bit simhash with
+# ~16-bit blocks), carried as two 32-bit halves so every intermediate stays
+# inside signed-64 range in BOTH engines (16 md5 hex chars would overflow a
+# BIGINT cast; 8-char halves never do).
+_SIMHASH_HALF_BITS = 32
+_SIMHASH_BANDS = 4  # 16 bits per band; hamming<=3 → >=1 identical band (pigeonhole)
 _HAMMING_MAX = 3
 
 
-def _token_bit(bit: int):
-    """+1/-1 contribution of a token to simhash bit `bit`, reading the
-    pre-computed 32-bit token hash column `h` (hash the token ONCE in a
-    projection — aggregate expressions are not CSE'd, so embedding md5
-    here would compute it 32 times per row)."""
-    return (F.shiftright(F.col("h"), bit).bitwiseAND(F.lit(1)) * 2 - 1)
+def _half_bit(col: str, bit: int):
+    """+1/-1 contribution of a token to bit `bit` of one 32-bit simhash
+    half, reading the pre-computed token-hash column (hash the token ONCE
+    in a projection — aggregate expressions are not CSE'd, so embedding
+    md5 here would compute it 64 times per row)."""
+    return (F.shiftright(F.col(col), bit).bitwiseAND(F.lit(1)) * 2 - 1)
 
 
 def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup detection, fully scalable shape:
-    per-doc 32-bit simhash over distinct tokens (md5-derived bit
-    contributions, deterministic in both engines); banded into 4×8-bit
-    keys — any pair within hamming distance 3 must share a band
-    (pigeonhole), so candidate generation is an equi-join, never O(n²);
-    verified by exact popcount(xor) <= 3.
+    per-doc 64-bit simhash (two md5-derived 32-bit halves, deterministic
+    in both engines) over distinct tokens; banded into 4×16-bit keys —
+    any pair within hamming distance 3 must share a band (pigeonhole),
+    so candidate generation is an equi-join over 65536 buckets per band,
+    never O(n²); verified by exact popcount(xor) <= 3.
 
     SimHash per Charikar, "Similarity estimation techniques from
-    rounding algorithms" (STOC 2002); the banded hamming search follows
-    Manku/Jain/Das Sarma, "Detecting near-duplicates for web crawling"
-    (WWW 2007)."""
+    rounding algorithms" (STOC 2002); 64-bit fingerprints with ~16-bit
+    blocks per Manku/Jain/Das Sarma, "Detecting near-duplicates for web
+    crawling" (WWW 2007)."""
     d = t(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
         F.explode(F.split(F.trim(F.lower("text")), TOKEN_SPLIT_RE)).alias("token"),
     ).filter(F.col("token") != "").distinct()
-    hashed_toks = toks.withColumn(
-        "h", F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("long"))
+    hashed_toks = (
+        toks.withColumn("m", F.md5(F.col("token")))
+        .select(
+            "doc_id",
+            F.conv(F.substring("m", 1, 8), 16, 10).cast("long").alias("h_hi"),
+            F.conv(F.substring("m", 9, 8), 16, 10).cast("long").alias("h_lo"),
+        )
+    )
     sim = hashed_toks.groupBy("doc_id").agg(
-        *[F.sum(_token_bit(b)).alias(f"s{b}") for b in range(_SIMHASH_BITS)])
-    bits = None
-    for b in range(_SIMHASH_BITS):
-        term = F.when(F.col(f"s{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0))
-        bits = term if bits is None else bits + term
-    hashed = sim.select("doc_id", bits.cast("long").alias("simhash"))
+        *[F.sum(_half_bit(f"h_{half}", b)).alias(f"s_{half}_{b}")
+          for half in ("hi", "lo") for b in range(_SIMHASH_HALF_BITS)])
+    halves = []
+    for half in ("hi", "lo"):
+        bits = None
+        for b in range(_SIMHASH_HALF_BITS):
+            term = F.when(F.col(f"s_{half}_{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+            bits = term if bits is None else bits + term
+        halves.append(bits.cast("long").alias(f"sim_{half}"))
+    hashed = sim.select("doc_id", *halves)
+    # 4×16-bit bands: two per half — keys stay small positive ints
+    band_exprs = [
+        F.concat(F.lit(f"{2 * i + j}:"),
+                 F.shiftright(F.col(f"sim_{half}"), 16 * j).bitwiseAND(F.lit(0xFFFF)))
+        for i, half in enumerate(("hi", "lo")) for j in range(2)
+    ]
     bands = hashed.select(
-        "doc_id", "simhash",
-        F.explode(F.array(*[
-            F.concat(F.lit(f"{band}:"),
-                     F.shiftright(F.col("simhash"), band * 8).bitwiseAND(F.lit(255)))
-            for band in range(_SIMHASH_BANDS)
-        ])).alias("band_key"),
+        "doc_id", "sim_hi", "sim_lo",
+        F.explode(F.array(*band_exprs)).alias("band_key"),
     )
     a, b2 = bands.alias("a"), bands.alias("b")
+    hamming = (
+        F.bit_count(F.col("a.sim_hi").bitwiseXOR(F.col("b.sim_hi")))
+        + F.bit_count(F.col("a.sim_lo").bitwiseXOR(F.col("b.sim_lo")))
+    ).cast("int")
     return (
         a.join(b2, (F.col("a.band_key") == F.col("b.band_key"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
-                F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"))
+                hamming.alias("hamming"))
         .distinct()
         .filter(F.col("hamming") <= _HAMMING_MAX)
         .orderBy("doc_a", "doc_b")
     )
+
+
+def _simhash_half_sql(half: str) -> str:
+    return ", ".join(
+        f"SUM(((h_{half} >> {b}) & 1) * 2 - 1) AS s_{half}_{b}"
+        for b in range(_SIMHASH_HALF_BITS))
 
 
 SIMHASH_SQL = rf"""
@@ -228,23 +254,27 @@ WITH toks AS (
   WHERE token <> ''
 ),
 contrib AS (
-  SELECT doc_id, ('0x' || substr(md5(token), 1, 8))::BIGINT AS h
-  FROM toks
+  SELECT doc_id,
+         ('0x' || substr(m, 1, 8))::BIGINT AS h_hi,
+         ('0x' || substr(m, 9, 8))::BIGINT AS h_lo
+  FROM (SELECT doc_id, md5(token) AS m FROM toks)
 ),
 sums AS (
   SELECT doc_id,
-         {", ".join(f"SUM(((h >> {b}) & 1) * 2 - 1) AS s{b}" for b in range(_SIMHASH_BITS))}
+         {_simhash_half_sql('hi')},
+         {_simhash_half_sql('lo')}
   FROM contrib GROUP BY doc_id
 ),
 hashed AS (
   SELECT doc_id,
-         CAST({" + ".join(f"(CASE WHEN s{b} >= 0 THEN {1 << b} ELSE 0 END)" for b in range(_SIMHASH_BITS))} AS BIGINT) AS simhash
+         CAST({" + ".join(f"(CASE WHEN s_hi_{b} >= 0 THEN {1 << b} ELSE 0 END)" for b in range(_SIMHASH_HALF_BITS))} AS BIGINT) AS sim_hi,
+         CAST({" + ".join(f"(CASE WHEN s_lo_{b} >= 0 THEN {1 << b} ELSE 0 END)" for b in range(_SIMHASH_HALF_BITS))} AS BIGINT) AS sim_lo
   FROM sums
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+       (bit_count(xor(a.sim_hi, b.sim_hi)) + bit_count(xor(a.sim_lo, b.sim_lo)))::INT AS hamming
 FROM hashed a JOIN hashed b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= {_HAMMING_MAX}
+WHERE (bit_count(xor(a.sim_hi, b.sim_hi)) + bit_count(xor(a.sim_lo, b.sim_lo))) <= {_HAMMING_MAX}
 ORDER BY doc_a, doc_b
 """
 
@@ -312,34 +342,71 @@ ORDER BY doc_id
 
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (threshold 0.45 — the test
-    vectors are near-orthogonal, so only genuine outlier pairs match).
-    Brute-force at test SF; the LSH-bucketed variant (lsh_bucket_ann) is
-    the scale path for the same semantics."""
+    vectors are near-orthogonal, so only planted outlier pairs match).
+
+    Scale shape: candidate pairs come from the multi-table hyperplane-LSH
+    band join shared with ``lsh_bucket_ann`` (16 tables × 4-bit bands —
+    a pair with angular agreement q collides with prob 1-(1-q⁴)¹⁶, ≈0.95+
+    at the planted cos≥0.45 regime), distinct'd, then exact-verified by
+    cosine — an equi-join plan, never the O(n²) cross join. The oracle
+    replicates the identical deterministic bucketing, so the two engines
+    agree pair-for-pair."""
     from ..functions import cosine
+    from .vectors import lsh_band_keys, lsh_signature, plane_matrix
     e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"))
+    bands = e.select(
+        "vec_id",
+        F.explode(lsh_band_keys(lsh_signature(F.col("embedding"), plane_matrix())))
+        .alias("band_key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .distinct()
+    )
+    # per-vector norm precomputed ONCE (n rows) instead of twice per
+    # candidate pair; the per-pair dot runs Arrow-batched (numpy) —
+    # the verify stage is the volume hot spot
+    from ..functions import arrow_dot as dot, l2_norm
+    ea = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"),
+                  l2_norm(F.col("embedding")).alias("norm_a"))
+    eb = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"),
+                  l2_norm(F.col("embedding")).alias("norm_b"))
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_sim", cosine(F.col("emb_a"), F.col("emb_b")))
+        pairs.join(ea, "id_a").join(eb, "id_b")
+        .withColumn("cos_sim",
+                    dot(F.col("emb_a"), F.col("emb_b")) / (F.col("norm_a") * F.col("norm_b")))
         .filter(F.col("cos_sim") >= 0.45)
         .select("id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim"))
         .orderBy("id_a", "id_b")
     )
 
 
-EMB_NEAR_DUP_SQL = """
-WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       ROUND(list_dot_product(a.emb, b.emb)
-             / (sqrt(list_dot_product(a.emb, a.emb))
-                * sqrt(list_dot_product(b.emb, b.emb))), 4) AS cos_sim
-FROM t a JOIN t b ON a.vec_id < b.vec_id
-WHERE list_dot_product(a.emb, b.emb)
-      / (sqrt(list_dot_product(a.emb, a.emb))
-         * sqrt(list_dot_product(b.emb, b.emb))) >= 0.45
+def _emb_near_dup_sql() -> str:
+    from .vectors import lsh_bands_cte_sql
+    return f"""
+WITH {lsh_bands_cte_sql()},
+pairs AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_key = b.band_key AND a.vec_id < b.vec_id
+)
+SELECT p.id_a, p.id_b,
+       ROUND(list_dot_product(ea.emb, eb.emb)
+             / (sqrt(list_dot_product(ea.emb, ea.emb))
+                * sqrt(list_dot_product(eb.emb, eb.emb))), 4) AS cos_sim
+FROM pairs p
+JOIN tagged ea ON ea.vec_id = p.id_a
+JOIN tagged eb ON eb.vec_id = p.id_b
+WHERE list_dot_product(ea.emb, eb.emb)
+      / (sqrt(list_dot_product(ea.emb, ea.emb))
+         * sqrt(list_dot_product(eb.emb, eb.emb))) >= 0.45
 ORDER BY id_a, id_b
 """
+
+
+EMB_NEAR_DUP_SQL = _emb_near_dup_sql()
 
 # ---------------------------------------------------------------- pandas UDF path
 

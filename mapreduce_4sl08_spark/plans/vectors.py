@@ -13,12 +13,14 @@
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 from pyspark.sql.functions import broadcast
 
-from ..functions import cosine, dot, l2_norm
+from ..functions import arrow_dot, cosine, dot, l2_norm
 from .base import QuerySpec, t
 
 _N_PROBES = 5   # vec_id < 5 are the probe vectors
@@ -78,49 +80,114 @@ ORDER BY query_id, rk
 """
 
 # ------------------------------------------------------------ LSH-bucketed ANN
-# Random-hyperplane LSH (Charikar, STOC 2002) without any random state:
-# hyperplane b's weight for dimension d is +1/-1 from a bit of md5(b:d).
-# Deterministic in both engines → oracle-checkable, and at scale the
-# bucket key prunes the candidate set before any pairwise work.
+# Multi-table random-hyperplane LSH (Charikar STOC 2002; banded OR-ing as
+# in Indyk/Motwani e2-LSH and the Manku WWW'07 band construction) without
+# any random state: plane p's weight for dimension d is +1/-1 from a bit
+# of md5(p:d) — deterministic in both engines → oracle-checkable.
+#
+# 64 planes split into L=16 tables of w=4 bits. A pair whose angular
+# agreement is q = 1 - θ/π collides in ≥1 table with prob 1-(1-q^w)^L:
+# the test corpus's planted neighbors sit at cos≈0.45-0.6 (q≈0.65-0.70)
+# → recall ≈0.95-0.99, while the ~0.37-cos background (q≈0.62) is mostly
+# pruned. For a production near-dup workload (cos ≥ 0.9, q ≥ 0.86) the
+# right operating point is wider bands and fewer tables (w=16, L=4-8 →
+# 65536 buckets/table); w and L are explicit parameters — the S-curve
+# 1-(1-q^w)^L is the tuning contract, the plan shape does not change.
 
-_N_PLANES = 6
+_N_PLANES = 64
+_BAND_W = 4
+_N_TABLES = _N_PLANES // _BAND_W  # 16
 _EMB_DIM = 64
 
 
-def _plane_sign_spark(b: int, d: int) -> int:
-    # computed at plan-build time in Python; same value the SQL computes
+def plane_matrix(n_planes: int = _N_PLANES, dim: int = _EMB_DIM) -> list[list[float]]:
+    """Deterministic ±1 hyperplane weights: sign of plane p, dim d comes
+    from the first hex digit of md5(f"{p}:{d}") — computed at plan-build
+    time in Python, identically re-derivable in the oracle SQL."""
     import hashlib
-    h = hashlib.md5(f"{b}:{d}".encode()).hexdigest()
-    return 1 if int(h[0], 16) < 8 else -1
+    return [
+        [1.0 if int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[0], 16) < 8 else -1.0
+         for d in range(dim)]
+        for p in range(n_planes)
+    ]
+
+
+_PLANES = plane_matrix()
+
+
+def _make_sig_udf(planes: list[list[float]]):
+    """64-plane signature as an Arrow-batched pandas UDF: the per-row
+    work is a dense 64×64 matmul — numpy/BLAS over Arrow batches is the
+    right tool (an interpreted higher-order-function fold is ~100×
+    slower and a fully unrolled codegen expression blows up the plan;
+    both were measured before landing here). Returns the 64-char
+    '0'/'1' bitstring so band keys are plain substrings."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    M = np.asarray(planes, dtype=np.float64).T  # dim × n_planes
+
+    @pandas_udf(StringType())
+    def sig_udf(emb: pd.Series) -> pd.Series:
+        X = np.stack(emb.to_numpy()).astype(np.float64)
+        S = X @ M
+        return pd.Series(["".join(row) for row in np.where(S >= 0, "1", "0")])
+
+    return sig_udf
+
+
+def lsh_signature(emb, planes: list[list[float]] | None = None):
+    """Signature column: 64-char bitstring of hyperplane signs."""
+    return _make_sig_udf(planes or _PLANES)(emb)
+
+
+def lsh_band_keys(sig, n_tables: int = _N_TABLES, band_w: int = _BAND_W):
+    """array<string> of per-table bucket keys 'i:bits' — exploding this is
+    the multi-table OR: a pair is a candidate if ANY table key matches.
+    Substring slicing of the signature string — pure codegen, no
+    recomputation of the signature per band."""
+    return F.array(*[
+        F.concat(F.lit(f"{i}:"), F.substring(sig, i * band_w + 1, band_w))
+        for i in range(n_tables)
+    ])
+
+
+def _planes_sql_literal(planes: list[list[float]]) -> str:
+    return "[" + ", ".join(
+        "[" + ", ".join(str(v) for v in row) + "]" for row in planes) + "]"
 
 
 def lsh_bucket_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN: probe vs candidates sharing the same hyperplane sign-bucket.
-    Output: per probe, matches found in its bucket with exact cosine —
-    recall<1 by design (that's the ANN trade: bucket prune, then exact
-    rerank inside the bucket)."""
-    e = t(spark, sf_dir, "embeddings")
-
-    def bucket_col(emb):
-        bits = []
-        for b in range(_N_PLANES):
-            proj = None
-            for d in range(_EMB_DIM):
-                term = emb[d].cast("double") * F.lit(float(_plane_sign_spark(b, d)))
-                proj = term if proj is None else proj + term
-            bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
-        return F.concat(*bits)
-
-    tagged = e.select("vec_id", "embedding", bucket_col(F.col("embedding")).alias("bucket"))
-    probes = tagged.filter(F.col("vec_id") < _N_PROBES).select(
+    """ANN top-k: candidates = vectors sharing ≥1 of the probe's 16 LSH
+    table buckets, then exact-cosine rerank of the (deduplicated)
+    candidate set. Candidate generation is a band-key equi-join — never
+    a cross join; the pair set is distinct'd BEFORE the embedding
+    joins so each candidate's exact cosine is computed once."""
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bands = e.select(
+        "vec_id",
+        F.explode(lsh_band_keys(lsh_signature(F.col("embedding"), plane_matrix())))
+        .alias("band_key"))
+    probe_bands = bands.filter(F.col("vec_id") < _N_PROBES).select(
+        F.col("vec_id").alias("query_id"), "band_key")
+    probes = e.filter(F.col("vec_id") < _N_PROBES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"),
-        F.col("bucket").alias("q_bucket"))
+        l2_norm(F.col("embedding")).alias("q_norm"))
+    cand_pairs = (
+        broadcast(probe_bands)
+        .join(bands, "band_key")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    # per-vector norms computed once; the per-pair dot runs Arrow-batched
+    cands = e.select("vec_id", "embedding", l2_norm(F.col("embedding")).alias("norm"))
     scored = (
-        broadcast(probes)
-        .join(tagged, (F.col("bucket") == F.col("q_bucket"))
-              & (F.col("vec_id") != F.col("query_id")))
+        cand_pairs.join(cands, "vec_id")
+        .join(broadcast(probes), "query_id")
         .select("query_id", "vec_id",
-                cosine(F.col("q_emb"), F.col("embedding")).alias("sim_exact"))
+                (arrow_dot(F.col("q_emb"), F.col("embedding"))
+                 / (F.col("q_norm") * F.col("norm"))).alias("sim_exact"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim_exact").desc(), F.col("vec_id").asc())
     return (
@@ -131,35 +198,42 @@ def lsh_bucket_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lsh_sql() -> str:
-    import hashlib
-
-    def sign(b, d):
-        h = hashlib.md5(f"{b}:{d}".encode()).hexdigest()
-        return 1.0 if int(h[0], 16) < 8 else -1.0
-
-    bits = []
-    for b in range(_N_PLANES):
-        terms = " + ".join(f"({sign(b, d)}) * emb[{d + 1}]" for d in range(_EMB_DIM))
-        bits.append(f"CASE WHEN {terms} >= 0 THEN '1' ELSE '0' END")
-    bucket_expr = " || ".join(bits)
+def lsh_bands_cte_sql(planes: list[list[float]] | None = None,
+                      n_tables: int = _N_TABLES, band_w: int = _BAND_W) -> str:
+    """Shared oracle CTEs: per-vector LSH band keys, identical to the
+    Spark side (same md5-derived planes, same band slicing)."""
+    planes = planes or plane_matrix()
     return f"""
-WITH tagged AS (
+tagged AS (
   SELECT vec_id, embedding::DOUBLE[] AS emb,
-         {bucket_expr} AS bucket
+         array_to_string(list_transform({_planes_sql_literal(planes)},
+                        p -> CASE WHEN list_dot_product(p, embedding::DOUBLE[]) >= 0
+                             THEN '1' ELSE '0' END), '') AS sig
   FROM embeddings
 ),
-probes AS (
-  SELECT vec_id AS query_id, emb AS q_emb, bucket AS q_bucket
-  FROM tagged WHERE vec_id < {_N_PROBES}
+bands AS (
+  SELECT vec_id, emb,
+         i::INT || ':' || substr(sig, i * {band_w} + 1, {band_w}) AS band_key
+  FROM tagged, UNNEST(range(0, {n_tables})) AS u(i)
+)"""
+
+
+def _lsh_ann_sql() -> str:
+    return f"""
+WITH {lsh_bands_cte_sql()},
+cands AS (
+  SELECT DISTINCT p.vec_id AS query_id, c.vec_id
+  FROM bands p JOIN bands c
+    ON c.band_key = p.band_key AND p.vec_id < {_N_PROBES} AND c.vec_id <> p.vec_id
 ),
 scored AS (
-  SELECT p.query_id, c.vec_id,
-         list_dot_product(p.q_emb, c.emb)
-           / (sqrt(list_dot_product(p.q_emb, p.q_emb))
+  SELECT k.query_id, k.vec_id,
+         list_dot_product(p.emb, c.emb)
+           / (sqrt(list_dot_product(p.emb, p.emb))
               * sqrt(list_dot_product(c.emb, c.emb))) AS sim_exact
-  FROM probes p JOIN tagged c
-    ON c.bucket = p.q_bucket AND c.vec_id <> p.query_id
+  FROM cands k
+  JOIN tagged p ON p.vec_id = k.query_id
+  JOIN tagged c ON c.vec_id = k.vec_id
 ),
 ranked AS (
   SELECT query_id, vec_id, sim_exact,
@@ -174,7 +248,7 @@ ORDER BY query_id, rk
 """
 
 
-LSH_ANN_SQL = _lsh_sql()
+LSH_ANN_SQL = _lsh_ann_sql()
 
 # ------------------------------------------------------------ vector norms
 

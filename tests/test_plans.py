@@ -83,6 +83,18 @@ def test_q22_is_one_lazy_plan(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_lsh_similarity_never_cartesian(spark, sf_dir):
+    """Candidate generation for embedding near-dup and ANN must be the
+    banded-LSH equi-join — an O(n²) CartesianProduct (or an unbroadcast
+    nested loop over the full table) would be a scale-killer at 100 TB."""
+    for name in ("embedding_near_dup", "lsh_bucket_ann"):
+        plan = plan_of(spark, name, sf_dir)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        # Arrow-batched verify stage, never row-at-a-time Python
+        assert "BatchEvalPython" not in plan, name
+
+
 def test_dynamic_partition_pruning(spark, sf_smoke_dir, tmp_path):
     """DPP: joining a year-partitioned fact to a filtered dim prunes fact
     partitions at runtime — the scan must carry a dynamicpruning
