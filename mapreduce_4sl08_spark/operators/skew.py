@@ -14,7 +14,8 @@ aggregate (sum/count/min/max).
 
 ``salted_join``: replicate the small side per salt value, salt the big
 side randomly — the hot key's rows land in N different shuffle
-partitions. Semantics-preserving for equi-joins.
+partitions. Semantics-preserving for inner/left/semi/anti equi-joins
+(validated; right/full outer would duplicate unmatched small rows).
 """
 
 from __future__ import annotations
@@ -29,49 +30,84 @@ def with_salt(df: DataFrame, n_salts: int, col_name: str = "_salt") -> DataFrame
     return df.withColumn(col_name, (F.rand(seed=42) * n_salts).cast("int"))
 
 
-def salted_aggregate(df: DataFrame, key: str, aggs: dict[str, Column],
+#: named merge strategies for the final phase of a salted aggregate
+_MERGES = {"sum": F.sum, "min": F.min, "max": F.max}
+
+
+def _looks_distinct(df: DataFrame, expr: Column) -> bool:
+    """Best-effort DISTINCT detection via the ANALYZED plan of a
+    zero-row trial aggregate (the Column repr and JVM toString both hide
+    the isDistinct flag; the analyzed plan prints it). Planning a
+    limit(0) aggregate runs no job. Degrades to no-op if plan
+    introspection is unavailable — the explicit merge contract in the
+    API is the primary safety, this guard is defense in depth."""
+    try:
+        plan = (df.limit(0).groupBy().agg(expr)
+                ._jdf.queryExecution().analyzed().toString())
+        return "distinct" in plan.lower()
+    except Exception:
+        return False
+
+
+def salted_aggregate(df: DataFrame, key: str,
+                     aggs: dict[str, tuple[Column, object]],
                      n_salts: int = 16) -> DataFrame:
     """groupBy(key).agg(...) in two shuffle-spreading phases. ``aggs``
-    maps output name → decomposable aggregate expression over the input
-    columns. Example::
+    maps output name → (partial aggregate expression, merge), where
+    merge is ``'sum'`` / ``'min'`` / ``'max'`` or a callable
+    ``column_name -> Column``. The caller states the merge EXPLICITLY —
+    it is part of the decomposition contract, not something to infer
+    from plan strings (count partials merge with 'sum'). Example::
 
         salted_aggregate(events, "user_id",
-                         {"n": F.count(F.lit(1)), "v": F.sum("value")})
+                         {"n": (F.count(F.lit(1)), "sum"),
+                          "v": (F.sum("value"), "sum"),
+                          "hi": (F.max("value"), "max")})
+
+    DISTINCT aggregates are rejected: per-salt distinct sets overlap, so
+    merged partials would silently overcount.
     """
-    partial_names = list(aggs)
     salted = with_salt(df, n_salts)
-    partial = salted.groupBy(key, "_salt").agg(
-        *[expr.alias(f"_p_{name}") for name, expr in aggs.items()])
-    # merge phase: counts/sums merge by sum; min/max by min/max. The
-    # caller tells us how via the same expression applied to the partial
-    # column when possible; for count we must SUM the partial counts.
-    merged = partial.groupBy(key).agg(*[
-        _merge_expr(aggs[name], f"_p_{name}").alias(name) for name in partial_names
-    ])
-    return merged
+    partial_exprs, merge_exprs = [], []
+    for name, (expr, merge) in aggs.items():
+        if _looks_distinct(df, expr):
+            raise ValueError(
+                f"{name}: DISTINCT aggregates are not salt-decomposable "
+                f"(per-salt distinct sets overlap) — use a two-step "
+                f"exact-distinct plan instead")
+        merge_fn = _MERGES.get(merge, merge)
+        if not callable(merge_fn):
+            raise ValueError(
+                f"{name}: merge must be one of {sorted(_MERGES)} or a "
+                f"callable, got {merge!r}")
+        partial_exprs.append(expr.alias(f"_p_{name}"))
+        merge_exprs.append(merge_fn(f"_p_{name}").alias(name))
+    partial = salted.groupBy(key, "_salt").agg(*partial_exprs)
+    return partial.groupBy(key).agg(*merge_exprs)
 
 
-def _merge_expr(original: Column, partial_col: str) -> Column:
-    """Merge function for a decomposable aggregate: count→sum, sum→sum,
-    min→min, max→max (derived from the expression's name)."""
-    expr_str = original._jc.toString().lower()
-    if expr_str.startswith("count("):
-        return F.sum(partial_col)
-    if expr_str.startswith("sum("):
-        return F.sum(partial_col)
-    if expr_str.startswith("min("):
-        return F.min(partial_col)
-    if expr_str.startswith("max("):
-        return F.max(partial_col)
-    raise ValueError(
-        f"not a decomposable aggregate for salting: {expr_str[:60]}")
+#: join types for which replicate-small/salt-big preserves semantics:
+#: every unmatched BIG row appears once (its single salt), and matched
+#: rows pair with exactly one small replica. For right/full outer the
+#: small side's unmatched rows would surface once per replica.
+_SALT_SAFE_JOINS = frozenset(
+    {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+     "left_anti", "leftanti"})
 
 
 def salted_join(big: DataFrame, small: DataFrame, on: str,
                 n_salts: int = 16, how: str = "inner") -> DataFrame:
     """Equi-join with the big side salted and the small side replicated
     n_salts times, so a hot join key spreads across n_salts shuffle
-    partitions instead of one straggler task."""
+    partitions instead of one straggler task. Semantics-preserving only
+    for join types that never emit unmatched SMALL-side rows — others
+    raise."""
+    if how.lower().replace("_", "") not in {
+            j.replace("_", "") for j in _SALT_SAFE_JOINS}:
+        raise ValueError(
+            f"salted_join(how={how!r}): small-side replication would emit "
+            f"unmatched small rows once per salt — supported: inner, "
+            f"left/left_outer, left_semi, left_anti")
     big_s = with_salt(big, n_salts)
     small_r = small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)])))

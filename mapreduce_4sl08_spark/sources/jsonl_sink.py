@@ -1,10 +1,17 @@
 """Custom Python DataSource WRITER (Spark 4 API): sharded JSONL with a
 commit manifest — the reference's master-side sink (K1,
 /root/reference/src/MasterNode.java:200-209) generalized into a proper
-two-phase-commit connector: every task writes its own shard and reports
-a commit message; the driver's commit() publishes the manifest LAST, so
-readers never observe a partial write (the manifest is the transaction
-marker).
+two-phase-commit connector:
+
+- every task writes its shard under a TEMPORARY name and reports it in a
+  commit message; failed or speculative attempts leave only temp files,
+  which never become visible;
+- the driver's commit() renames exactly the committed attempts to their
+  final names, merges (append) or replaces (overwrite) the manifest, and
+  publishes the manifest LAST — readers keyed on the manifest never
+  observe a partial write (the manifest is the transaction marker);
+- overwrite mode clears prior shards; append mode merges the prior
+  manifest so earlier batches stay visible.
 
     spark.dataSource.register(JsonlManifestDataSource)
     df.write.format("jsonl_manifest").option("path", out).mode("append").save()
@@ -20,46 +27,90 @@ from pyspark.sql.datasource import (
     DataSource, DataSourceWriter, WriterCommitMessage,
 )
 
+_MANIFEST = "_MANIFEST.json"
+_TMP_PREFIX = "_tmp-"
+
 
 class _ShardCommit(WriterCommitMessage):
-    def __init__(self, filename: str, n_rows: int):
-        self.filename = filename
+    def __init__(self, tmp_name: str, final_name: str, n_rows: int):
+        self.tmp_name = tmp_name
+        self.final_name = final_name
         self.n_rows = n_rows
 
 
 class JsonlManifestWriter(DataSourceWriter):
-    def __init__(self, options):
+    def __init__(self, options, overwrite: bool):
         self.path = options.get("path")
+        self.overwrite = overwrite
         if not self.path:
             raise ValueError("jsonl_manifest requires option 'path'")
 
     def write(self, rows):
         os.makedirs(self.path, exist_ok=True)
-        filename = f"shard-{uuid.uuid4().hex}.jsonl"
+        shard_id = uuid.uuid4().hex
+        tmp_name = f"{_TMP_PREFIX}{shard_id}.jsonl"
+        final_name = f"shard-{shard_id}.jsonl"
         n = 0
-        with open(os.path.join(self.path, filename), "w") as f:
+        with open(os.path.join(self.path, tmp_name), "w") as f:
             for row in rows:
                 f.write(json.dumps(row.asDict()) + "\n")
                 n += 1
-        return _ShardCommit(filename, n)
+        return _ShardCommit(tmp_name, final_name, n)
+
+    def _read_manifest(self) -> list[dict]:
+        mpath = os.path.join(self.path, _MANIFEST)
+        if not os.path.exists(mpath):
+            return []
+        with open(mpath) as f:
+            return json.load(f).get("shards", [])
 
     def commit(self, messages):
-        shards = [{"file": m.filename, "rows": m.n_rows}
-                  for m in messages if m is not None]
+        # 1. publish exactly the committed attempts (rename is atomic);
+        #    orphan temp files from failed/speculative attempts stay
+        #    invisible and are swept below
+        new_shards = []
+        for m in messages:
+            if m is None:
+                continue
+            os.replace(os.path.join(self.path, m.tmp_name),
+                       os.path.join(self.path, m.final_name))
+            new_shards.append({"file": m.final_name, "rows": m.n_rows})
+        # 2. overwrite clears prior shards; append keeps them in the manifest
+        if self.overwrite:
+            keep = {s["file"] for s in new_shards}
+            for fn in os.listdir(self.path):
+                if fn.startswith("shard-") and fn not in keep:
+                    os.remove(os.path.join(self.path, fn))
+            shards = new_shards
+        else:
+            shards = self._read_manifest() + new_shards
+        # 3. sweep temp files from attempts that never committed
+        for fn in os.listdir(self.path):
+            if fn.startswith(_TMP_PREFIX):
+                os.remove(os.path.join(self.path, fn))
+        # 4. manifest last — the commit point
         manifest = {
             "shards": sorted(shards, key=lambda s: s["file"]),
             "total_rows": sum(s["rows"] for s in shards),
         }
-        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as f:
+        with open(os.path.join(self.path, _MANIFEST), "w") as f:
             json.dump(manifest, f, indent=2)
 
     def abort(self, messages):
+        # only temp files can exist for this batch — remove the reported
+        # ones and sweep any stragglers from unreported attempts
         for m in messages:
             if m is not None:
                 try:
-                    os.remove(os.path.join(self.path, m.filename))
+                    os.remove(os.path.join(self.path, m.tmp_name))
                 except OSError:
                     pass
+        try:
+            for fn in os.listdir(self.path):
+                if fn.startswith(_TMP_PREFIX):
+                    os.remove(os.path.join(self.path, fn))
+        except OSError:
+            pass
 
 
 class JsonlManifestDataSource(DataSource):
@@ -68,4 +119,4 @@ class JsonlManifestDataSource(DataSource):
         return "jsonl_manifest"
 
     def writer(self, schema, overwrite: bool):
-        return JsonlManifestWriter(self.options)
+        return JsonlManifestWriter(self.options, overwrite)

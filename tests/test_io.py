@@ -152,3 +152,19 @@ def test_python_datasource_jsonl_sink(spark, sf_smoke_dir, tmp_path):
     # round-trip through a normal spark json read
     back = spark.read.json(f"{out}/shard-*.jsonl")
     assert back.count() == 25
+
+    # APPEND merges the prior manifest (earlier shards stay visible)
+    nation.write.format("jsonl_manifest").option("path", out).mode("append").save()
+    manifest2 = json.load(open(f"{out}/_MANIFEST.json"))
+    assert manifest2["total_rows"] == 50
+    assert len(manifest2["shards"]) == len(manifest["shards"]) * 2
+    assert {s["file"] for s in manifest["shards"]} <= \
+        {s["file"] for s in manifest2["shards"]}
+
+    # OVERWRITE clears stale shards and resets the manifest
+    nation.write.format("jsonl_manifest").option("path", out).mode("overwrite").save()
+    manifest3 = json.load(open(f"{out}/_MANIFEST.json"))
+    assert manifest3["total_rows"] == 25
+    on_disk = {f.split("/")[-1] for f in glob.glob(f"{out}/shard-*.jsonl")}
+    assert on_disk == {s["file"] for s in manifest3["shards"]}
+    assert not glob.glob(f"{out}/_tmp-*")  # no orphan attempt files

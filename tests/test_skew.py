@@ -15,7 +15,8 @@ def test_salted_aggregate_matches_plain(spark, sf_smoke_dir):
     salted = {(r.user_id, r.n, round(r.v, 2))
               for r in salted_aggregate(
                   e, "user_id",
-                  {"n": F.count(F.lit(1)), "v": F.sum("value")}).collect()}
+                  {"n": (F.count(F.lit(1)), "sum"),
+                   "v": (F.sum("value"), "sum")}).collect()}
     assert plain == salted
 
 
@@ -27,7 +28,38 @@ def test_salted_aggregate_minmax(spark, sf_smoke_dir):
     salted = {(r.user_id, r.lo, r.hi)
               for r in salted_aggregate(
                   e, "user_id",
-                  {"lo": F.min("value"), "hi": F.max("value")}).collect()}
+                  {"lo": (F.min("value"), "min"),
+                   "hi": (F.max("value"), "max")}).collect()}
+    assert plain == salted
+
+
+def test_salted_aggregate_rejects_distinct(spark, sf_smoke_dir):
+    import pytest
+    e = load_table(spark, sf_smoke_dir, "events")
+    with pytest.raises(ValueError, match="DISTINCT"):
+        salted_aggregate(e, "user_id",
+                         {"d": (F.count_distinct("event_type"), "sum")})
+
+
+def test_salted_join_rejects_outer_small_side(spark, sf_smoke_dir):
+    import pytest
+    l = load_table(spark, sf_smoke_dir, "lineitem").select(
+        F.col("l_suppkey").alias("s_suppkey"), "l_orderkey")
+    s = load_table(spark, sf_smoke_dir, "supplier")
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(l, s, "s_suppkey", how=how)
+
+
+def test_salted_join_anti_matches_plain(spark, sf_smoke_dir):
+    l = load_table(spark, sf_smoke_dir, "lineitem").select(
+        F.col("l_suppkey").alias("s_suppkey"), "l_orderkey")
+    s = load_table(spark, sf_smoke_dir, "supplier").filter(
+        F.col("s_suppkey") % 3 == 0)
+    plain = sorted((r.l_orderkey, r.s_suppkey)
+                   for r in l.join(s, "s_suppkey", "left_anti").collect())
+    salted = sorted((r.l_orderkey, r.s_suppkey)
+                    for r in salted_join(l, s, "s_suppkey", how="left_anti").collect())
     assert plain == salted
 
 
