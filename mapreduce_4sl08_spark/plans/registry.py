@@ -11,7 +11,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import events, extended, relational, text, vectors
+from . import events, extended, relational, scale, text, vectors
 from .base import QuerySpec
 
 _MODULE_SPECS: list[QuerySpec] = [
@@ -20,6 +20,7 @@ _MODULE_SPECS: list[QuerySpec] = [
     *events.SPECS,
     *vectors.SPECS,
     *extended.SPECS,
+    *scale.SPECS,
 ]
 
 # The round-1 driver CORRECTNESS pass covered exactly the first 50 registry

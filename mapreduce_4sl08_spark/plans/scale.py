@@ -1,0 +1,204 @@
+"""Scale-technique queries: the remaining TPC-H shapes (Q12/Q20 adapted
+to the fixture schema) plus registry-visible demonstrations of the skew
+and bucketing utilities (operators/skew.py, sources/bucketing.py) — the
+techniques a 100 TB deployment leans on, exposed as driver-checkable
+queries instead of test-only helpers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from .base import QuerySpec, t
+
+# ------------------------------------------------------ TPC-H Q12 (adapted)
+# The fixture schema has no l_shipmode/l_receiptdate; the ship-delay
+# bucket (days between order and ship date) stands in for ship mode —
+# the SHAPE is Q12's: fact⋈dim with a two-way conditional count per
+# categorical group.
+
+
+def q12_priority_by_ship_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: per ship-delay bucket, how many high- vs
+    low-priority orders shipped in 1997 — conditional aggregation after
+    a selective fact⋈fact join."""
+    l = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
+    o = t(spark, sf_dir, "orders")
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = (F.when(delay <= 30, "FAST")
+              .when(delay <= 60, "MEDIUM")
+              .otherwise("SLOW"))
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(bucket.alias("ship_bucket"))
+        .agg(F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+             F.sum(F.when(is_high, 0).otherwise(1)).alias("low_line_count"))
+        .orderBy("ship_bucket")
+    )
+
+
+Q12_SQL = """
+SELECT CASE WHEN CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE) <= 30 THEN 'FAST'
+            WHEN CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE) <= 60 THEN 'MEDIUM'
+            ELSE 'SLOW' END AS ship_bucket,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT
+         AS high_line_count,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)::BIGINT
+         AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1
+ORDER BY ship_bucket
+"""
+
+# ------------------------------------------------------ TPC-H Q20 (adapted)
+# No partsupp table; "excess stock" becomes "excess share of shipments":
+# a supplier qualifies if, for some Brand#1 part, it shipped more than
+# 10% of that part's total shipped quantity (calibrated to the uniform
+# fixture data: ~27 qualifying suppliers at sf0.01). The SHAPE is Q20's: a
+# doubly-nested subquery chain collapsing into a semi join on supplier.
+
+
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers dominating shipments of a filtered
+    part family — per-(supplier, part) aggregate, compared against the
+    per-part total, semi-joined back to the supplier dim."""
+    l = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    p = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    per_sp = (
+        l.join(broadcast(p.select("p_partkey")), l.l_partkey == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("sp_qty"))
+    )
+    per_part = per_sp.groupBy("l_partkey").agg(F.sum("sp_qty").alias("p_qty"))
+    dominant = (
+        per_sp.join(per_part, "l_partkey")
+        .filter(F.col("sp_qty") > 0.1 * F.col("p_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(dominant, s.s_suppkey == dominant.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name", F.round("s_acctbal", 2).alias("acctbal"))
+        .orderBy("s_suppkey")
+    )
+
+
+Q20_SQL = """
+SELECT s_suppkey, s_name, ROUND(s_acctbal, 2) AS acctbal
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey
+  FROM (
+    SELECT l_suppkey, l_partkey, SUM(l_quantity) AS sp_qty
+    FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#1')
+    GROUP BY 1, 2
+  ) sp
+  JOIN (
+    SELECT l_partkey, SUM(l_quantity) AS p_qty
+    FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#1')
+    GROUP BY 1
+  ) pt USING (l_partkey)
+  WHERE sp_qty > 0.1 * p_qty
+)
+ORDER BY s_suppkey
+"""
+
+# ------------------------------------------------------ salted hot-key agg
+# events has 5 event types over the whole table — exactly the
+# hot-key-aggregation regime where one reducer would own 20% of the
+# data. salted_aggregate spreads each key over (key, salt) partials and
+# merges; results are placement-independent, so the plain GROUP BY is
+# the oracle.
+
+
+def salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over a 5-hot-key column (see
+    operators/skew.py): partial agg on (event_type, salt), explicit
+    merge on event_type."""
+    from ..operators.skew import salted_aggregate
+    e = t(spark, sf_dir, "events")
+    out = salted_aggregate(
+        e, "event_type",
+        {"n_events": (F.count(F.lit(1)), "sum"),
+         "total_value": (F.sum("value"), "sum"),
+         "max_value": (F.max("value"), "max")},
+        n_salts=16)
+    return (
+        out.select("event_type", "n_events",
+                   F.round("total_value", 2).alias("total_value"),
+                   F.round("max_value", 2).alias("max_value"))
+        .orderBy("event_type")
+    )
+
+
+SALTED_AGG_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS total_value,
+       ROUND(MAX(value), 2) AS max_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+# ------------------------------------------------------ bucketed join
+# Pre-shuffled storage: both sides bucketed on the join key at write
+# time, so the join (and any later groupBy on the key) runs with ZERO
+# exchanges — the 100 TB answer to re-shuffling the fact table on every
+# query. The write happens into the session warehouse; the read-side
+# plan is asserted Exchange-free in tests/test_plans.py.
+
+_BUCKETS = 8
+
+
+def bucketed_join_zero_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders⋈customer co-located via bucketBy(custkey): per-segment
+    order stats without a join-time shuffle."""
+    from ..sources.bucketing import bucketed_join, write_bucketed
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    write_bucketed(o, "bkt_orders", "o_custkey", _BUCKETS)
+    write_bucketed(c.withColumnRenamed("c_custkey", "o_custkey"),
+                   "bkt_customer", "o_custkey", _BUCKETS)
+    joined = bucketed_join(spark, "bkt_orders", "bkt_customer", "o_custkey",
+                           force_sort_merge=True)
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .orderBy("c_mktsegment")
+    )
+
+
+BUCKETED_JOIN_SQL = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+SPECS: list[QuerySpec] = [
+    QuerySpec("q12_priority_by_ship_delay", q12_priority_by_ship_delay, Q12_SQL,
+              "TPC-H Q12 shape: conditional counts per ship-delay bucket"),
+    QuerySpec("q20_dominant_suppliers", q20_dominant_suppliers, Q20_SQL,
+              "TPC-H Q20 shape: nested-subquery semi join on dominant suppliers"),
+    QuerySpec("salted_hot_key_agg", salted_hot_key_agg, SALTED_AGG_SQL,
+              "skew-salted two-phase aggregation over a hot-key column"),
+    QuerySpec("bucketed_join_zero_shuffle", bucketed_join_zero_shuffle, BUCKETED_JOIN_SQL,
+              "bucketBy co-located join — zero exchanges at read time"),
+]

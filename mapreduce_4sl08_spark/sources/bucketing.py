@@ -10,7 +10,20 @@ entirely (SortMergeJoin over pre-sorted buckets, no Exchange operator).
 
 from __future__ import annotations
 
+import shutil
+from urllib.parse import urlparse
+
 from pyspark.sql import DataFrame, SparkSession
+
+
+def _drop_table_and_location(spark: SparkSession, table: str) -> None:
+    """DROP TABLE IF EXISTS plus orphan-location cleanup: the default
+    catalog is per-session in-memory, so a warehouse directory left by a
+    previous session is invisible to DROP TABLE and would collide on the
+    next managed-table write."""
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{warehouse}/{table.lower()}", ignore_errors=True)
 
 
 def write_bucketed(df: DataFrame, table: str, bucket_col: str,
@@ -18,6 +31,8 @@ def write_bucketed(df: DataFrame, table: str, bucket_col: str,
                    mode: str = "overwrite") -> None:
     """Persist as a bucketed (and bucket-sorted) managed table. Sorting
     within buckets lets SortMergeJoin skip its sort too."""
+    if mode == "overwrite":
+        _drop_table_and_location(df.sparkSession, table)
     writer = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
     if sort:
         writer = writer.sortBy(bucket_col)
@@ -25,7 +40,14 @@ def write_bucketed(df: DataFrame, table: str, bucket_col: str,
 
 
 def bucketed_join(spark: SparkSession, left_table: str, right_table: str,
-                  on: str, how: str = "inner") -> DataFrame:
+                  on: str, how: str = "inner",
+                  force_sort_merge: bool = False) -> DataFrame:
     """Join two tables bucketed on the same key with the same bucket
-    count — plans with NO Exchange (verify: test_bucketing.py)."""
-    return spark.table(left_table).join(spark.table(right_table), on, how)
+    count — plans with NO Exchange (verify: test_bucketing.py).
+    ``force_sort_merge`` pins the bucket-co-located SortMergeJoin even
+    when one side is small enough to broadcast — the plan you would get
+    at real scale, useful for demonstrations and plan tests."""
+    left = spark.table(left_table)
+    if force_sort_merge:
+        left = left.hint("merge")
+    return left.join(spark.table(right_table), on, how)

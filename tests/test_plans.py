@@ -95,6 +95,29 @@ def test_lsh_similarity_never_cartesian(spark, sf_dir):
         assert "BatchEvalPython" not in plan, name
 
 
+def test_bucketed_registry_query_join_has_no_exchange(spark, sf_smoke_dir):
+    """The registry's bucketed join must SortMergeJoin directly over the
+    bucketed scans — any Exchange below the join means the write-time
+    pre-shuffle was wasted."""
+    df = QUERIES["bucketed_join_zero_shuffle"].fn(spark, sf_smoke_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "Bucketed: true" in plan
+    # everything after the LAST SortMergeJoin mention is the join's
+    # subtree (build sides) — it must be exchange-free
+    below_join = plan.split("SortMergeJoin")[-1]
+    assert "Exchange" not in below_join, below_join[:500]
+
+
+def test_salted_agg_registry_query_two_phase(spark, sf_smoke_dir):
+    """Salted hot-key agg: the partial phase must group on
+    (event_type, _salt) — the hot key spread across salt partitions."""
+    plan = plan_of(spark, "salted_hot_key_agg", sf_smoke_dir)
+    assert "_salt" in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final × 2 phases
+
+
 def test_dynamic_partition_pruning(spark, sf_smoke_dir, tmp_path):
     """DPP: joining a year-partitioned fact to a filtered dim prunes fact
     partitions at runtime — the scan must carry a dynamicpruning
