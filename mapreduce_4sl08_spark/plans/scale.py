@@ -192,6 +192,52 @@ ORDER BY c_mktsegment
 """
 
 
+# ------------------------------------------------ stratified hash sampling
+# Reproducible per-stratum sampling: df.sampleBy is Bernoulli (seed-
+# and partitioning-dependent — not cross-engine checkable, not even
+# stable across repartitions of the same data). Hash-mod sampling keys
+# the keep decision on md5(doc_id), so the sample is a pure function of
+# the data: identical on every run, every engine, every cluster size —
+# the property a training-data pipeline needs for reproducible ablations.
+
+_STRATA_PCT = {"en": 10, "de": 30, "fr": 30}  # keep-% per language
+_DEFAULT_PCT = 50
+
+
+def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample of documents: keep
+    md5(doc_id) mod 100 < pct(lang), with per-language rates —
+    downsample the dominant language, keep more of the rare ones."""
+    d = t(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                    16, 10).cast("long") % 100
+    pct = F.lit(_DEFAULT_PCT)
+    for lang, p in _STRATA_PCT.items():
+        pct = F.when(F.col("lang") == lang, p).otherwise(pct)
+    return (
+        d.withColumn("bucket", bucket)
+        .filter(F.col("bucket") < pct)
+        .select("doc_id", "lang", F.col("bucket").cast("int").alias("bucket"))
+        .orderBy("doc_id")
+    )
+
+
+def _stratified_sql() -> str:
+    cases = " ".join(
+        f"WHEN lang = '{lang}' THEN {p}" for lang, p in _STRATA_PCT.items())
+    return f"""
+SELECT doc_id, lang,
+       (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100)::INT AS bucket
+FROM documents
+WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100
+      < CASE {cases} ELSE {_DEFAULT_PCT} END
+ORDER BY doc_id
+"""
+
+
+STRATIFIED_SQL = _stratified_sql()
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("q12_priority_by_ship_delay", q12_priority_by_ship_delay, Q12_SQL,
               "TPC-H Q12 shape: conditional counts per ship-delay bucket"),
@@ -201,4 +247,6 @@ SPECS: list[QuerySpec] = [
               "skew-salted two-phase aggregation over a hot-key column"),
     QuerySpec("bucketed_join_zero_shuffle", bucketed_join_zero_shuffle, BUCKETED_JOIN_SQL,
               "bucketBy co-located join — zero exchanges at read time"),
+    QuerySpec("stratified_sample_documents", stratified_sample_documents, STRATIFIED_SQL,
+              "deterministic hash-mod stratified sampling per language"),
 ]

@@ -250,6 +250,128 @@ ORDER BY query_id, rk
 
 LSH_ANN_SQL = _lsh_ann_sql()
 
+# ------------------------------------------------------------ IVF ANN
+# Inverted-file index (the other standard ANN family besides LSH):
+# partition the vector space into K lists around centroids, search only
+# the nprobe closest lists. Centroids here are a deterministic md5-order
+# sample of the corpus (production would refine them with k-means — the
+# plan shape is identical); everything is oracle-replicable. At scale
+# the list id becomes a partition column: a probe touches nprobe/K of
+# the corpus, and the assignment build is one broadcast-join pass.
+
+_IVF_K = 16       # lists; production sizes this ~sqrt(n)
+_IVF_NPROBE = 2   # lists searched per probe
+
+
+def _ivf_assignments(e: DataFrame, n_lists: int, rank_limit: int):
+    """(vec_id, list_id, rk) — each vector ranked against every centroid
+    by exact cosine (ties by centroid id). rank_limit=1 assigns vectors;
+    rank_limit=nprobe picks probe lists."""
+    centroids = (
+        e.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(n_lists)
+        .select(F.col("vec_id").alias("list_id"), F.col("embedding").alias("c_emb"),
+                l2_norm(F.col("embedding")).alias("c_norm"))
+    )
+    scored = (
+        e.select("vec_id", "embedding", l2_norm(F.col("embedding")).alias("v_norm"))
+        .crossJoin(broadcast(centroids))
+        .select("vec_id",
+                "list_id",
+                (arrow_dot(F.col("embedding"), F.col("c_emb"))
+                 / (F.col("v_norm") * F.col("c_norm"))).alias("c_sim"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("c_sim").desc(), F.col("list_id").asc())
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= rank_limit)
+            .select("vec_id", "list_id"))
+
+
+def ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k: probes search their nprobe=2 nearest centroid
+    lists; exact cosine rerank inside. Same output contract as
+    lsh_bucket_ann; recall<1 by design (list pruning)."""
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    assign = _ivf_assignments(e, _IVF_K, 1)
+    # probe lists rank against the SAME full-corpus centroid set
+    probe_lists = (
+        _ivf_assignments(e, _IVF_K, _IVF_NPROBE)
+        .filter(F.col("vec_id") < _N_PROBES)
+        .select(F.col("vec_id").alias("query_id"), "list_id")
+    )
+    probes = e.filter(F.col("vec_id") < _N_PROBES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"),
+        l2_norm(F.col("embedding")).alias("q_norm"))
+    cands = (
+        broadcast(probe_lists)
+        .join(assign, "list_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    scored = (
+        cands.join(e.select("vec_id", "embedding",
+                            l2_norm(F.col("embedding")).alias("norm")), "vec_id")
+        .join(broadcast(probes), "query_id")
+        .select("query_id", "vec_id",
+                (arrow_dot(F.col("q_emb"), F.col("embedding"))
+                 / (F.col("q_norm") * F.col("norm"))).alias("sim_exact"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim_exact").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TOP_K)
+        .select("query_id", "rk", "vec_id", F.round("sim_exact", 4).alias("cos_sim"))
+        .orderBy("query_id", "rk")
+    )
+
+
+IVF_ANN_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+centroids AS (
+  SELECT vec_id AS list_id, emb AS c_emb
+  FROM e ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {_IVF_K}
+),
+ranked_lists AS (
+  SELECT e.vec_id, c.list_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_dot_product(e.emb, c.c_emb)
+                    / (sqrt(list_dot_product(e.emb, e.emb))
+                       * sqrt(list_dot_product(c.c_emb, c.c_emb))) DESC,
+                    c.list_id ASC) AS rk
+  FROM e CROSS JOIN centroids c
+),
+assign AS (SELECT vec_id, list_id FROM ranked_lists WHERE rk = 1),
+probe_lists AS (
+  SELECT vec_id AS query_id, list_id FROM ranked_lists
+  WHERE rk <= {_IVF_NPROBE} AND vec_id < {_N_PROBES}
+),
+cands AS (
+  SELECT DISTINCT p.query_id, a.vec_id
+  FROM probe_lists p JOIN assign a USING (list_id)
+  WHERE a.vec_id <> p.query_id
+),
+scored AS (
+  SELECT k.query_id, k.vec_id,
+         list_dot_product(q.emb, c.emb)
+           / (sqrt(list_dot_product(q.emb, q.emb))
+              * sqrt(list_dot_product(c.emb, c.emb))) AS sim_exact
+  FROM cands k
+  JOIN e q ON q.vec_id = k.query_id
+  JOIN e c ON c.vec_id = k.vec_id
+),
+final AS (
+  SELECT query_id, vec_id, sim_exact,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY sim_exact DESC, vec_id ASC) AS rk
+  FROM scored
+)
+SELECT query_id, CAST(rk AS INT) AS rk, vec_id, ROUND(sim_exact, 4) AS cos_sim
+FROM final WHERE rk <= {_TOP_K}
+ORDER BY query_id, rk
+"""
+
 # ------------------------------------------------------------ vector norms
 
 
@@ -344,6 +466,8 @@ SPECS: list[QuerySpec] = [
               "1→N frame-sampling fan-out via mapInPandas (stub demux)"),
     QuerySpec("lsh_bucket_ann", lsh_bucket_ann, LSH_ANN_SQL,
               "ANN via deterministic random-hyperplane buckets"),
+    QuerySpec("ivf_ann", ivf_ann, IVF_ANN_SQL,
+              "ANN via inverted-file centroid lists (nprobe search)"),
     QuerySpec("embedding_norms", embedding_norms, EMB_NORMS_SQL,
               "vector arithmetic aggregates"),
     QuerySpec("multimodal_decode_stub", multimodal_decode_stub, MULTIMODAL_SQL,

@@ -166,3 +166,34 @@ def test_embedding_near_dup_recall_vs_bruteforce(spark, sf_dir):
     assert got <= brute, "near-dup emitted a below-threshold pair"
     recall = len(got) / len(brute)
     assert recall >= 0.9, f"near-dup recall regressed: {recall:.2f}"
+
+
+def test_ivf_ann_recall_vs_bruteforce(spark, sf_dir):
+    """IVF regression floor at sf0.01 (deterministic centroids + data).
+    The fixture's neighbors sit at cos≈0.45-0.5 — barely above the
+    near-orthogonal background — so they are NOT centroid-localized and
+    nprobe=2/16 recall is structurally modest here (measured 0.36);
+    on real clustered embeddings IVF recall at this nprobe is far
+    higher. The test pins the floor so param/centroid changes that
+    degrade it further are caught."""
+    bf = {(r.query_id, r.vec_id)
+          for r in QUERIES["knn_bruteforce_cosine"].fn(spark, sf_dir).collect()}
+    ivf = {(r.query_id, r.vec_id)
+           for r in QUERIES["ivf_ann"].fn(spark, sf_dir).collect()}
+    assert len(bf & ivf) / len(bf) >= 0.3
+
+
+def test_stratified_sample_rates(spark, sf_dir):
+    """Hash-mod stratified sampling: per-stratum keep rates land near
+    the configured percentages, and repeated runs are identical."""
+    from mapreduce_4sl08_spark.plans.scale import _DEFAULT_PCT, _STRATA_PCT
+    d = load_table(spark, sf_dir, "documents")
+    totals = {r.lang: r["count"] for r in d.groupBy("lang").count().collect()}
+    out = QUERIES["stratified_sample_documents"].fn(spark, sf_dir)
+    kept = {r.lang: r["count"] for r in out.groupBy("lang").count().collect()}
+    for lang, total in totals.items():
+        pct = _STRATA_PCT.get(lang, _DEFAULT_PCT)
+        rate = kept.get(lang, 0) / total
+        assert abs(rate - pct / 100) < 0.12, (lang, rate, pct)
+    again = QUERIES["stratified_sample_documents"].fn(spark, sf_dir)
+    assert [tuple(r) for r in out.collect()] == [tuple(r) for r in again.collect()]
