@@ -915,24 +915,37 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = t(spark, sf_dir, "lineitem")
     s = t(spark, sf_dir, "supplier")
     o_all = t(spark, sf_dir, "orders")
-    o = o_all.filter(F.col("o_orderstatus") == "F")
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS")
 
-    l1 = (l.join(o, l.l_orderkey == o.o_orderkey)
-          .filter(late)
-          .select("l_orderkey", "l_suppkey"))
-    # EXISTS: another supplier in the same order
-    l2 = l.select(F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2"))
-    with_other = l1.join(
-        l2, (l1.l_orderkey == F.col("k2")) & (l1.l_suppkey != F.col("s2")),
-        "left_semi")
-    # NOT EXISTS: another supplier in the same order who was ALSO late
-    l3 = (l.join(o_all.select("o_orderkey", "o_orderdate"), l.l_orderkey == F.col("o_orderkey"))
-          .filter(late)
-          .select(F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")))
-    sole_late = with_other.join(
-        l3, (with_other.l_orderkey == F.col("k3")) & (with_other.l_suppkey != F.col("s3")),
-        "left_anti")
+    # One pass over the fact instead of three self-joins: reduce to the
+    # (order, supplier) grain, then per-order window stats decide both
+    # correlated predicates at once — EXISTS(other supplier) ⟺
+    # n_supp ≥ 2, NOT EXISTS(other LATE supplier) ⟺ n_late_supp = 1
+    # (the row's own supplier is late). The inequality self-joins of the
+    # literal translation are the part that cannot scale: each is a
+    # near-cross-join within every multi-line order.
+    jo = (
+        l.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(o_all.select("o_orderkey", "o_orderdate", "o_orderstatus"),
+              l.l_orderkey == F.col("o_orderkey"))
+        .withColumn("is_late", late.cast("int"))
+    )
+    per_os = jo.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("is_late").alias("late_any"),
+        F.max("o_orderstatus").alias("o_status"))
+    w = Window.partitionBy("l_orderkey")
+    flagged = (
+        per_os
+        .withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("n_late_supp", F.sum("late_any").over(w))
+    )
+    sole_late = (
+        flagged.filter((F.col("late_any") == 1)
+                       & (F.col("o_status") == "F")
+                       & (F.col("n_supp") >= 2)
+                       & (F.col("n_late_supp") == 1))
+        .select("l_orderkey", "l_suppkey")
+    )
     return (
         sole_late.join(s, sole_late.l_suppkey == s.s_suppkey)
         .groupBy("s_suppkey", "s_name")
