@@ -55,9 +55,13 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_session("bench")
-    # JVM/codegen warm-up on the smallest query so timings measure the
-    # plans, not classloading
+    # JVM/codegen warm-up so timings measure the plans, not classloading:
+    # q6 warms the relational scan/agg path, text_token_stats warms the
+    # documents scan + regex codegen, pandas_udf warm-up is covered by
+    # the first Arrow query paying its own worker startup (kept visible —
+    # that cost is real per-session at any scale)
     run_query(spark, "q6_forecast_revenue", sf_dir)
+    run_query(spark, "text_token_stats", sf_dir)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -60,8 +60,23 @@ QUERIES: dict[str, QuerySpec] = {s.name: s for s in _ALL_SPECS}
 assert len(QUERIES) == len(_ALL_SPECS), "duplicate query name in registry"
 
 
+def _with_engine_conf(
+        fn: Callable[[SparkSession, str], DataFrame],
+) -> Callable[[SparkSession, str], DataFrame]:
+    """Apply the dynamic engine confs (UTC session timezone, AQE, Arrow
+    batch sizing) before building the plan — the driver may hand us a
+    session that never went through ``entry()``/``get_session``, and the
+    timezone in particular is correctness-relevant for every timestamp
+    comparison against the DuckDB oracle."""
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..session import apply_engine_conf
+        apply_engine_conf(spark)
+        return fn(spark, sf_dir)
+    return wrapped
+
+
 def query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: spec.fn for name, spec in QUERIES.items()}
+    return {name: _with_engine_conf(spec.fn) for name, spec in QUERIES.items()}
 
 
 def oracle_sqls() -> dict[str, str]:
