@@ -316,6 +316,69 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WINNOW_K = 4  # tokens per k-gram
+_WINNOW_W = 5  # k-gram hashes per selection window
+
+
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every k-token gram, slide a
+    window of w hashes, keep each window's minimum — guarantees a match
+    of length ≥ w+k-1 tokens between two docs shares a fingerprint,
+    while storing ~2/(w+1) of the hashes. md5-derived and set-valued, so
+    both engines agree exactly. Output: one row per selected
+    fingerprint (exploded — scalar columns hash-compare cleanly)."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim("text")), TOKEN_SPLIT_RE)
+    # hs MUST be bound as a column before the window transform: an
+    # unaliased expression inside the lambda is re-evaluated per window
+    # (HOFs are interpreted, no CSE) — re-hashing every gram for every
+    # window turned O(n·w) into O(n²·k) before this split.
+    base = d.select(
+        "doc_id", F.transform(word_shingles(toks, _WINNOW_K), F.md5).alias("hs"))
+    hs = F.col("hs")
+    nwin = F.size(hs) - _WINNOW_W + 1
+    fps = (
+        F.when(nwin >= 1,
+               F.transform(F.sequence(F.lit(1), nwin),
+                           lambda j: F.array_min(F.slice(hs, j, _WINNOW_W))))
+        .when(F.size(hs) > 0, F.array(F.array_min(hs)))
+        .otherwise(F.array().cast("array<string>"))
+    )
+    return (
+        base.select("doc_id", F.explode(F.array_distinct(fps)).alias("fingerprint"))
+        .orderBy("doc_id", "fingerprint")
+    )
+
+
+WINNOWING_SQL = rf"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= {_WINNOW_K} THEN
+           [md5(array_to_string(toks[i:i+{_WINNOW_K - 1}], ' '))
+            FOR i IN range(1, len(toks) - {_WINNOW_K - 2})]
+         ELSE [] END AS hs
+  FROM base
+),
+wins AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) >= {_WINNOW_W} THEN
+           [list_aggregate(hs[j:j+{_WINNOW_W - 1}], 'min')
+            FOR j IN range(1, len(hs) - {_WINNOW_W - 2})]
+         WHEN len(hs) > 0 THEN [list_aggregate(hs, 'min')]
+         ELSE [] END AS fps
+  FROM grams
+)
+SELECT DISTINCT doc_id, UNNEST(fps) AS fingerprint
+FROM wins
+ORDER BY doc_id, fingerprint
+"""
+
+
 FINGERPRINT_SQL = r"""
 WITH base AS (
   SELECT doc_id, lower(trim(text)) AS norm,
@@ -827,6 +890,8 @@ SPECS: list[QuerySpec] = [
               "stopword-marker language ID heuristic"),
     QuerySpec("doc_fingerprint", doc_fingerprint, FINGERPRINT_SQL,
               "shingle-hash document fingerprint"),
+    QuerySpec("winnowing_fingerprints", winnowing_fingerprints, WINNOWING_SQL,
+              "MOSS winnowing: min-hash per sliding k-gram window"),
     QuerySpec("dedup_exact_documents", dedup_exact_documents, DEDUP_EXACT_SQL,
               "exact dedup via content hash"),
     QuerySpec("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_JACCARD_SQL,
