@@ -160,6 +160,9 @@ ORDER BY event_type
 # plan is asserted Exchange-free in tests/test_plans.py.
 
 _BUCKETS = 8
+#: explicit location — the driver may invoke this from any cwd, and the
+#: engine must never write outside its own tree
+_BUCKET_ROOT = "/root/repo/spark-warehouse"
 
 
 def bucketed_join_zero_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -168,9 +171,11 @@ def bucketed_join_zero_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.bucketing import bucketed_join, write_bucketed
     o = t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    write_bucketed(o, "bkt_orders", "o_custkey", _BUCKETS)
+    write_bucketed(o, "bkt_orders", "o_custkey", _BUCKETS,
+                   path=f"{_BUCKET_ROOT}/bkt_orders")
     write_bucketed(c.withColumnRenamed("c_custkey", "o_custkey"),
-                   "bkt_customer", "o_custkey", _BUCKETS)
+                   "bkt_customer", "o_custkey", _BUCKETS,
+                   path=f"{_BUCKET_ROOT}/bkt_customer")
     joined = bucketed_join(spark, "bkt_orders", "bkt_customer", "o_custkey",
                            force_sort_merge=True)
     return (

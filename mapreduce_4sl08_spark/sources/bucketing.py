@@ -16,26 +16,34 @@ from urllib.parse import urlparse
 from pyspark.sql import DataFrame, SparkSession
 
 
-def _drop_table_and_location(spark: SparkSession, table: str) -> None:
+def _drop_table_and_location(spark: SparkSession, table: str,
+                             path: str | None = None) -> None:
     """DROP TABLE IF EXISTS plus orphan-location cleanup: the default
-    catalog is per-session in-memory, so a warehouse directory left by a
+    catalog is per-session in-memory, so a table directory left by a
     previous session is invisible to DROP TABLE and would collide on the
-    next managed-table write."""
+    next write."""
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    shutil.rmtree(f"{warehouse}/{table.lower()}", ignore_errors=True)
+    if path is None:
+        warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        path = f"{warehouse}/{table.lower()}"
+    shutil.rmtree(path, ignore_errors=True)
 
 
 def write_bucketed(df: DataFrame, table: str, bucket_col: str,
                    n_buckets: int = 8, sort: bool = True,
-                   mode: str = "overwrite") -> None:
-    """Persist as a bucketed (and bucket-sorted) managed table. Sorting
-    within buckets lets SortMergeJoin skip its sort too."""
+                   mode: str = "overwrite", path: str | None = None) -> None:
+    """Persist as a bucketed (and bucket-sorted) table. Sorting within
+    buckets lets SortMergeJoin skip its sort too. With ``path`` the data
+    lands at an explicit location (external table) instead of the
+    session warehouse — callers that must not write relative to the
+    caller's cwd pin an absolute path."""
     if mode == "overwrite":
-        _drop_table_and_location(df.sparkSession, table)
+        _drop_table_and_location(df.sparkSession, table, path)
     writer = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
     if sort:
         writer = writer.sortBy(bucket_col)
+    if path is not None:
+        writer = writer.option("path", path)
     writer.saveAsTable(table)
 
 
