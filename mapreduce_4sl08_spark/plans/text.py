@@ -877,6 +877,173 @@ ORDER BY d.doc_id
 CURATION_SQL = _curation_sql()
 
 
+# ------------------------------------------------------------ TF-IDF top terms
+# Keyword extraction: per-doc top-5 terms by tf·idf. The idf weight is
+# the RATIONAL form tf·1e6 ÷ (df+1) computed in exact integer arithmetic
+# — a monotone transform of the usual log-idf in df, chosen because
+# ln() is not correctly-rounded and a 1-ulp divergence between the JVM
+# and C libm could flip a rank at a near-tie; integer scores are
+# bit-identical across engines by construction.
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 TF-IDF terms (integer rational-idf scores;
+    ties by term asc). The shape every keyword/feature-extraction
+    pipeline runs: token counts per doc ⋈ document frequencies."""
+    d = t(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id",
+                 F.explode(F.split(F.trim(F.lower("text")), TOKEN_SPLIT_RE)).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc())
+    return (
+        tf.join(df_, "term")
+        .withColumn("score", F.floor(F.col("tf") * F.lit(1_000_000) / (F.col("df") + 1))
+                    .cast("long"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("doc_id", F.col("rk").cast("int").alias("rk"), "term", "score")
+        .orderBy("doc_id", "rk")
+    )
+
+
+TFIDF_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, tok AS term
+  FROM documents, UNNEST(regexp_split_to_array(trim(lower(text)), '\s+')) AS u(tok)
+  WHERE tok <> ''
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT doc_id, term,
+         CAST(FLOOR(tf * 1000000 / (df + 1)) AS BIGINT) AS score
+  FROM tf JOIN df USING (term)
+),
+ranked AS (
+  SELECT doc_id, term, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term ASC) AS rk
+  FROM scored
+)
+SELECT doc_id, CAST(rk AS INT) AS rk, term, score
+FROM ranked WHERE rk <= 5
+ORDER BY doc_id, rk
+"""
+
+# ------------------------------------------------------- unigram rarity score
+# CCNet-style language-model quality proxy without the LM: score each
+# doc by how rare its tokens are against the corpus unigram
+# distribution. Instead of avg -log p(w) (transcendental → cross-engine
+# 1-ulp risk), the rarity of a token is the exact integer T div C(w)
+# (inverse relative frequency); the per-doc mean does ONE float division
+# at the end. High mean rarity ≈ unusual/noisy text — the same signal a
+# perplexity filter thresholds on.
+
+
+def unigram_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id",
+                 F.explode(F.split(F.trim(F.lower("text")), TOKEN_SPLIT_RE)).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").alias("_t"))
+    scored = (
+        toks.join(freq, "term")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", F.floor(F.col("_t") / F.col("c")).cast("long").alias("rarity"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"),
+             F.sum("rarity").alias("rarity_sum"))
+        .withColumn("mean_rarity",
+                    F.round(F.col("rarity_sum") / F.col("n_tokens"), 4))
+        .orderBy("doc_id")
+    )
+
+
+RARITY_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, tok AS term
+  FROM documents, UNNEST(regexp_split_to_array(trim(lower(text)), '\s+')) AS u(tok)
+  WHERE tok <> ''
+),
+freq AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY 1),
+total AS (SELECT SUM(c) AS t FROM freq),
+scored AS (
+  SELECT doc_id, CAST(FLOOR(t / c) AS BIGINT) AS rarity
+  FROM toks JOIN freq USING (term), total
+)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       SUM(rarity)::BIGINT AS rarity_sum,
+       ROUND(SUM(rarity) / COUNT(*), 4) AS mean_rarity
+FROM scored
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+# ------------------------------------------------------- decontamination
+# Benchmark decontamination: flag training docs sharing any 8-token gram
+# with the held-out eval set (here: the deterministic doc_id % 50 == 0
+# slice stands in for an external benchmark table). The join is an
+# inverted-index equi-join on the gram hash — at corpus scale the eval
+# gram set is small and broadcasts, so the pass is one scan of the
+# training corpus. The n-gram-overlap rule follows the GPT-3/PaLM
+# decontamination recipe.
+
+_DECON_N = 8
+
+
+def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training docs contaminated by 8-gram overlap with the eval slice:
+    per doc, how many distinct shared grams and how many eval docs hit."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim("text")), TOKEN_SPLIT_RE)
+    grams = (
+        d.select("doc_id",
+                 F.explode(F.array_distinct(
+                     F.transform(word_shingles(toks, _DECON_N), F.md5))).alias("g"))
+    )
+    eval_grams = (grams.filter(F.col("doc_id") % 50 == 0)
+                  .select(F.col("doc_id").alias("eval_id"), "g"))
+    train_grams = grams.filter(F.col("doc_id") % 50 != 0)
+    return (
+        train_grams.join(F.broadcast(eval_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_shared_grams"),
+             F.countDistinct("eval_id").alias("n_eval_docs_hit"))
+        .orderBy("doc_id")
+    )
+
+
+DECON_SQL = rf"""
+WITH grams AS (
+  SELECT DISTINCT doc_id,
+         md5(array_to_string(toks[i:i+{_DECON_N - 1}], ' ')) AS g
+  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        FROM documents),
+       UNNEST(range(1, len(toks) - {_DECON_N - 2})) AS u(i)
+  WHERE len(toks) >= {_DECON_N}
+)
+SELECT tr.doc_id,
+       COUNT(DISTINCT tr.g) AS n_shared_grams,
+       COUNT(DISTINCT ev.doc_id) AS n_eval_docs_hit
+FROM grams tr
+JOIN grams ev ON tr.g = ev.g
+WHERE tr.doc_id % 50 <> 0 AND ev.doc_id % 50 = 0
+GROUP BY tr.doc_id
+ORDER BY tr.doc_id
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("wordcount_documents", wordcount_documents, WORDCOUNT_SQL,
               "FLAGSHIP: the full reference pipeline (S1..K1) on documents.text"),
@@ -908,4 +1075,10 @@ SPECS: list[QuerySpec] = [
               "near-dup pairs: 3-gram Jaccard via inverted-index join"),
     QuerySpec("dedup_minhash_lsh", dedup_minhash_lsh, MINHASH_SQL,
               "MinHash-LSH candidates + exact verify (deterministic md5 perms)"),
+    QuerySpec("tfidf_top_terms", tfidf_top_terms, TFIDF_SQL,
+              "per-doc top-5 TF-IDF keywords (integer rational-idf)"),
+    QuerySpec("unigram_rarity_score", unigram_rarity_score, RARITY_SQL,
+              "corpus unigram-LM rarity score (perplexity-filter proxy)"),
+    QuerySpec("decontamination_overlap", decontamination_overlap, DECON_SQL,
+              "benchmark decontamination: 8-gram overlap vs eval slice"),
 ]
