@@ -197,3 +197,26 @@ def test_stratified_sample_rates(spark, sf_dir):
         assert abs(rate - pct / 100) < 0.12, (lang, rate, pct)
     again = QUERIES["stratified_sample_documents"].fn(spark, sf_dir)
     assert [tuple(r) for r in out.collect()] == [tuple(r) for r in again.collect()]
+
+
+def test_winnowing_guarantee(spark, sf_smoke_dir):
+    """The winnowing contract (Schleimer et al. §2): two documents
+    sharing a token run of length >= w+k-1 MUST share at least one
+    selected fingerprint. Construct the overlap synthetically."""
+    from mapreduce_4sl08_spark.plans.text import (
+        _WINNOW_K, _WINNOW_W, winnowing_fingerprints)
+    shared = " ".join(f"tok{i}" for i in range(_WINNOW_W + _WINNOW_K - 1))
+    rows = [(900001, f"aaa bbb ccc {shared} ddd eee fff"),
+            (900002, f"xxx yyy {shared} zzz www qqq rrr")]
+    tmp = spark.createDataFrame(rows, ["doc_id", "text"])
+    import tempfile, os
+    d = tempfile.mkdtemp(prefix="winnow")
+    # reuse the real loader path: write a tiny documents.parquet
+    tmp.withColumn("lang", F.lit("en")).withColumn("source", F.lit("t")) \
+       .withColumn("n_chars", F.length("text")) \
+       .write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = winnowing_fingerprints(spark, d)
+    fps = {}
+    for r in out.collect():
+        fps.setdefault(r.doc_id, set()).add(r.fingerprint)
+    assert fps[900001] & fps[900002], "shared run produced no shared fingerprint"
