@@ -317,6 +317,90 @@ ORDER BY user_id
 """
 
 
+# ------------------------------------------------------------ retention cohorts
+# Classic product-analytics shape: users bucketed by first-seen week
+# (cohort), counted per active week — a join of a per-user aggregate
+# back onto the activity stream, grouped twice.
+
+
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention: (cohort_week, active_week) → distinct active
+    users, where cohort_week is the user's first-seen ISO week."""
+    e = t(spark, sf_dir, "events")
+    weekly = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week"))
+    cohort = weekly.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        weekly.join(cohort, "user_id")
+        .groupBy("cohort_week", "week")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .orderBy("cohort_week", "week")
+    )
+
+
+RETENTION_SQL = """
+WITH weekly AS (
+  SELECT user_id, date_trunc('week', ts) AS week
+  FROM events
+),
+cohort AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM weekly GROUP BY 1
+)
+SELECT cohort_week, week, COUNT(DISTINCT user_id) AS n_active
+FROM weekly JOIN cohort USING (user_id)
+GROUP BY 1, 2
+ORDER BY cohort_week, week
+"""
+
+# ------------------------------------------------------------ funnel
+# Ordered-sequence funnel: view → click (after the view) → purchase
+# (after that click), counted per stage. The correlated "first event of
+# type X after timestamp T" steps become min-filtered self-joins.
+
+
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordered funnel conversion counts (one summary row)."""
+    e = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    t_view = (e.filter(F.col("event_type") == "view")
+              .groupBy("user_id").agg(F.min("ts").alias("t_view")))
+    t_click = (e.filter(F.col("event_type") == "click")
+               .join(t_view, "user_id")
+               .filter(F.col("ts") > F.col("t_view"))
+               .groupBy("user_id").agg(F.min("ts").alias("t_click")))
+    t_buy = (e.filter(F.col("event_type") == "purchase")
+             .join(t_click, "user_id")
+             .filter(F.col("ts") > F.col("t_click"))
+             .groupBy("user_id").agg(F.min("ts").alias("t_buy")))
+    return (
+        t_view.agg(F.count(F.lit(1)).alias("n_viewed"))
+        .crossJoin(t_click.agg(F.count(F.lit(1)).alias("n_clicked_after_view")))
+        .crossJoin(t_buy.agg(F.count(F.lit(1)).alias("n_purchased_after_click")))
+    )
+
+
+FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.t_view
+  GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t_buy
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+  GROUP BY 1
+)
+SELECT (SELECT COUNT(*) FROM v) AS n_viewed,
+       (SELECT COUNT(*) FROM c) AS n_clicked_after_view,
+       (SELECT COUNT(*) FROM p) AS n_purchased_after_click
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("events_tumbling_hourly", events_tumbling_hourly, EVENTS_TUMBLING_SQL,
               "tumbling 1h window agg (streaming twin in streaming/)"),
@@ -336,4 +420,8 @@ SPECS: list[QuerySpec] = [
               "as-of join via single-sort window (no inequality join)"),
     QuerySpec("events_pivot_types", events_pivot_types, EVENTS_PIVOT_SQL,
               "pivot to per-type columns"),
+    QuerySpec("events_retention_cohorts", events_retention_cohorts, RETENTION_SQL,
+              "weekly cohort retention (first-seen week × active week)"),
+    QuerySpec("events_funnel_conversion", events_funnel_conversion, FUNNEL_SQL,
+              "ordered view→click→purchase funnel counts"),
 ]

@@ -817,6 +817,33 @@ ORDER BY doc_id
 COMPONENTS_SQL = _components_sql()
 
 
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster size histogram — the "what did dedup buy us"
+    report every curation run produces. Reuses the memoized converged
+    components, so after dedup_connected_components has run this is one
+    cheap double aggregate."""
+    comp = dedup_connected_components(spark, sf_dir)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
+CLUSTER_STATS_SQL = f"""
+SELECT cluster_size, COUNT(*) AS n_clusters
+FROM (
+  SELECT component, COUNT(*) AS cluster_size
+  FROM ({COMPONENTS_SQL}) comp
+  GROUP BY component
+) sized
+GROUP BY cluster_size
+ORDER BY cluster_size
+"""
+
+
 # ------------------------------------------------------------ corpus curation pipeline
 # The composition flagship: what a real pretraining-data pipeline runs —
 # language filter → quality filter → exact dedup → near-dup clustering,
@@ -1081,4 +1108,6 @@ SPECS: list[QuerySpec] = [
               "corpus unigram-LM rarity score (perplexity-filter proxy)"),
     QuerySpec("decontamination_overlap", decontamination_overlap, DECON_SQL,
               "benchmark decontamination: 8-gram overlap vs eval slice"),
+    QuerySpec("dedup_cluster_stats", dedup_cluster_stats, CLUSTER_STATS_SQL,
+              "near-dup cluster size histogram (dedup savings report)"),
 ]

@@ -19,7 +19,7 @@ from mapreduce_4sl08_spark.plans import QUERIES
 SCALAR_AGG_QUERIES = {
     # single-row results: no ORDER BY needed for determinism
     "q6_forecast_revenue", "q14_promo_share", "q19_disjunctive_revenue",
-    "q17_small_quantity_revenue",
+    "q17_small_quantity_revenue", "events_funnel_conversion",
 }
 
 
