@@ -66,10 +66,15 @@ def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Oracle: replicate each event into its 2 containing 30-min-aligned
-# 1-hour windows via a 2-element offset unnest.
+# 1-hour windows via a 2-element offset unnest. NOTE: built as a naive
+# TIMESTAMP arithmetic expression, NOT to_timestamp() — DuckDB's
+# to_timestamp returns TIMESTAMP WITH TIME ZONE, which fails the
+# driver's strict schema comparison against Spark's naive window start.
 EVENTS_SLIDING_SQL = """
 WITH exploded AS (
-  SELECT to_timestamp(floor(epoch(ts) / 1800) * 1800 - o * 1800) AS window_start,
+  SELECT TIMESTAMP '1970-01-01'
+           + CAST(floor(epoch(ts) / 1800) * 1800 - o * 1800 AS BIGINT)
+             * INTERVAL 1 SECOND AS window_start,
          value
   FROM events, UNNEST([0, 1]) AS u(o)
 )

@@ -447,10 +447,15 @@ ORDER BY label
 
 
 def graph_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank over the customer→supplier purchase graph — iterative
-    numeric algorithm, rows-only check (float iteration isn't
-    hash-portable); invariants (mass conservation, positivity,
-    convergence) are property-tested in tests/test_properties.py."""
+    """PageRank over the customer→supplier purchase graph. Fixed
+    iteration count (10) makes the result deterministic up to float
+    summation order, so the DuckDB oracle replicates the exact same
+    10 unrolled iterations (PAGERANK_SQL below); rounding to 8 dp
+    absorbs the ~1e-16 cross-engine summation-order drift (values are
+    generic reals, so half-boundary rounding ties have ~0 probability —
+    unlike the 2-decimal money columns, see the float discipline notes).
+    Invariants (mass conservation, positivity, concentration) are
+    additionally property-tested in tests/test_properties.py."""
     from ..operators.graph import pagerank, purchase_graph
     edges = purchase_graph(t(spark, sf_dir, "lineitem"), t(spark, sf_dir, "orders"))
     return (
@@ -459,6 +464,47 @@ def graph_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank").desc(), F.col("node").asc())
         .limit(50)
     )
+
+
+def _pagerank_oracle_sql(iterations: int = 10) -> str:
+    """Unrolled fixed-iteration PageRank as a DuckDB CTE chain — same
+    recurrence as operators/graph.py:pagerank (damping written as
+    ``1.0 - 0.85`` so both engines evaluate the identical IEEE
+    expression; Python's ``1.0 - 0.85`` != literal ``0.15``)."""
+    steps = []
+    for i in range(1, iterations + 1):
+        steps.append(f"""r{i} AS (
+  SELECT nd.node,
+         (1.0 - 0.85) / p.n + 0.85 * COALESCE(m.in_mass, 0.0) AS rank
+  FROM nodes nd CROSS JOIN params p
+  LEFT JOIN (
+    SELECT l.dst, SUM(r.rank / l.outdeg) AS in_mass
+    FROM links l JOIN r{i - 1} r ON l.src = r.node
+    GROUP BY l.dst
+  ) m ON nd.node = m.dst
+)""")
+    chain = ",\n".join(steps)
+    return f"""
+WITH edges AS (
+  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+nodes AS (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+),
+params AS (SELECT COUNT(*)::DOUBLE AS n FROM nodes),
+outdeg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+links AS (SELECT e.src, e.dst, o.outdeg FROM edges e JOIN outdeg o ON e.src = o.src),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM params) AS rank FROM nodes),
+{chain}
+SELECT node, ROUND(rank, 8) AS rank
+FROM r{iterations}
+ORDER BY ROUND(rank, 8) DESC, node ASC
+LIMIT 50
+"""
+
+
+PAGERANK_SQL = _pagerank_oracle_sql(10)
 
 
 # ---------------------------------------------------------------- map type surface
@@ -553,18 +599,50 @@ ORDER BY o_orderkey
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates: HyperLogLog++ distinct counts + quantile
     sketches — THE constant-memory shapes for 100 TB cardinality work.
-    No SQL oracle (DuckDB's sketches differ by design); accuracy is
-    property-tested against exact counts in tests/test_properties.py."""
+
+    Oracle contract: HLL estimates can't hash-match across engines (the
+    sketches differ by design), so the query outputs the EXACT distinct
+    counts plus a deterministic ``within_tol`` boolean asserting the
+    Spark-side sketches landed within 5% of exact (HLL++ at rsd=0.02 and
+    percentile_approx at accuracy 10000 make this deterministic — the
+    sketch is a pure function of the data). The DuckDB oracle computes
+    the exact counts and literal TRUE, making the row fully
+    hash-checkable while still exercising the sketch path.
+    """
     l = t(spark, sf_dir, "lineitem")
+    tol = (
+        lambda approx, exact:
+        F.abs(F.col(approx) - F.col(exact)) / F.col(exact) < F.lit(0.05)
+    )
     return (
         l.groupBy("l_returnflag")
         .agg(
             F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
             F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
-            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("median_price_approx"),
+            F.countDistinct("l_orderkey").alias("exact_orders"),
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("exact_median"),
+        )
+        .select(
+            "l_returnflag", "exact_parts", "exact_orders",
+            (tol("approx_parts", "exact_parts")
+             & tol("approx_orders", "exact_orders")
+             & tol("approx_median", "exact_median")).alias("within_tol"),
         )
         .orderBy("l_returnflag")
     )
+
+
+APPROX_DISTINCT_SQL = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey)::BIGINT AS exact_parts,
+       COUNT(DISTINCT l_orderkey)::BIGINT AS exact_orders,
+       TRUE AS within_tol
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
 
 
 # ---------------------------------------------------------------- char n-grams
@@ -618,10 +696,10 @@ ORDER BY lang, rk
 SPECS: list[QuerySpec] = [
     QuerySpec("q4_late_ship_orders", q4_late_ship_orders, Q4_SQL,
               "EXISTS subquery → left-semi join"),
-    QuerySpec("agg_approx_distinct", agg_approx_distinct, None,
-              "HLL++ / quantile sketch aggregates (accuracy property-tested)"),
-    QuerySpec("graph_pagerank_purchases", graph_pagerank_purchases, None,
-              "PageRank over customer→supplier graph (iterative; property-tested)"),
+    QuerySpec("agg_approx_distinct", agg_approx_distinct, APPROX_DISTINCT_SQL,
+              "HLL++ / quantile sketches, oracle-checked via exact counts + within_tol"),
+    QuerySpec("graph_pagerank_purchases", graph_pagerank_purchases, PAGERANK_SQL,
+              "PageRank over customer→supplier graph (oracle: unrolled DuckDB CTE chain)"),
     QuerySpec("map_functions_showcase", map_functions_showcase, MAP_FUNCS_SQL,
               "MapType surface: from_json map, keys, element_at, map_concat"),
     QuerySpec("regexp_extract_ids", regexp_extract_ids, REGEXP_EXTRACT_SQL,

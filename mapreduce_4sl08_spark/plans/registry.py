@@ -23,11 +23,20 @@ _MODULE_SPECS: list[QuerySpec] = [
     *scale.SPECS,
 ]
 
-# The round-1 driver CORRECTNESS pass covered exactly the first 50 registry
-# entries (CORRECTNESS_r01.json) — these names are already proven green.
-# Order never-driver-checked queries FIRST so any driver budget/truncation
-# reaches them before re-proving the round-1 set. New queries added in later
-# rounds are automatically "unchecked" and sort to the front.
+# Driver CORRECTNESS coverage history (the driver checks ~50 rows per
+# round, in registry order). Ordering policy for round 3+:
+#   1. _R3_PRIORITY — rows that CHANGED this round and must be re-proven:
+#      the round-2 red row (events_sliding_windows, oracle tz fix) and the
+#      two newly-oracle'd queries (agg_approx_distinct, pagerank).
+#   2. Never-driver-checked queries (anything not in r1 ∪ r2 — i.e. new
+#      round-3 queries) — automatically sort next.
+#   3. Least-recently-proven: the r1-checked set (proven two rounds ago).
+#   4. The r2-checked set (proven last round).
+_R3_PRIORITY: tuple[str, ...] = (
+    "events_sliding_windows", "agg_approx_distinct", "graph_pagerank_purchases",
+)
+
+# Round-1 pass (CORRECTNESS_r01.json): the first 50 registry entries.
 _R1_DRIVER_CHECKED: frozenset[str] = frozenset(
     {
         "wordcount_documents", "corpus_curation_pipeline", "quality_rules_audit",
@@ -51,10 +60,43 @@ _R1_DRIVER_CHECKED: frozenset[str] = frozenset(
     }
 )
 
-_ALL_SPECS: list[QuerySpec] = [
-    *(s for s in _MODULE_SPECS if s.name not in _R1_DRIVER_CHECKED),
-    *(s for s in _MODULE_SPECS if s.name in _R1_DRIVER_CHECKED),
-]
+# Round-2 pass (CORRECTNESS_r02.json); r1 ∪ r2 covers all 98 round-2 names.
+_R2_DRIVER_CHECKED: frozenset[str] = frozenset(
+    {
+        "winnowing_fingerprints", "tfidf_top_terms", "unigram_rarity_score",
+        "decontamination_overlap", "dedup_cluster_stats", "q21_waiting_suppliers",
+        "q15_top_supplier", "q17_small_quantity_revenue", "q22_idle_rich_customers",
+        "window_value_functions", "events_tumbling_hourly", "events_user_features",
+        "events_sliding_windows", "events_sessionize", "events_json_extract",
+        "events_variant_extract", "events_dedup_exact", "events_asof_last_view",
+        "events_pivot_types", "events_retention_cohorts", "events_funnel_conversion",
+        "knn_bruteforce_cosine", "multimodal_frame_sample", "lsh_bucket_ann",
+        "ivf_ann", "embedding_norms", "multimodal_decode_stub", "q4_late_ship_orders",
+        "agg_approx_distinct", "graph_pagerank_purchases", "map_functions_showcase",
+        "regexp_extract_ids", "date_functions_showcase", "text_char_trigram_profile",
+        "q2_min_balance_supplier", "in_subquery_customers", "grouping_sets_revenue",
+        "array_functions_showcase", "simhash_dedup", "text_bigram_top20",
+        "docs_with_embeddings", "embedding_near_dup", "pandas_udf_norms",
+        "q12_priority_by_ship_delay", "q20_dominant_suppliers", "salted_hot_key_agg",
+        "bucketed_join_zero_shuffle", "stratified_sample_documents",
+        "wordcount_documents", "corpus_curation_pipeline",
+    }
+)
+
+_DRIVER_CHECKED: frozenset[str] = _R1_DRIVER_CHECKED | _R2_DRIVER_CHECKED
+
+
+def _order_key(s: QuerySpec) -> int:
+    if s.name in _R3_PRIORITY:
+        return 0  # changed this round — must be re-proven first
+    if s.name not in _DRIVER_CHECKED:
+        return 1  # never driver-checked (new this round)
+    if s.name not in _R2_DRIVER_CHECKED:
+        return 2  # least recently proven (round 1 only)
+    return 3      # proven last round
+
+
+_ALL_SPECS: list[QuerySpec] = sorted(_MODULE_SPECS, key=_order_key)
 
 QUERIES: dict[str, QuerySpec] = {s.name: s for s in _ALL_SPECS}
 assert len(QUERIES) == len(_ALL_SPECS), "duplicate query name in registry"

@@ -34,10 +34,11 @@ def _canon_cell(v):
             v = 0.0  # normalize -0.0
         return f"{v:.6f}"
     if isinstance(v, (pd.Timestamp, datetime.datetime)):
-        ts = pd.Timestamp(v)
-        if ts.tzinfo is not None:
-            ts = ts.tz_convert("UTC").tz_localize(None)
-        return ts.isoformat()
+        # No tz-normalization: a tz-aware oracle value vs a naive Spark
+        # value must FAIL here, exactly as the driver's hash check fails.
+        # (Oracle SQL must produce naive timestamps — see
+        # spark-duckdb discipline notes; DuckDB to_timestamp() is tz-aware.)
+        return pd.Timestamp(v).isoformat()
     if isinstance(v, datetime.date):
         return pd.Timestamp(v).isoformat()
     if isinstance(v, bytes):
@@ -61,7 +62,10 @@ def _dtype_key(dtype) -> str:
     if kind == "f":
         return "float"
     if kind == "M":
-        return "timestamp"
+        # Distinguish tz-aware from naive: the driver's schema check does
+        # (Spark window().start is naive; DuckDB TIMESTAMPTZ is not).
+        tz = getattr(dtype, "tz", None)
+        return f"timestamp[tz={tz}]" if tz is not None else "timestamp"
     if kind == "b":
         return "bool"
     return "object"
