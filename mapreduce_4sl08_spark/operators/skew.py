@@ -44,7 +44,11 @@ def _looks_distinct(df: DataFrame, expr: Column) -> bool:
     try:
         plan = (df.limit(0).groupBy().agg(expr)
                 ._jdf.queryExecution().analyzed().toString())
-        return "distinct" in plan.lower()
+        # Distinct aggregates print as `count(distinct x#1L)` — match the
+        # "(distinct " call form specifically, NOT a bare substring: a
+        # plain aggregate over a column merely NAMED e.g. `distinct_users`
+        # prints as `sum(distinct_users#5L)` and must not be rejected.
+        return "(distinct " in plan.lower()
     except Exception:
         return False
 
@@ -92,7 +96,7 @@ def salted_aggregate(df: DataFrame, key: str,
 #: small side's unmatched rows would surface once per replica.
 _SALT_SAFE_JOINS = frozenset(
     {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
-     "left_anti", "leftanti"})
+     "semi", "left_anti", "leftanti", "anti"})
 
 
 def salted_join(big: DataFrame, small: DataFrame, on: str,

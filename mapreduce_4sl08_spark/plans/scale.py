@@ -7,6 +7,8 @@ queries instead of test-only helpers.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
@@ -160,22 +162,30 @@ ORDER BY event_type
 # plan is asserted Exchange-free in tests/test_plans.py.
 
 _BUCKETS = 8
-#: explicit location — the driver may invoke this from any cwd, and the
-#: engine must never write outside its own tree
-_BUCKET_ROOT = "/root/repo/spark-warehouse"
+
+
+def _bucket_root(spark: SparkSession) -> str:
+    """Bucket-table location: the session's configured warehouse dir
+    (never a hardcoded checkout path — the driver may run from any cwd),
+    suffixed with the Spark applicationId so concurrent sessions running
+    this query don't clobber each other's fixed-name tables."""
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse").removeprefix("file:")
+    return os.path.join(warehouse, f"bkt-{spark.sparkContext.applicationId}")
 
 
 def bucketed_join_zero_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Orders⋈customer co-located via bucketBy(custkey): per-segment
     order stats without a join-time shuffle."""
     from ..sources.bucketing import bucketed_join, write_bucketed
+    root = _bucket_root(spark)
     o = t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     write_bucketed(o, "bkt_orders", "o_custkey", _BUCKETS,
-                   path=f"{_BUCKET_ROOT}/bkt_orders")
+                   path=f"{root}/bkt_orders")
     write_bucketed(c.withColumnRenamed("c_custkey", "o_custkey"),
                    "bkt_customer", "o_custkey", _BUCKETS,
-                   path=f"{_BUCKET_ROOT}/bkt_customer")
+                   path=f"{root}/bkt_customer")
     joined = bucketed_join(spark, "bkt_orders", "bkt_customer", "o_custkey",
                            force_sort_merge=True)
     return (

@@ -7,11 +7,13 @@ two-phase-commit connector:
   commit message; failed or speculative attempts leave only temp files,
   which never become visible;
 - the driver's commit() renames exactly the committed attempts to their
-  final names, merges (append) or replaces (overwrite) the manifest, and
-  publishes the manifest LAST — readers keyed on the manifest never
-  observe a partial write (the manifest is the transaction marker);
-- overwrite mode clears prior shards; append mode merges the prior
-  manifest so earlier batches stay visible.
+  final names, merges (append) or replaces (overwrite) the shard set,
+  then publishes the manifest atomically (temp file + rename) — readers
+  keyed on the manifest never observe a partial write (the manifest is
+  the transaction marker);
+- overwrite mode retires prior shards only AFTER the new manifest is
+  live, so a reader holding either manifest always finds its shards;
+  append mode merges the prior manifest so earlier batches stay visible.
 
     spark.dataSource.register(JsonlManifestDataSource)
     df.write.format("jsonl_manifest").option("path", out).mode("append").save()
@@ -75,26 +77,37 @@ class JsonlManifestWriter(DataSourceWriter):
             os.replace(os.path.join(self.path, m.tmp_name),
                        os.path.join(self.path, m.final_name))
             new_shards.append({"file": m.final_name, "rows": m.n_rows})
-        # 2. overwrite clears prior shards; append keeps them in the manifest
+        # 2. overwrite replaces the shard set; append merges the prior
+        #    manifest. Stale shards are only IDENTIFIED here — deletion
+        #    must wait until after the new manifest is published, or a
+        #    reader holding the old manifest would hit missing files.
         if self.overwrite:
             keep = {s["file"] for s in new_shards}
-            for fn in os.listdir(self.path):
-                if fn.startswith("shard-") and fn not in keep:
-                    os.remove(os.path.join(self.path, fn))
+            stale = [fn for fn in os.listdir(self.path)
+                     if fn.startswith("shard-") and fn not in keep]
             shards = new_shards
         else:
+            stale = []
             shards = self._read_manifest() + new_shards
-        # 3. sweep temp files from attempts that never committed
-        for fn in os.listdir(self.path):
-            if fn.startswith(_TMP_PREFIX):
-                os.remove(os.path.join(self.path, fn))
-        # 4. manifest last — the commit point
+        # 3. publish the manifest atomically (temp + rename) — THE commit
+        #    point. A concurrent reader sees either the old manifest with
+        #    its shards still on disk, or the complete new manifest —
+        #    never a torn manifest or one pointing at deleted shards.
         manifest = {
             "shards": sorted(shards, key=lambda s: s["file"]),
             "total_rows": sum(s["rows"] for s in shards),
         }
-        with open(os.path.join(self.path, _MANIFEST), "w") as f:
+        tmp_manifest = os.path.join(
+            self.path, f"{_TMP_PREFIX}{uuid.uuid4().hex}-manifest.json")
+        with open(tmp_manifest, "w") as f:
             json.dump(manifest, f, indent=2)
+        os.replace(tmp_manifest, os.path.join(self.path, _MANIFEST))
+        # 4. only now retire stale shards and sweep uncommitted temp files
+        for fn in stale:
+            os.remove(os.path.join(self.path, fn))
+        for fn in os.listdir(self.path):
+            if fn.startswith(_TMP_PREFIX):
+                os.remove(os.path.join(self.path, fn))
 
     def abort(self, messages):
         # only temp files can exist for this batch — remove the reported
