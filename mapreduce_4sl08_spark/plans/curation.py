@@ -1,0 +1,359 @@
+"""Training-data curation plans: the operations a large-scale LLM
+pretraining pipeline runs AFTER filtering/dedup — sequence packing,
+mixture weighting, provenance reporting, containment analysis, BPE-style
+pretokenization, and embedding quantization.
+
+All queries follow the repo's cross-engine discipline (see
+plans/base.py): exact integer arithmetic wherever a float could hit a
+rounding tie, md5 as the only hash, every column aliased identically in
+the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ..functions import TOKEN_SPLIT_RE
+from .base import QuerySpec, t
+
+# ------------------------------------------------------------ sequence packing
+# Greedy sequential packing of documents into fixed-size token bins
+# (the pretraining context-window packing step). Deterministic: docs are
+# packed in doc_id order within each language stream; a doc starts the
+# next bin when its START offset crosses the bin boundary. At 100 TB the
+# window is per (lang) stream — repartition by lang, sort within
+# partitions by doc_id, and the cumulative sum never shuffles again.
+
+_PACK_BIN_TOKENS = 512
+
+
+_PACK_SHARD_DOCS = 100  # doc_id-range shard width for the parallel prefix sum
+
+
+def sequence_packing_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack docs into 512-token bins per language (greedy, doc_id
+    order); report docs and token mass per bin. Pure integer arithmetic
+    — exact in both engines.
+
+    The cumulative sum is the DISTRIBUTED two-pass prefix sum, not one
+    window partition per language (which would serialize each language
+    stream through a single task at 100 TB): pass 1 computes within-
+    shard running sums in parallel across (lang, doc_id-range) shards;
+    pass 2 computes each shard's starting offset from the tiny per-shard
+    totals table; the global cumsum is their sum. Identical values to
+    the naive single-window form, shuffle-parallel at any scale."""
+    d = t(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim("text"), TOKEN_SPLIT_RE)).cast("long")
+    docs = d.select(
+        "doc_id", "lang", n_tok.alias("n_tok"),
+        F.expr(f"doc_id div {_PACK_SHARD_DOCS}").alias("shard"))
+    w_in = Window.partitionBy("lang", "shard").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    within = docs.withColumn("cum_in_shard", F.sum("n_tok").over(w_in))
+    shard_tot = docs.groupBy("lang", "shard").agg(F.sum("n_tok").alias("shard_tok"))
+    w_off = Window.partitionBy("lang").orderBy("shard").rowsBetween(
+        Window.unboundedPreceding, -1)
+    offsets = shard_tot.select(
+        "lang", "shard",
+        F.coalesce(F.sum("shard_tok").over(w_off), F.lit(0)).alias("offset"))
+    packed = (
+        within.join(offsets, ["lang", "shard"])
+        .withColumn("cum", F.col("cum_in_shard") + F.col("offset"))
+        .withColumn("bin", F.expr(f"(cum - n_tok) div {_PACK_BIN_TOKENS}"))
+    )
+    return (
+        packed.groupBy("lang", "bin")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_tok").alias("bin_tokens"))
+        .orderBy("lang", "bin")
+    )
+
+
+SEQUENCE_PACKING_SQL = rf"""
+WITH docs AS (
+  SELECT doc_id, lang,
+         len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_tok
+  FROM documents
+),
+c AS (
+  SELECT lang, n_tok,
+         (SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING))::BIGINT AS cum
+  FROM docs
+)
+SELECT lang, ((cum - n_tok) // {_PACK_BIN_TOKENS})::BIGINT AS bin,
+       COUNT(*) AS n_docs, SUM(n_tok)::BIGINT AS bin_tokens
+FROM c
+GROUP BY 1, 2
+ORDER BY lang, bin
+"""
+
+# ------------------------------------------------------------ mixture weights
+# Temperature-scaled sampling weights per language stream (the
+# multilingual mixture recipe: w_l ∝ n_l^α with α=1/2 flattens the
+# head). One tiny agg + a broadcast scalar join — the 100 TB cost is one
+# pass over token counts.
+
+
+def mixture_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim("text"), TOKEN_SPLIT_RE)).cast("long")
+    per = d.select("lang", n_tok.alias("n_tok")).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"))
+    z = per.agg(F.sum(F.sqrt(F.col("n_tokens"))).alias("z"))
+    return (
+        per.crossJoin(broadcast(z))
+        .select("lang", "n_docs", "n_tokens",
+                F.round(F.sqrt(F.col("n_tokens")) / F.col("z"), 6).alias("weight"))
+        .orderBy("lang")
+    )
+
+
+MIXTURE_WEIGHTS_SQL = r"""
+WITH per AS (
+  SELECT lang, COUNT(*) AS n_docs,
+         SUM(len(regexp_split_to_array(trim(text), '\s+'))::BIGINT)::BIGINT AS n_tokens
+  FROM documents
+  GROUP BY lang
+)
+SELECT lang, n_docs, n_tokens,
+       ROUND(sqrt(n_tokens) / (SELECT SUM(sqrt(n_tokens)) FROM per), 6) AS weight
+FROM per
+ORDER BY lang
+"""
+
+# ------------------------------------------------------------ provenance report
+# Per-source corpus report: volume, token mass, language spread, mean
+# quality. The average stays in exact 1e-4 integer units end-to-end
+# (float averages are NOT cross-engine portable — see the float
+# discipline in plans/base.py).
+
+
+def source_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import _quality_score_expr
+    d = t(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim("text"), TOKEN_SPLIT_RE)).cast("long")
+    q_e4 = F.round(_quality_score_expr() * 10000).cast("long")
+    per_doc = d.select("source", "lang", n_tok.alias("n_tok"), q_e4.alias("q_e4"))
+    return (
+        per_doc.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_tok").alias("n_tokens"),
+             F.countDistinct("lang").alias("n_langs"),
+             F.sum("q_e4").alias("q_sum_e4"))
+        .select("source", "n_docs", "n_tokens", "n_langs",
+                (F.expr("(q_sum_e4 * 100) div n_docs") / 1000000.0).alias("avg_quality"))
+        .orderBy("source")
+    )
+
+
+SOURCE_MIX_SQL = r"""
+WITH per_doc AS (
+  SELECT source, lang,
+         len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_tok,
+         CAST(ROUND((
+             (CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) >= 20
+                   THEN 0.4 ELSE 0.0 END)
+           + (CASE WHEN length(text) / len(regexp_split_to_array(trim(text), '\s+'))
+                   BETWEEN 3 AND 12 THEN 0.3 ELSE 0.0 END)
+           + LEAST(ROUND(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                   x -> x IN ('the','a','of','and','to','in','is')))
+                   / len(regexp_split_to_array(trim(text), '\s+')), 4), 0.3)
+         ) * 10000) AS BIGINT) AS q_e4
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_docs, SUM(n_tok)::BIGINT AS n_tokens,
+       COUNT(DISTINCT lang) AS n_langs,
+       ((SUM(q_e4)::BIGINT * 100) // COUNT(*)) / 1000000.0 AS avg_quality
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+# ------------------------------------------------------------ containment
+# Directional containment |A∩B|/|A| over the verified near-dup pairs —
+# distinguishes symmetric near-dups from quote/subset inclusion (the
+# signal Jaccard alone hides: a doc fully contained in a bigger one has
+# high containment but modest Jaccard). Reuses the memoized AllPairs
+# output and the shared shingle index; zero new heavy joins.
+
+
+def near_dup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import _shingle_sets, dedup_ngram_jaccard
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b", "n_common")
+    _, sets = _shingle_sets(spark, sf_dir, 3)
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_sh_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_sh_b"))
+    return (
+        pairs.join(sa, "doc_a").join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.round(F.col("n_common") / F.col("n_sh_a"), 4).alias("containment_a"),
+            F.round(F.col("n_common") / F.col("n_sh_b"), 4).alias("containment_b"),
+            F.round(F.col("n_common")
+                    / F.least("n_sh_a", "n_sh_b"), 4).alias("max_containment"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _containment_sql() -> str:
+    from .text import DEDUP_JACCARD_SQL
+    return rf"""
+WITH pairs AS ({DEDUP_JACCARD_SQL.strip()}),
+sh AS (
+  SELECT DISTINCT doc_id, shingle
+  FROM (
+    SELECT doc_id,
+           array_to_string(toks[i:i+2], ' ') AS shingle
+    FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+          FROM documents),
+         UNNEST(range(1, len(toks) - 1)) AS u(i)
+    WHERE len(toks) >= 3
+  )
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id)
+SELECT doc_a, doc_b,
+       ROUND(n_common / sa.n_sh, 4) AS containment_a,
+       ROUND(n_common / sb.n_sh, 4) AS containment_b,
+       ROUND(n_common / LEAST(sa.n_sh, sb.n_sh), 4) AS max_containment
+FROM pairs
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+# ------------------------------------------------------------ BPE pretokenize
+# The GPT-2-family pretokenizer split (contractions / letter runs /
+# digit runs / punctuation runs, each optionally space-prefixed),
+# restricted to lookahead-free constructs so Java regex (Spark) and RE2
+# (DuckDB) agree. Token counting at this granularity is the first step
+# of every BPE training/accounting pass.
+
+_BPE_PRETOKEN_RE = r"(?:'s|'t|'re|'ve|'m|'ll|'d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+_BPE_TOP_K = 50
+
+
+def bpe_pretokenize_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    tok = F.explode(
+        F.regexp_extract_all("text", F.lit(_BPE_PRETOKEN_RE), F.lit(0))).alias("token")
+    counts = d.select(tok).groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    # top-k FIRST via orderBy+limit (TakeOrderedAndProject — per-partition
+    # heaps, no global shuffle), then rank the tiny k-row result; a
+    # global row_number window over all tokens would single-partition
+    # the full vocabulary at scale
+    top = counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(_BPE_TOP_K)
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    return (
+        top.withColumn("rk", F.row_number().over(w))
+        .select("rk", "token", "n")
+        .orderBy("rk")
+    )
+
+
+_BPE_SQL_RE = _BPE_PRETOKEN_RE.replace("'", "''")
+BPE_PRETOKENIZE_SQL = f"""
+WITH toks AS (
+  SELECT UNNEST(regexp_extract_all(text, '{_BPE_SQL_RE}')) AS token
+  FROM documents
+),
+counts AS (SELECT token, COUNT(*) AS n FROM toks GROUP BY token),
+ranked AS (
+  SELECT token, n,
+         ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS rk
+  FROM counts
+)
+SELECT CAST(rk AS INT) AS rk, token, n
+FROM ranked
+WHERE rk <= {_BPE_TOP_K}
+ORDER BY rk
+"""
+
+# ------------------------------------------------------------ quantization
+# Scalar (int8) quantization of the embedding column — the storage/
+# serving compression step of a vector index (per-dimension min/max
+# scaling, the SQ8 scheme). Verification stays EXACT-integer: the query
+# outputs per-vector code checksums, not float reconstruction error —
+# floor() on identical IEEE expressions is bit-identical across engines,
+# so the int codes are too. At scale the dim-stats pass is one tiny agg
+# broadcast to the encode pass.
+
+
+def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    stats = (
+        e.select(F.posexplode("embedding").alias("i", "x"))
+        .groupBy("i").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    )
+    arrs = stats.agg(
+        F.expr("transform(array_sort(collect_list(struct(i, mn, mx))), s -> s.mn)")
+        .alias("mins"),
+        F.expr("transform(array_sort(collect_list(struct(i, mn, mx))), s -> s.mx)")
+        .alias("maxs"),
+    )
+    codes = F.expr(
+        "transform(embedding, (x, i) -> "
+        "cast(floor((x - mins[i]) / (maxs[i] - mins[i]) * 255.0) as int))")
+    return (
+        e.crossJoin(broadcast(arrs))
+        .select("vec_id", codes.alias("codes"))
+        .select(
+            "vec_id",
+            F.expr("aggregate(codes, cast(0 as bigint), (a, c) -> a + c)")
+            .alias("code_sum"),
+            F.array_min("codes").alias("code_min"),
+            F.array_max("codes").alias("code_max"),
+            F.element_at("codes", 1).alias("first_code"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+EMBEDDING_QUANT_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+dims AS (
+  SELECT i, MIN(emb[i + 1]) AS mn, MAX(emb[i + 1]) AS mx
+  FROM e, UNNEST(range(64)) AS u(i)
+  GROUP BY i
+),
+bounds AS (
+  SELECT list(mn ORDER BY i) AS mins, list(mx ORDER BY i) AS maxs FROM dims
+),
+coded AS (
+  SELECT vec_id,
+         list_transform(range(64), i ->
+           CAST(floor((emb[i + 1] - mins[i + 1]) / (maxs[i + 1] - mins[i + 1])
+                      * 255.0) AS INT)) AS codes
+  FROM e CROSS JOIN bounds
+)
+SELECT vec_id,
+       list_sum(codes)::BIGINT AS code_sum,
+       list_min(codes) AS code_min,
+       list_max(codes) AS code_max,
+       codes[1] AS first_code,
+FROM coded
+ORDER BY vec_id
+"""
+
+
+CONTAINMENT_SQL = _containment_sql()
+
+SPECS: list[QuerySpec] = [
+    QuerySpec("sequence_packing_bins", sequence_packing_bins, SEQUENCE_PACKING_SQL,
+              "greedy context-window packing into 512-token bins per language"),
+    QuerySpec("mixture_sampling_weights", mixture_sampling_weights, MIXTURE_WEIGHTS_SQL,
+              "temperature-scaled (α=1/2) language mixture weights"),
+    QuerySpec("source_mix_report", source_mix_report, SOURCE_MIX_SQL,
+              "per-source provenance report (volume, tokens, languages, mean quality)"),
+    QuerySpec("near_dup_containment", near_dup_containment, CONTAINMENT_SQL,
+              "directional containment over verified near-dup pairs"),
+    QuerySpec("bpe_pretokenize_counts", bpe_pretokenize_counts, BPE_PRETOKENIZE_SQL,
+              "GPT-2-style pretokenizer top-k token counts (lookahead-free regex)"),
+    QuerySpec("embedding_quantization", embedding_quantization, EMBEDDING_QUANT_SQL,
+              "int8 scalar quantization of embeddings with exact-integer checksums"),
+]

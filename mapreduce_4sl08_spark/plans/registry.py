@@ -11,7 +11,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import events, extended, relational, scale, text, vectors
+from . import curation, events, extended, relational, scale, text, vectors
 from .base import QuerySpec
 
 _MODULE_SPECS: list[QuerySpec] = [
@@ -21,6 +21,7 @@ _MODULE_SPECS: list[QuerySpec] = [
     *vectors.SPECS,
     *extended.SPECS,
     *scale.SPECS,
+    *curation.SPECS,
 ]
 
 # Driver CORRECTNESS coverage history (the driver checks ~50 rows per
@@ -34,6 +35,8 @@ _MODULE_SPECS: list[QuerySpec] = [
 #   4. The r2-checked set (proven last round).
 _R3_PRIORITY: tuple[str, ...] = (
     "events_sliding_windows", "agg_approx_distinct", "graph_pagerank_purchases",
+    "ivf_ann",  # nprobe 2→4 this round — result set changed
+    "corpus_curation_pipeline",  # per-doc signals fused into one scan
 )
 
 # Round-1 pass (CORRECTNESS_r01.json): the first 50 registry entries.

@@ -189,6 +189,22 @@ ORDER BY doc_id
 # ------------------------------------------------------------ quality score
 
 
+def _quality_score_expr():
+    """The [0,1]-ish C4/Gopher-style quality score as a single Column —
+    shared by text_quality_score and the fused projection inside
+    corpus_curation_pipeline (same expression → identical values)."""
+    toks = F.split(F.trim("text"), TOKEN_SPLIT_RE)
+    n_tok = F.size(toks)
+    stop_hits = F.size(F.expr(
+        "filter(split(trim(lower(text)), '\\\\s+'), x -> x in ('the','a','of','and','to','in','is'))"))
+    score = (
+        F.when(n_tok >= 20, F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when((F.length("text") / n_tok).between(3, 12), F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.least(F.round(stop_hits / n_tok, 4), F.lit(0.3))
+    )
+    return F.round(score, 4)
+
+
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality scoring: length, mean word length, stopword
     ratio, alpha ratio → [0,1]-ish score; typical pretraining-corpus
@@ -199,18 +215,13 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop_hits = F.size(F.expr(
         "filter(split(trim(lower(text)), '\\\\s+'), x -> x in ('the','a','of','and','to','in','is'))"))
     alpha_chars = F.length(F.regexp_replace("text", r"[^A-Za-z]", ""))
-    score = (
-        F.when(n_tok >= 20, F.lit(0.4)).otherwise(F.lit(0.0))
-        + F.when((F.length("text") / n_tok).between(3, 12), F.lit(0.3)).otherwise(F.lit(0.0))
-        + F.least(F.round(stop_hits / n_tok, 4), F.lit(0.3))
-    )
     return (
         d.select(
             "doc_id",
             n_tok.alias("n_tokens"),
             F.round(stop_hits / n_tok, 4).alias("stopword_ratio"),
             F.round(alpha_chars / F.length("text"), 4).alias("alpha_ratio"),
-            F.round(score, 4).alias("quality_score"),
+            _quality_score_expr().alias("quality_score"),
         )
         .orderBy("doc_id")
     )
@@ -247,15 +258,22 @@ _LANG_MARKERS = {
 }
 
 
-def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents")
+def _lang_score_exprs() -> dict:
+    """Per-language marker-hit-rate score Columns (rounded 4dp) —
+    shared by text_language_id and the fused curation projection."""
     toks = F.split(F.trim(F.lower("text")), TOKEN_SPLIT_RE)
-    hit_cols = []
+    scores = {}
     for lang, markers in _LANG_MARKERS.items():
         in_list = ",".join(f"'{m}'" for m in markers)
         hits = F.size(F.expr(f"filter(split(trim(lower(text)), '\\\\s+'), x -> x in ({in_list}))"))
-        hit_cols.append(F.round(hits / F.size(toks), 4).alias(f"score_{lang}"))
-    d2 = d.select("doc_id", *hit_cols)
+        scores[lang] = F.round(hits / F.size(toks), 4)
+    return scores
+
+
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    scores = _lang_score_exprs()
+    d2 = d.select("doc_id", *[c.alias(f"score_{lang}") for lang, c in scores.items()])
     score_cols = [f"score_{lang}" for lang in _LANG_MARKERS]
     # argmax with deterministic tie-break on language-name order
     best = F.greatest(*[F.col(c) for c in score_cols])
@@ -869,22 +887,45 @@ _QUALITY_THRESHOLD = 0.70
 
 
 def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents").select("doc_id")
-    lang = text_language_id(spark, sf_dir).select("doc_id", "pred_lang")
-    qual = text_quality_score(spark, sf_dir).select("doc_id", "quality_score")
-    exact_kept = dedup_exact_documents(spark, sf_dir).select(
-        F.col("kept_doc_id").alias("doc_id"), F.lit(1).alias("ex_kept"))
+    """One fused projection computes ALL per-doc signals (language,
+    quality score, content hash) in a single scan — the round-2 version
+    built three separate doc-scans and equi-joined them back on doc_id,
+    paying two shuffle joins for values that are row-local. The only
+    remaining joins are inherently relational: exact-dedup survivor per
+    content-hash group, and the near-dup component labels.
+
+    The signals are STAGED as two stacked projections (scores first,
+    argmax over the score ATTRIBUTES second) — inlining the argmax over
+    the raw marker-filter lambdas would re-evaluate each ~6× per row
+    (CollapseProject rightly refuses to merge multi-referenced non-cheap
+    expressions; measured 2× slower fully inlined)."""
+    d = t(spark, sf_dir, "documents")
+    scores = _lang_score_exprs()
+    staged = d.select(
+        "doc_id",
+        *[c.alias(f"score_{lang}") for lang, c in scores.items()],
+        _quality_score_expr().alias("quality_score"),
+        F.md5(F.lower(F.trim("text"))).alias("content_hash"),
+    )
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in _LANG_MARKERS])
+    pred = F.when(best <= 0, F.lit("und"))
+    for lang in sorted(_LANG_MARKERS):
+        pred = pred.when(F.col(f"score_{lang}") == best, F.lit(lang))
+    base = staged.select(
+        "doc_id", pred.alias("pred_lang"), "quality_score", "content_hash")
+    exact_kept = base.groupBy("content_hash").agg(
+        F.min("doc_id").alias("kept_doc_id"))
     comp = dedup_connected_components(spark, sf_dir).select(
         "doc_id", F.col("is_kept").alias("nd_kept"))
     reason = (
         F.when(F.col("pred_lang") != "en", "lang")
         .when(F.col("quality_score") < _QUALITY_THRESHOLD, "quality")
-        .when(F.col("ex_kept").isNull(), "exact_dup")
+        .when(F.col("doc_id") != F.col("kept_doc_id"), "exact_dup")
         .when(F.col("nd_kept") == 0, "near_dup")
     )
     return (
-        d.join(lang, "doc_id").join(qual, "doc_id")
-        .join(exact_kept, "doc_id", "left").join(comp, "doc_id")
+        base.join(exact_kept, "content_hash")
+        .join(comp, "doc_id")
         .select("doc_id", reason.alias("drop_reason"),
                 reason.isNull().cast("int").alias("is_kept"))
         .orderBy("doc_id")

@@ -260,7 +260,18 @@ LSH_ANN_SQL = _lsh_ann_sql()
 # the corpus, and the assignment build is one broadcast-join pass.
 
 _IVF_K = 16       # lists; production sizes this ~sqrt(n)
-_IVF_NPROBE = 2   # lists searched per probe
+#: lists searched per probe. DECISION (round 3, measured): on this
+#: fixture the true neighbors sit at cos≈0.45-0.5, barely above the
+#: near-orthogonal background, so they are NOT centroid-localized —
+#: a (K, nprobe) sweep measured recall ≈ 2 × corpus-fraction-searched
+#: at every K in {8,16,32,64}, and one-to-three k-means refinement
+#: passes over the sampled centroids moved recall by <0.1. IVF is kept
+#: at an honest operating point (nprobe=4/16 → 25% of corpus, recall
+#: 0.56, pinned ≥0.5 in tests/test_properties.py); hyperplane LSH
+#: (lsh_bucket_ann, recall 0.92) is the SERVED high-recall ANN path on
+#: data like this. On real clustered embeddings IVF recall at this
+#: nprobe is far higher — the plan shape is what matters at 100 TB.
+_IVF_NPROBE = 4
 
 
 def _ivf_assignments(e: DataFrame, n_lists: int, rank_limit: int):
@@ -288,9 +299,10 @@ def _ivf_assignments(e: DataFrame, n_lists: int, rank_limit: int):
 
 
 def ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN top-k: probes search their nprobe=2 nearest centroid
+    """IVF ANN top-k: probes search their nprobe=4 nearest centroid
     lists; exact cosine rerank inside. Same output contract as
-    lsh_bucket_ann; recall<1 by design (list pruning)."""
+    lsh_bucket_ann; recall<1 by design (list pruning — see the
+    _IVF_NPROBE decision note)."""
     e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     assign = _ivf_assignments(e, _IVF_K, 1)
     # probe lists rank against the SAME full-corpus centroid set

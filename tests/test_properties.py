@@ -172,16 +172,19 @@ def test_embedding_near_dup_recall_vs_bruteforce(spark, sf_dir):
 def test_ivf_ann_recall_vs_bruteforce(spark, sf_dir):
     """IVF regression floor at sf0.01 (deterministic centroids + data).
     The fixture's neighbors sit at cos≈0.45-0.5 — barely above the
-    near-orthogonal background — so they are NOT centroid-localized and
-    nprobe=2/16 recall is structurally modest here (measured 0.36);
-    on real clustered embeddings IVF recall at this nprobe is far
-    higher. The test pins the floor so param/centroid changes that
-    degrade it further are caught."""
+    near-orthogonal background — so they are NOT centroid-localized:
+    a (K, nprobe) sweep measured recall ≈ 2× the corpus fraction
+    searched at every K in {8,16,32,64}, and k-means refinement of the
+    centroids moved it by <0.1. Decision (documented at
+    plans/vectors.py:_IVF_NPROBE): IVF runs at the honest nprobe=4/16
+    operating point (recall 0.56 searching 25% of the corpus) and LSH
+    (pinned ≥0.85 above) is the served high-recall path on data like
+    this. The floor pins param/centroid regressions."""
     bf = {(r.query_id, r.vec_id)
           for r in QUERIES["knn_bruteforce_cosine"].fn(spark, sf_dir).collect()}
     ivf = {(r.query_id, r.vec_id)
            for r in QUERIES["ivf_ann"].fn(spark, sf_dir).collect()}
-    assert len(bf & ivf) / len(bf) >= 0.3
+    assert len(bf & ivf) / len(bf) >= 0.5
 
 
 def test_stratified_sample_rates(spark, sf_dir):
