@@ -134,6 +134,54 @@ GROUP BY user_id, session_seq
 ORDER BY user_id, session_seq
 """
 
+# Native session_window (the same operator Spark uses in Structured
+# Streaming state merging) run in batch mode — complements the
+# gaps-and-islands twin above, which proves the semantics; this proves
+# the API. Boundary semantics: sessions are [start, last_ts + gap), so
+# an event at EXACTLY gap seconds after its predecessor starts a NEW
+# session (>= in the oracle; the gaps-and-islands twin uses > because it
+# models "merge while gap <= 30min" — both are valid sessionizations,
+# kept distinct deliberately, each oracle-checked).
+
+
+def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+        .select("user_id",
+                F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"),
+                "n_events", "sum_value")
+        .orderBy("user_id", "session_start")
+    )
+
+
+EVENTS_SESSION_NATIVE_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) IS NULL
+               OR epoch(ts) - epoch(LAG(ts) OVER w) >= 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+numbered AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS sum_value
+FROM numbered
+GROUP BY user_id, session_seq
+ORDER BY user_id, session_start
+"""
+
 # ------------------------------------------------------------ JSON extraction
 
 
@@ -413,6 +461,9 @@ SPECS: list[QuerySpec] = [
               "applyInPandas grouped-map per-user sequence features"),
     QuerySpec("events_sliding_windows", events_sliding_windows, EVENTS_SLIDING_SQL,
               "sliding 1h/30m window agg"),
+    QuerySpec("events_session_window_native", events_session_window_native,
+              EVENTS_SESSION_NATIVE_SQL,
+              "native session_window API in batch mode ([start, last+gap) semantics)"),
     QuerySpec("events_sessionize", events_sessionize, EVENTS_SESSION_SQL,
               "30-min-gap sessionization (batch twin of session_window)"),
     QuerySpec("events_json_extract", events_json_extract, EVENTS_JSON_SQL,

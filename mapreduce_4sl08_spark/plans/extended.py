@@ -97,6 +97,40 @@ ORDER BY c_mktsegment
 """
 
 
+def lateral_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery: each customer's top-3 orders by
+    price. Catalyst rewrites the per-row LATERAL LIMIT into a join +
+    per-group window limit — declare the correlation, let the optimizer
+    pick the decorrelated physical form (never an N-queries loop)."""
+    register_views(spark, sf_dir, ["customer", "orders"])
+    return spark.sql("""
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM customer c,
+        LATERAL (
+            SELECT o_orderkey, o_totalprice
+            FROM orders
+            WHERE o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey ASC
+            LIMIT 3
+        ) o
+        ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey
+    """)
+
+
+LATERAL_TOPK_SQL = """
+SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+FROM customer c,
+LATERAL (
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_custkey = c.c_custkey
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 3
+) o
+ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey
+"""
+
+
 def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (beyond rollup/cube): totals by
     (status, priority), by status alone, and grand total."""
@@ -712,6 +746,8 @@ SPECS: list[QuerySpec] = [
               "correlated min subquery as window min"),
     QuerySpec("in_subquery_customers", in_subquery_customers, IN_SUBQ_SQL,
               "IN subquery via spark.sql"),
+    QuerySpec("lateral_topk_orders", lateral_topk_orders, LATERAL_TOPK_SQL,
+              "LATERAL correlated top-k subquery (decorrelated by Catalyst)"),
     QuerySpec("grouping_sets_revenue", grouping_sets_revenue, GROUPING_SETS_SQL,
               "explicit GROUPING SETS"),
     QuerySpec("array_functions_showcase", array_functions_showcase, ARRAY_FUNCS_SQL,

@@ -1,7 +1,8 @@
-"""Custom Python DataSource WRITER (Spark 4 API): sharded JSONL with a
-commit manifest — the reference's master-side sink (K1,
+"""Custom Python DataSource (Spark 4 API): sharded JSONL with a commit
+manifest — the reference's master-side sink (K1,
 /root/reference/src/MasterNode.java:200-209) generalized into a proper
-two-phase-commit connector:
+two-phase-commit connector, with a manifest-gated READ side (one input
+partition per committed shard; uncommitted/orphan files are invisible):
 
 - every task writes its shard under a TEMPORARY name and reports it in a
   commit message; failed or speculative attempts leave only temp files,
@@ -26,7 +27,8 @@ import os
 import uuid
 
 from pyspark.sql.datasource import (
-    DataSource, DataSourceWriter, WriterCommitMessage,
+    DataSource, DataSourceReader, DataSourceWriter, InputPartition,
+    WriterCommitMessage,
 )
 
 _MANIFEST = "_MANIFEST.json"
@@ -126,6 +128,40 @@ class JsonlManifestWriter(DataSourceWriter):
             pass
 
 
+class _ShardPartition(InputPartition):
+    def __init__(self, file: str):
+        self.file = file
+
+
+class JsonlManifestReader(DataSourceReader):
+    """Manifest-gated read side: ONLY shards listed in the committed
+    manifest are visible (orphan/temp files from failed writes are
+    ignored by construction), and each shard is one input partition, so
+    read parallelism equals the committed shard count."""
+
+    def __init__(self, options, schema):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_manifest requires option 'path'")
+        self.fields = [f.name for f in schema.fields]
+
+    def partitions(self):
+        mpath = os.path.join(self.path, _MANIFEST)
+        if not os.path.exists(mpath):
+            raise FileNotFoundError(
+                f"no committed manifest at {mpath} — nothing was ever "
+                f"successfully written here")
+        with open(mpath) as f:
+            shards = json.load(f).get("shards", [])
+        return [_ShardPartition(s["file"]) for s in shards]
+
+    def read(self, partition):
+        with open(os.path.join(self.path, partition.file)) as f:
+            for line in f:
+                rec = json.loads(line)
+                yield tuple(rec.get(name) for name in self.fields)
+
+
 class JsonlManifestDataSource(DataSource):
     @classmethod
     def name(cls):
@@ -133,3 +169,8 @@ class JsonlManifestDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool):
         return JsonlManifestWriter(self.options, overwrite)
+
+    def reader(self, schema):
+        # schema comes from the caller's .schema(...) (JSONL is
+        # schema-on-read; the manifest stores no types)
+        return JsonlManifestReader(self.options, schema)

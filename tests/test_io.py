@@ -168,3 +168,32 @@ def test_python_datasource_jsonl_sink(spark, sf_smoke_dir, tmp_path):
     on_disk = {f.split("/")[-1] for f in glob.glob(f"{out}/shard-*.jsonl")}
     assert on_disk == {s["file"] for s in manifest3["shards"]}
     assert not glob.glob(f"{out}/_tmp-*")  # no orphan attempt files
+
+
+def test_python_datasource_jsonl_reader(spark, sf_smoke_dir, tmp_path):
+    """Custom reader: manifest-gated shard read, one partition per shard;
+    orphan shard files NOT in the manifest are invisible."""
+    import json, glob
+    from mapreduce_4sl08_spark.sources.jsonl_sink import JsonlManifestDataSource
+    spark.dataSource.register(JsonlManifestDataSource)
+    out = str(tmp_path / "jsonl_rt")
+    nation = _nation(spark, sf_smoke_dir).repartition(3)
+    nation.write.format("jsonl_manifest").option("path", out).mode("append").save()
+
+    ddl = "n_nationkey long, n_name string, n_regionkey long, n_comment string"
+    back = (spark.read.format("jsonl_manifest").schema(ddl)
+            .option("path", out).load())
+    assert back.rdd.getNumPartitions() == \
+        len(json.load(open(f"{out}/_MANIFEST.json"))["shards"])
+    got = {(r.n_nationkey, r.n_name, r.n_regionkey) for r in back.collect()}
+    want = {(r.n_nationkey, r.n_name, r.n_regionkey) for r in nation.collect()}
+    assert got == want
+
+    # an orphan shard (simulating a torn/uncommitted write) is ignored
+    with open(f"{out}/shard-orphan.jsonl", "w") as f:
+        f.write(json.dumps({"n_nationkey": 999, "n_name": "GHOST",
+                            "n_regionkey": 0, "n_comment": ""}) + "\n")
+    back2 = (spark.read.format("jsonl_manifest").schema(ddl)
+             .option("path", out).load())
+    assert back2.count() == 25
+    assert back2.filter("n_name = 'GHOST'").count() == 0
