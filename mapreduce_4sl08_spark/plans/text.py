@@ -781,9 +781,16 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # are a tiny fraction of the corpus, so each round's join touches
     # |incident| rows, not |docs|. Isolated docs are trivially their own
     # component and are unioned back after convergence.
+    #
+    # Initial labels are the 1-HOP minimum (least of self and all
+    # neighbors), not the identity labeling: that is exactly what the
+    # first loop round would compute from identity labels, so seeding it
+    # here saves one full join+agg+collect round (~one job floor on
+    # local[32]; one fewer synchronization barrier on a real cluster).
     labels = (
-        edges.select(F.col("src").alias("doc_id")).distinct()
-        .select("doc_id", F.col("doc_id").alias("component"))
+        edges.groupBy(F.col("src").alias("doc_id"))
+        .agg(F.min("dst").alias("nbr_min"))
+        .select("doc_id", F.least("doc_id", "nbr_min").alias("component"))
         .cache()
     )
     # Convergence check: labels are monotone non-increasing under
@@ -961,6 +968,58 @@ ORDER BY d.doc_id
 CURATION_SQL = _curation_sql()
 
 
+# ------------------------------------------------------------ span dedup
+# C4-style span-level dedup (Raffel et al., JMLR 2020 dedupe three-
+# sentence spans; here fixed 10-token spans since the corpus has no
+# sentence punctuation): hash every full 10-token span, report spans
+# occurring in more than one document. At scale this is one explode +
+# one hash-shuffle agg on the span hash — the same shape as exact doc
+# dedup, ~10× the rows.
+
+_SPAN_TOKENS = 10
+
+
+def span_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower("text")), TOKEN_SPLIT_RE)
+    n = _SPAN_TOKENS
+    # guard: sequence(0, -1) counts DOWN in Spark — emit an empty array
+    # for docs shorter than one full span
+    spans = F.when(
+        F.size(toks) >= n,
+        F.expr(f"transform(sequence(0, cast(size(split(trim(lower(text)), '\\\\s+')) div {n} as int) - 1), "
+               f"i -> md5(array_join(slice(split(trim(lower(text)), '\\\\s+'), i * {n} + 1, {n}), ' ')))"),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = d.select("doc_id", F.explode(spans).alias("span_hash"))
+    return (
+        occ.groupBy("span_hash")
+        .agg(F.countDistinct("doc_id").alias("n_docs"),
+             F.count(F.lit(1)).alias("n_occurrences"),
+             F.min("doc_id").alias("first_doc"))
+        .filter(F.col("n_docs") > 1)
+        .orderBy("span_hash")
+    )
+
+
+SPAN_DEDUP_SQL = rf"""
+WITH occ AS (
+  SELECT doc_id,
+         md5(array_to_string(toks[i * {_SPAN_TOKENS} + 1 : i * {_SPAN_TOKENS} + {_SPAN_TOKENS}], ' ')) AS span_hash
+  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        FROM documents),
+       UNNEST(range(0, len(toks) // {_SPAN_TOKENS})) AS u(i)
+  WHERE len(toks) >= {_SPAN_TOKENS}
+)
+SELECT span_hash,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       COUNT(*) AS n_occurrences,
+       MIN(doc_id) AS first_doc
+FROM occ
+GROUP BY span_hash
+HAVING COUNT(DISTINCT doc_id) > 1
+ORDER BY span_hash
+"""
+
 # ------------------------------------------------------------ TF-IDF top terms
 # Keyword extraction: per-doc top-5 terms by tf·idf. The idf weight is
 # the RATIONAL form tf·1e6 ÷ (df+1) computed in exact integer arithmetic
@@ -1074,6 +1133,75 @@ GROUP BY doc_id
 ORDER BY doc_id
 """
 
+# ------------------------------------------------- bigram surprisal
+# The bigram-LM step up from unigram rarity: per-doc mean of the inverse
+# conditional frequency cnt(w1)/cnt(w1 w2) — high when the doc's word
+# TRANSITIONS are rare under the corpus bigram model (the KenLM-
+# perplexity-filter proxy, CCNet recipe). Kept in exact integer rarity
+# units like unigram_rarity_score: log/exp are not correctly-rounded
+# across libm implementations, floor-div of counts is bit-exact.
+
+
+def bigram_surprisal_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    toks_col = F.split(F.trim(F.lower("text")), TOKEN_SPLIT_RE)
+    uni = (
+        d.select(F.explode(toks_col).alias("w1"))
+        .filter(F.col("w1") != "")
+        .groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    )
+    big = d.select(
+        "doc_id", F.explode(word_shingles(toks_col, 2)).alias("bigram"))
+    bfreq = big.groupBy("bigram").agg(F.count(F.lit(1)).alias("c12"))
+    scored = (
+        big.join(bfreq, "bigram")
+        .withColumn("w1", F.split("bigram", " ").getItem(0))
+        .join(uni, "w1")
+        .select("doc_id",
+                F.floor(F.col("c1") / F.col("c12")).cast("long").alias("surprisal"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bigrams"),
+             F.sum("surprisal").alias("surprisal_sum"))
+        .withColumn("mean_surprisal",
+                    F.round(F.col("surprisal_sum") / F.col("n_bigrams"), 4))
+        .orderBy("doc_id")
+    )
+
+
+BIGRAM_SURPRISAL_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents
+),
+uni AS (
+  SELECT tok AS w1, COUNT(*) AS c1
+  FROM toks, UNNEST(t) AS u(tok)
+  WHERE tok <> ''
+  GROUP BY 1
+),
+big AS (
+  SELECT doc_id, array_to_string(t[i:i+1], ' ') AS bigram
+  FROM toks, UNNEST(range(1, len(t))) AS u(i)
+  WHERE len(t) >= 2
+),
+bfreq AS (SELECT bigram, COUNT(*) AS c12 FROM big GROUP BY 1),
+scored AS (
+  SELECT doc_id, CAST(FLOOR(c1 / c12) AS BIGINT) AS surprisal
+  FROM big
+  JOIN bfreq USING (bigram)
+  JOIN uni ON string_split(bigram, ' ')[1] = w1
+)
+SELECT doc_id,
+       COUNT(*) AS n_bigrams,
+       SUM(surprisal)::BIGINT AS surprisal_sum,
+       ROUND(SUM(surprisal) / COUNT(*), 4) AS mean_surprisal
+FROM scored
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
 # ------------------------------------------------------- decontamination
 # Benchmark decontamination: flag training docs sharing any 8-token gram
 # with the held-out eval set (here: the deterministic doc_id % 50 == 0
@@ -1153,6 +1281,10 @@ SPECS: list[QuerySpec] = [
               "shingle-hash document fingerprint"),
     QuerySpec("winnowing_fingerprints", winnowing_fingerprints, WINNOWING_SQL,
               "MOSS winnowing: min-hash per sliding k-gram window"),
+    QuerySpec("bigram_surprisal_score", bigram_surprisal_score, BIGRAM_SURPRISAL_SQL,
+              "bigram-LM inverse-conditional-frequency surprisal (perplexity-filter proxy)"),
+    QuerySpec("span_dedup_report", span_dedup_report, SPAN_DEDUP_SQL,
+              "C4-style 10-token span dedup report (cross-doc repeated spans)"),
     QuerySpec("dedup_exact_documents", dedup_exact_documents, DEDUP_EXACT_SQL,
               "exact dedup via content hash"),
     QuerySpec("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_JACCARD_SQL,

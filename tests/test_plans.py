@@ -118,6 +118,36 @@ def test_salted_agg_registry_query_two_phase(spark, sf_smoke_dir):
     assert plan.count("HashAggregate") >= 4  # partial+final × 2 phases
 
 
+def test_lateral_topk_is_decorrelated(spark, sf_dir):
+    """The LATERAL per-customer top-3 must be decorrelated by Catalyst
+    into a window-group-limit + equi-join — a correlated nested-loop
+    (one subquery execution per outer row) would be a scale-killer."""
+    plan = plan_of(spark, "lateral_topk_orders", sf_dir)
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_span_dedup_single_shuffle_agg(spark, sf_dir):
+    """Span dedup is explode + ONE hash-shuffle aggregation on the span
+    hash (with map-side partial agg) — same shape as exact doc dedup."""
+    plan = plan_of(spark, "span_dedup_report", sf_dir)
+    assert "partial_count" in plan or "partial_min" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_sequence_packing_no_global_single_partition_window(spark, sf_dir):
+    """The packing prefix sum must stay sharded: every window spec in the
+    plan carries a partitionBy (no empty-partition global window), so no
+    stage funnels the corpus through one task."""
+    plan = plan_of(spark, "sequence_packing_bins", sf_dir)
+    import re
+    # WindowExec prints as: Window [sum(...)...], [partition cols], [order]
+    for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        assert m.group(1).strip(), f"unpartitioned window in plan: {m.group(0)[:120]}"
+
+
 def test_dynamic_partition_pruning(spark, sf_smoke_dir, tmp_path):
     """DPP: joining a year-partitioned fact to a filtered dim prunes fact
     partitions at runtime — the scan must carry a dynamicpruning
