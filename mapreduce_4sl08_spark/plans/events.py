@@ -134,6 +134,45 @@ GROUP BY user_id, session_seq
 ORDER BY user_id, session_seq
 """
 
+# Windowed top-k: the canonical "trending items per window" streaming
+# analytics shape — window agg then per-window rank. Rank runs per
+# window partition (thousands of windows → thousands of partitions), so
+# no global-sort bottleneck at scale.
+
+
+def events_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    counts = (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("w").orderBy(F.col("n").desc(), F.col("event_type").asc())
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)
+        .select(F.col("w.start").alias("window_start"), "rk", "event_type", "n")
+        .orderBy("window_start", "rk")
+    )
+
+
+EVENTS_WINDOWED_TOPK_SQL = """
+WITH counts AS (
+  SELECT date_trunc('hour', ts) AS window_start, event_type, COUNT(*) AS n
+  FROM events
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT window_start, event_type, n,
+         ROW_NUMBER() OVER (PARTITION BY window_start
+                            ORDER BY n DESC, event_type ASC) AS rk
+  FROM counts
+)
+SELECT window_start, CAST(rk AS INT) AS rk, event_type, n
+FROM ranked
+WHERE rk <= 2
+ORDER BY window_start, rk
+"""
+
 # Native session_window (the same operator Spark uses in Structured
 # Streaming state merging) run in batch mode — complements the
 # gaps-and-islands twin above, which proves the semantics; this proves
@@ -461,6 +500,9 @@ SPECS: list[QuerySpec] = [
               "applyInPandas grouped-map per-user sequence features"),
     QuerySpec("events_sliding_windows", events_sliding_windows, EVENTS_SLIDING_SQL,
               "sliding 1h/30m window agg"),
+    QuerySpec("events_windowed_topk", events_windowed_topk,
+              EVENTS_WINDOWED_TOPK_SQL,
+              "trending event types per hour window (per-window rank, k=2)"),
     QuerySpec("events_session_window_native", events_session_window_native,
               EVENTS_SESSION_NATIVE_SQL,
               "native session_window API in batch mode ([start, last+gap) semantics)"),
