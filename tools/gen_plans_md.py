@@ -20,6 +20,10 @@ SHOWN = [
     "window_topk_orders_per_customer",
     "dedup_ngram_jaccard",
     "knn_bruteforce_cosine",
+    "lateral_topk_orders",
+    "sequence_packing_bins",
+    "span_dedup_report",
+    "embedding_quantization",
 ]
 
 BLURBS = {
@@ -42,6 +46,18 @@ BLURBS = {
         "array_intersect over candidate pairs.",
     "knn_bruteforce_cosine": "Probe side broadcast (BroadcastNestedLoopJoin); "
         "cosine arithmetic entirely in JVM expressions.",
+    "lateral_topk_orders": "LATERAL correlated LIMIT decorrelated by Catalyst: "
+        "WindowGroupLimit (partial before the shuffle) + equi-join — never a "
+        "per-outer-row subquery execution.",
+    "sequence_packing_bins": "Distributed two-pass prefix sum: within-shard "
+        "running sums per (lang, shard) window in parallel, shard offsets from "
+        "the tiny totals table, joined back — no single-task-per-language window.",
+    "span_dedup_report": "C4-style span dedup: explode full 10-token spans, one "
+        "hash-shuffle aggregation with map-side partials on the span hash.",
+    "embedding_quantization": "SQ8: per-dimension min/max stats collapse to one "
+        "row, broadcast to the encode pass (BroadcastNestedLoopJoin against 1 "
+        "row is the intended scalar-broadcast shape); codes verified via "
+        "exact-integer checksums.",
 }
 
 
