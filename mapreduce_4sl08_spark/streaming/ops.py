@@ -81,6 +81,37 @@ def stream_session_window(events: DataFrame,
     )
 
 
+def stream_windowed_topk_counts(events: DataFrame,
+                                watermark: str = "2 hours",
+                                window: str = "1 hour") -> DataFrame:
+    """Watermarked windowed counts feeding a per-window TOP-K sink — the
+    streaming form of plans/events.events_windowed_topk. Ranking is not
+    incrementally maintainable, but in append mode a window's rows emit
+    exactly once, together, when the watermark finalizes it — so ranking
+    each emitted micro-batch (rank_topk_batch below, via foreachBatch)
+    is exact: finalized windows are immutable."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
+def rank_topk_batch(batch_df: DataFrame, k: int = 2) -> DataFrame:
+    """foreachBatch companion of stream_windowed_topk_counts: rank the
+    finalized windows in one emitted batch (complete per window by
+    append-mode construction)."""
+    from pyspark.sql import Window
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n").desc(), F.col("event_type").asc())
+    return (
+        batch_df.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("window_start", "rk", "event_type", "n")
+    )
+
+
 def stream_dedup_within_watermark(events: DataFrame,
                                   watermark: str = "2 hours") -> DataFrame:
     """Stateful exact dedup on event_id with bounded state:

@@ -245,3 +245,33 @@ def test_transform_with_state_ema(spark, sf_smoke_dir, tmp_path):
         w_ema, w_n = want[uid]
         assert n_seen == w_n, uid
         assert abs(ema - w_ema) < 1e-9, uid
+
+
+def test_stream_windowed_topk_matches_batch_twin(spark, events_dir, sf_smoke_dir, tmp_path):
+    """foreachBatch ranking of append-mode finalized windows equals the
+    batch twin (events_windowed_topk) on every finalized window."""
+    from mapreduce_4sl08_spark.streaming.ops import (
+        rank_topk_batch, stream_windowed_topk_counts)
+
+    out = str(tmp_path / "topk_sink")
+    counts = stream_windowed_topk_counts(events_stream(spark, events_dir))
+    q = (
+        counts.writeStream
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .foreachBatch(lambda df, _id: rank_topk_batch(df).write
+                      .mode("append").parquet(out))
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+
+    events = load_table(spark, sf_smoke_dir, "events")
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    horizon = F.lit(max_ts) - F.expr("INTERVAL 2 HOURS") - F.expr("INTERVAL 1 HOUR")
+    want = (QUERIES["events_windowed_topk"].fn(spark, sf_smoke_dir)
+            .filter(F.col("window_start") <= horizon))
+    got_final = got.filter(F.col("window_start") <= horizon)
+    assert sorted(tuple(r) for r in got_final.collect()) == \
+        sorted(tuple(r) for r in want.collect())
+    assert want.count() > 20  # non-vacuous
