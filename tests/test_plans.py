@@ -148,6 +148,41 @@ def test_sequence_packing_no_global_single_partition_window(spark, sf_dir):
         assert m.group(1).strip(), f"unpartitioned window in plan: {m.group(0)[:120]}"
 
 
+def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
+    """Runtime bloom-filter join pruning: with a selective filter on the
+    build side of a shuffle join, Spark injects a might_contain() filter
+    on the probe side's scan — at 100 TB the probe side drops non-joining
+    rows BEFORE the shuffle instead of shipping them. (Thresholds lowered
+    because the fixture is tiny; the conf knobs are the production ones.)"""
+    from pyspark.sql import functions as F
+    from mapreduce_4sl08_spark.sources import load_table
+
+    overrides = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        l = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT")
+        j = l.join(o, l.l_orderkey == o.o_orderkey).groupBy("o_orderpriority").count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan[:800]
+        [row] = j.collect()
+        assert row["count"] > 0
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_dynamic_partition_pruning(spark, sf_smoke_dir, tmp_path):
     """DPP: joining a year-partitioned fact to a filtered dim prunes fact
     partitions at runtime — the scan must carry a dynamicpruning
