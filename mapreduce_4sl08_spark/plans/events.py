@@ -320,6 +320,31 @@ def events_asof_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join via cogrouped applyInPandas (pd.merge_asof) — the
+    Arrow cogroup API form of events_asof_last_view. Time-strict
+    semantics (no event_id tiebreak; an equal-timestamp view does not
+    match) — the oracle mirrors exactly that with a correlated MAX."""
+    from ..operators.grouped import asof_join_cogroup
+    e = t(spark, sf_dir, "events")
+    purchases = (e.filter(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id", "ts"))
+    views = (e.filter(F.col("event_type") == "view")
+             .select("user_id", F.col("ts").alias("view_ts")))
+    return asof_join_cogroup(purchases, views).orderBy("event_id")
+
+
+EVENTS_ASOF_COGROUP_SQL = """
+SELECT p.event_id, p.user_id, p.ts,
+       (SELECT MAX(v.ts) FROM events v
+        WHERE v.user_id = p.user_id AND v.event_type = 'view'
+          AND v.ts < p.ts) AS last_view_ts
+FROM events p
+WHERE p.event_type = 'purchase'
+ORDER BY p.event_id
+"""
+
+
 # Oracle uses the identical window formulation (portable SQL, not DuckDB's
 # ASOF JOIN, so tie semantics are bit-identical).
 EVENTS_ASOF_SQL = """
@@ -516,6 +541,8 @@ SPECS: list[QuerySpec] = [
               "keyed dedup keeping earliest (watermark-dedup twin)"),
     QuerySpec("events_asof_last_view", events_asof_last_view, EVENTS_ASOF_SQL,
               "as-of join via single-sort window (no inequality join)"),
+    QuerySpec("events_asof_cogroup", events_asof_cogroup, EVENTS_ASOF_COGROUP_SQL,
+              "as-of join via cogrouped applyInPandas (pd.merge_asof)"),
     QuerySpec("events_pivot_types", events_pivot_types, EVENTS_PIVOT_SQL,
               "pivot to per-type columns"),
     QuerySpec("events_retention_cohorts", events_retention_cohorts, RETENTION_SQL,
