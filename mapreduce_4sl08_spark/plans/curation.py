@@ -357,3 +357,138 @@ SPECS: list[QuerySpec] = [
     QuerySpec("embedding_quantization", embedding_quantization, EMBEDDING_QUANT_SQL,
               "int8 scalar quantization of embeddings with exact-integer checksums"),
 ]
+
+# ------------------------------------------------------------ survivor selection
+# Quality-weighted dedup survivor: instead of "keep min doc_id" per
+# near-dup cluster, keep the HIGHEST-quality member (ties by doc_id) —
+# the survivor policy real curation runs use. Composes the converged
+# connected-components labels (memoized) with the fused quality signal;
+# one rank window over clusters.
+
+
+def cluster_best_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import _quality_score_expr, dedup_connected_components
+    comp = dedup_connected_components(spark, sf_dir).select("doc_id", "component")
+    d = t(spark, sf_dir, "documents")
+    qual = d.select(
+        "doc_id",
+        F.round(_quality_score_expr() * 10000).cast("long").alias("q_e4"))
+    w = Window.partitionBy("component").orderBy(
+        F.col("q_e4").desc(), F.col("doc_id").asc())
+    ranked = comp.join(qual, "doc_id").withColumn("rk", F.row_number().over(w))
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        ranked.filter(F.col("rk") == 1)
+        .join(sizes, "component")
+        .filter(F.col("cluster_size") > 1)  # singletons are trivially their own survivor
+        .select("component",
+                F.col("doc_id").alias("survivor_doc_id"),
+                "cluster_size",
+                (F.col("q_e4") / 10000.0).alias("best_quality"))
+        .orderBy("component")
+    )
+
+
+def _survivor_sql() -> str:
+    from .text import COMPONENTS_SQL
+    quality_e4 = """
+  SELECT doc_id,
+         CAST(ROUND((
+             (CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) >= 20
+                   THEN 0.4 ELSE 0.0 END)
+           + (CASE WHEN length(text) / len(regexp_split_to_array(trim(text), '\\s+'))
+                   BETWEEN 3 AND 12 THEN 0.3 ELSE 0.0 END)
+           + LEAST(ROUND(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                   x -> x IN ('the','a','of','and','to','in','is')))
+                   / len(regexp_split_to_array(trim(text), '\\s+')), 4), 0.3)
+         ) * 10000) AS BIGINT) AS q_e4
+  FROM documents
+"""
+    return f"""
+WITH comp AS ({COMPONENTS_SQL.strip()}),
+qual AS ({quality_e4}),
+ranked AS (
+  SELECT comp.component, comp.doc_id, qual.q_e4,
+         ROW_NUMBER() OVER (PARTITION BY comp.component
+                            ORDER BY qual.q_e4 DESC, comp.doc_id ASC) AS rk
+  FROM comp JOIN qual ON comp.doc_id = qual.doc_id
+),
+sizes AS (SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY component)
+SELECT r.component, r.doc_id AS survivor_doc_id, s.cluster_size,
+       r.q_e4 / 10000.0 AS best_quality
+FROM ranked r JOIN sizes s ON r.component = s.component
+WHERE r.rk = 1 AND s.cluster_size > 1
+ORDER BY r.component
+"""
+
+
+# ------------------------------------------------------------ budget selection
+# Data selection under a token budget: per language, take documents in
+# quality-rank order until the budget fills — the "what do we actually
+# train on" decision. Exact integer cumsum; the per-lang window uses the
+# same two-pass shard pattern as sequence_packing_bins at scale (5
+# language streams here, so the direct window is fine at fixture size —
+# the scalable form is demonstrated there).
+
+_SELECT_BUDGET_TOKENS = 5000
+
+
+def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import _quality_score_expr
+    d = t(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim("text"), TOKEN_SPLIT_RE)).cast("long")
+    per_doc = d.select(
+        "lang", "doc_id", n_tok.alias("n_tok"),
+        F.round(_quality_score_expr() * 10000).cast("long").alias("q_e4"))
+    w = Window.partitionBy("lang").orderBy(
+        F.col("q_e4").desc(), F.col("doc_id").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    ranked = per_doc.withColumn("cum_tok", F.sum("n_tok").over(w))
+    selected = ranked.filter(
+        F.col("cum_tok") - F.col("n_tok") < _SELECT_BUDGET_TOKENS)
+    return (
+        selected.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs_selected"),
+             F.sum("n_tok").alias("tokens_selected"),
+             (F.min("q_e4") / 10000.0).alias("min_quality_selected"))
+        .orderBy("lang")
+    )
+
+
+TOKEN_BUDGET_SQL = rf"""
+WITH per_doc AS (
+  SELECT lang, doc_id,
+         len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_tok,
+         CAST(ROUND((
+             (CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) >= 20
+                   THEN 0.4 ELSE 0.0 END)
+           + (CASE WHEN length(text) / len(regexp_split_to_array(trim(text), '\s+'))
+                   BETWEEN 3 AND 12 THEN 0.3 ELSE 0.0 END)
+           + LEAST(ROUND(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                   x -> x IN ('the','a','of','and','to','in','is')))
+                   / len(regexp_split_to_array(trim(text), '\s+')), 4), 0.3)
+         ) * 10000) AS BIGINT) AS q_e4
+  FROM documents
+),
+ranked AS (
+  SELECT *, (SUM(n_tok) OVER (PARTITION BY lang ORDER BY q_e4 DESC, doc_id ASC
+                              ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_tok
+  FROM per_doc
+)
+SELECT lang, COUNT(*) AS n_docs_selected, SUM(n_tok)::BIGINT AS tokens_selected,
+       MIN(q_e4) / 10000.0 AS min_quality_selected
+FROM ranked
+WHERE cum_tok - n_tok < {_SELECT_BUDGET_TOKENS}
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+SURVIVOR_SQL = _survivor_sql()
+
+SPECS.extend([
+    QuerySpec("cluster_best_survivor", cluster_best_survivor, SURVIVOR_SQL,
+              "quality-weighted near-dup survivor selection per cluster"),
+    QuerySpec("token_budget_selection", token_budget_selection, TOKEN_BUDGET_SQL,
+              "per-language quality-ranked selection under a token budget"),
+])
