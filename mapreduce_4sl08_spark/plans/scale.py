@@ -265,3 +265,70 @@ SPECS: list[QuerySpec] = [
     QuerySpec("stratified_sample_documents", stratified_sample_documents, STRATIFIED_SQL,
               "deterministic hash-mod stratified sampling per language"),
 ]
+
+
+# ------------------------------------------------------------ Z-order layout
+# Multi-dimensional data clustering: interleave the bits of two key
+# columns into a Morton (Z-order) code, so sorting by the code co-locates
+# rows that are close in BOTH dimensions — the lakehouse layout trick
+# that lets min/max file statistics prune on either column. The query
+# computes per-Z-bucket extents: tight user_id AND hour ranges per bucket
+# are exactly what makes file skipping work at 100 TB. Pure integer bit
+# arithmetic, generated identically for Spark and DuckDB.
+
+_Z_BITS = 8  # bits per dimension interleaved (16-bit Morton code)
+
+
+def _interleave_expr(a: str, b: str, bits: int) -> str:
+    """Bit-interleave SQL expression (same text works in Spark SQL and
+    DuckDB: &, <<, | all shared): a's bit i -> position 2i+1, b's -> 2i."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i})")
+    return " | ".join(terms)
+
+
+def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton-code bucketing of events on (user_id, hour-of-stream):
+    per Z-bucket row counts and per-dimension extents. Buckets = the
+    top 8 bits of the 16-bit code (256 logical 'files')."""
+    e = t(spark, sf_dir, "events")
+    base = e.select(
+        F.expr("user_id % 256").alias("u"),
+        F.expr("(unix_micros(ts) div 3600000000) % 256").alias("h"),
+    )
+    z = _interleave_expr("u", "h", _Z_BITS)
+    return (
+        base.select("u", "h", F.expr(f"({z}) >> 8").alias("z_bucket"))
+        .groupBy("z_bucket")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.min("u").alias("u_min"), F.max("u").alias("u_max"),
+             F.min("h").alias("h_min"), F.max("h").alias("h_max"))
+        .orderBy("z_bucket")
+    )
+
+
+def _zorder_sql() -> str:
+    z = _interleave_expr("u", "h", _Z_BITS)
+    return f"""
+WITH base AS (
+  SELECT user_id % 256 AS u,
+         (epoch_us(ts) // 3600000000) % 256 AS h
+  FROM events
+)
+SELECT (({z}) >> 8)::BIGINT AS z_bucket,
+       COUNT(*) AS n_rows,
+       MIN(u)::BIGINT AS u_min, MAX(u)::BIGINT AS u_max,
+       MIN(h)::BIGINT AS h_min, MAX(h)::BIGINT AS h_max
+FROM base
+GROUP BY 1
+ORDER BY z_bucket
+"""
+
+
+ZORDER_SQL = _zorder_sql()
+
+SPECS.append(
+    QuerySpec("zorder_layout_stats", zorder_layout_stats, ZORDER_SQL,
+              "Morton/Z-order layout keys: per-Z-bucket extents on (user, hour)"))
