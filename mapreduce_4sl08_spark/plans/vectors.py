@@ -471,7 +471,47 @@ ORDER BY doc_id, frame_idx
 """
 
 
+def mapinarrow_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector L2 norms via mapInArrow — the lowest-overhead Python
+    integration point: raw pyarrow RecordBatches in and out, no pandas
+    conversion at all (vs mapInPandas). The batch math is one reshape +
+    one vectorized numpy reduction; rounding happens JVM-side after."""
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def batches(it):
+        import numpy as np
+        import pyarrow as pa
+        for batch in it:
+            vec_id = batch.column(0)
+            emb = batch.column(1)
+            n = len(batch)
+            if n == 0:
+                yield batch.select([0]).append_column(
+                    "raw_norm", pa.array([], type=pa.float64()))
+                continue
+            vals = np.asarray(emb.flatten(), dtype=np.float64).reshape(n, -1)
+            norms = np.sqrt(np.einsum("ij,ij->i", vals, vals))
+            yield pa.RecordBatch.from_arrays(
+                [vec_id, pa.array(norms)], names=["vec_id", "raw_norm"])
+
+    return (
+        e.mapInArrow(batches, "vec_id long, raw_norm double")
+        .select("vec_id", F.round("raw_norm", 4).alias("l2_norm"))
+        .orderBy("vec_id")
+    )
+
+
+MAPINARROW_NORMS_SQL = """
+SELECT vec_id,
+       ROUND(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 4) AS l2_norm
+FROM embeddings
+ORDER BY vec_id
+"""
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec("mapinarrow_norms", mapinarrow_norms, MAPINARROW_NORMS_SQL,
+              "per-vector L2 norms via mapInArrow (raw RecordBatch path)"),
     QuerySpec("knn_bruteforce_cosine", knn_bruteforce_cosine, KNN_SQL,
               "exact cosine top-k, broadcast probes, JVM-side math"),
     QuerySpec("multimodal_frame_sample", multimodal_frame_sample, FRAME_SAMPLE_SQL,
