@@ -492,3 +492,75 @@ SPECS.extend([
     QuerySpec("token_budget_selection", token_budget_selection, TOKEN_BUDGET_SQL,
               "per-language quality-ranked selection under a token budget"),
 ])
+
+# ------------------------------------------------------------ weighted sampling
+# Closing the mixture loop: APPLY the temperature weights as a
+# deterministic hash-threshold sample — doc kept iff
+# md5(doc_id) mod 1e6 < floor(rate · 1e6), where the per-language rate
+# rescales the α=1/2 weights so the most-upweighted language keeps 100%
+# (standard up/down-sampling normalization). Pure function of the data:
+# identical sample on every run, engine, and cluster size — unlike
+# Bernoulli TABLESAMPLE, which is seed- and partitioning-dependent.
+
+def mixture_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim("text"), TOKEN_SPLIT_RE)).cast("long")
+    per = d.select("lang", n_tok.alias("n_tok")).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"))
+    # rate_l = (n_l^α / n_tokens_l) normalized so max_l rate = 1:
+    # sampling docs at rate ∝ weight/share equalizes toward the mixture
+    raw = per.select(
+        "lang", (F.sqrt(F.col("n_tokens")) / F.col("n_tokens")).alias("raw_rate"))
+    zmax = raw.agg(F.max("raw_rate").alias("zmax"))
+    rates = (
+        raw.crossJoin(broadcast(zmax))
+        .select("lang",
+                F.floor(F.col("raw_rate") / F.col("zmax") * 1000000)
+                .cast("long").alias("rate_ppm"))
+    )
+    keep = (
+        d.select("doc_id", "lang", n_tok.alias("n_tok"))
+        .join(broadcast(rates), "lang")
+        .filter(
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") % 1000000 < F.col("rate_ppm"))
+    )
+    return (
+        keep.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("kept_docs"),
+             F.sum("n_tok").alias("kept_tokens"))
+        .orderBy("lang")
+    )
+
+
+MIXTURE_SAMPLE_SQL = r"""
+WITH per AS (
+  SELECT lang, COUNT(*) AS n_docs,
+         SUM(len(regexp_split_to_array(trim(text), '\s+'))::BIGINT)::BIGINT AS n_tokens
+  FROM documents
+  GROUP BY lang
+),
+raw AS (SELECT lang, sqrt(n_tokens) / n_tokens AS raw_rate FROM per),
+rates AS (
+  SELECT lang,
+         CAST(FLOOR(raw_rate / (SELECT MAX(raw_rate) FROM raw) * 1000000) AS BIGINT)
+           AS rate_ppm
+  FROM raw
+),
+keep AS (
+  SELECT d.lang,
+         len(regexp_split_to_array(trim(d.text), '\s+'))::BIGINT AS n_tok
+  FROM documents d
+  JOIN rates USING (lang)
+  WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT % 1000000 < rate_ppm
+)
+SELECT lang, COUNT(*) AS kept_docs, SUM(n_tok)::BIGINT AS kept_tokens
+FROM keep
+GROUP BY lang
+ORDER BY lang
+"""
+
+SPECS.append(
+    QuerySpec("mixture_weighted_sample", mixture_weighted_sample, MIXTURE_SAMPLE_SQL,
+              "deterministic hash-threshold sampling at temperature-mixture rates"))
