@@ -272,3 +272,33 @@ def test_bpe_pretokenizer_cross_engine_parity(spark):
     # sanity: tokenization is lossless modulo inter-token whitespace
     joined = "".join(spark_toks[0]).replace(" ", "")
     assert joined == strings[0].replace(" ", "").replace("\t", "").replace("\n", "")
+
+
+def test_shingle_generators_match_python_oracle_fuzz(spark):
+    """Hypothesis fuzz: char_ngrams and word_shingles must equal the
+    obvious Python definition on arbitrary strings/token lists —
+    including the shorter-than-n inputs where Spark's sequence(a, b)
+    counts DOWN and would silently emit garbage without the guards."""
+    from hypothesis import given, settings, strategies as st
+
+    from pyspark.sql import Row
+    from mapreduce_4sl08_spark.functions import char_ngrams, word_shingles
+
+    texts = st.lists(
+        st.text(alphabet="ab å√", min_size=0, max_size=7), min_size=1, max_size=8)
+
+    @settings(max_examples=10, deadline=None)
+    @given(texts=texts, n=st.integers(min_value=1, max_value=4))
+    def check(texts, n):
+        df = spark.createDataFrame([Row(i=i, s=s, toks=s.split(" "))
+                                    for i, s in enumerate(texts)])
+        got = {r.i: (r.cn, r.ws) for r in df.select(
+            "i", char_ngrams(F.col("s"), n).alias("cn"),
+            word_shingles(F.col("toks"), n).alias("ws")).collect()}
+        for i, s in enumerate(texts):
+            toks = s.split(" ")
+            want_cn = [s[j:j + n] for j in range(len(s) - n + 1)]
+            want_ws = [" ".join(toks[j:j + n]) for j in range(len(toks) - n + 1)]
+            assert got[i] == (want_cn, want_ws), (s, n, got[i])
+
+    check()
