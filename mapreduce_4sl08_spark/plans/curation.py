@@ -296,9 +296,13 @@ def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("transform(array_sort(collect_list(struct(i, mn, mx))), s -> s.mx)")
         .alias("maxs"),
     )
+    # Degenerate (constant) dimension guard: maxs[i] == mins[i] would
+    # divide by zero — Spark yields NaN→NULL silently while DuckDB's
+    # CAST raises, a latent cross-engine divergence (ADVICE r3). Both
+    # engines map a constant dimension to code 0 explicitly.
     codes = F.expr(
-        "transform(embedding, (x, i) -> "
-        "cast(floor((x - mins[i]) / (maxs[i] - mins[i]) * 255.0) as int))")
+        "transform(embedding, (x, i) -> if(maxs[i] = mins[i], 0, "
+        "cast(floor((x - mins[i]) / (maxs[i] - mins[i]) * 255.0) as int)))")
     return (
         e.crossJoin(broadcast(arrs))
         .select("vec_id", codes.alias("codes"))
@@ -327,8 +331,10 @@ bounds AS (
 coded AS (
   SELECT vec_id,
          list_transform(range(64), i ->
-           CAST(floor((emb[i + 1] - mins[i + 1]) / (maxs[i + 1] - mins[i + 1])
-                      * 255.0) AS INT)) AS codes
+           CASE WHEN maxs[i + 1] = mins[i + 1] THEN 0
+                ELSE CAST(floor((emb[i + 1] - mins[i + 1])
+                               / (maxs[i + 1] - mins[i + 1]) * 255.0) AS INT)
+           END) AS codes
   FROM e CROSS JOIN bounds
 )
 SELECT vec_id,

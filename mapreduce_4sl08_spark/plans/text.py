@@ -1166,12 +1166,18 @@ def bigram_surprisal_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id",
                 F.floor(F.col("c1") / F.col("c12")).cast("long").alias("surprisal"))
     )
+    # Mean stays in exact integer 1e-4 units (ADVICE r3): a ROUND of the
+    # float quotient can hit a Spark-vs-DuckDB half-boundary rounding
+    # tie; `(sum * 10000) div n` is exact in both engines (operands are
+    # non-negative, so div == floor-div).
     return (
         scored.groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_bigrams"),
              F.sum("surprisal").alias("surprisal_sum"))
-        .withColumn("mean_surprisal",
-                    F.round(F.col("surprisal_sum") / F.col("n_bigrams"), 4))
+        .withColumn(
+            "mean_surprisal",
+            F.expr("(surprisal_sum * 10000) div n_bigrams"
+                   " / cast(10000 as double)"))
         .orderBy("doc_id")
     )
 
@@ -1202,7 +1208,8 @@ scored AS (
 SELECT doc_id,
        COUNT(*) AS n_bigrams,
        SUM(surprisal)::BIGINT AS surprisal_sum,
-       ROUND(SUM(surprisal) / COUNT(*), 4) AS mean_surprisal
+       ((SUM(surprisal)::BIGINT * 10000) // COUNT(*)) / 10000.0
+         AS mean_surprisal
 FROM scored
 GROUP BY doc_id
 ORDER BY doc_id

@@ -22,10 +22,14 @@ partition per committed shard; uncommitted/orphan files are invisible):
 
 from __future__ import annotations
 
+import base64
+import datetime
+import decimal
 import json
 import os
 import uuid
 
+from pyspark.sql import types as T
 from pyspark.sql.datasource import (
     DataSource, DataSourceReader, DataSourceWriter, InputPartition,
     WriterCommitMessage,
@@ -33,6 +37,50 @@ from pyspark.sql.datasource import (
 
 _MANIFEST = "_MANIFEST.json"
 _TMP_PREFIX = "_tmp-"
+
+# JSON-native atomic types need no coercion on either side.
+_JSON_NATIVE = (
+    T.StringType, T.BooleanType,
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType,
+)
+
+
+def _codec(dtype: T.DataType, path: str):
+    """(encode, decode) pair mapping one Spark type to/from a JSON-native
+    value, or ``(None, None)`` for identity. Raises a clear error for
+    types the JSONL round-trip cannot represent (struct/map) — validated
+    up front in ``writer()``/``reader()`` so a bad schema fails on the
+    driver, not as a ``json.dumps`` TypeError mid-task (ADVICE r3)."""
+    if isinstance(dtype, _JSON_NATIVE):
+        return None, None
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        return (lambda v: v.isoformat(),
+                lambda s: datetime.datetime.fromisoformat(s))
+    if isinstance(dtype, T.DateType):
+        return (lambda v: v.isoformat(),
+                lambda s: datetime.date.fromisoformat(s))
+    if isinstance(dtype, T.BinaryType):
+        return (lambda v: base64.b64encode(bytes(v)).decode("ascii"),
+                lambda s: base64.b64decode(s))
+    if isinstance(dtype, T.DecimalType):
+        return (lambda v: str(v), lambda s: decimal.Decimal(s))
+    if isinstance(dtype, T.ArrayType):
+        enc_e, dec_e = _codec(dtype.elementType, f"{path}[]")
+        if enc_e is None:
+            return None, None
+        return (
+            lambda xs: [None if x is None else enc_e(x) for x in xs],
+            lambda xs: [None if x is None else dec_e(x) for x in xs],
+        )
+    raise ValueError(
+        f"unsupported type for jsonl_manifest at '{path}': "
+        f"{dtype.simpleString()} (supported: string/bool/int/float, "
+        f"timestamp, date, binary, decimal, and arrays thereof)")
+
+
+def _schema_codecs(schema: T.StructType) -> list[tuple[str, object, object]]:
+    return [(f.name, *_codec(f.dataType, f.name)) for f in schema.fields]
 
 
 class _ShardCommit(WriterCommitMessage):
@@ -43,11 +91,14 @@ class _ShardCommit(WriterCommitMessage):
 
 
 class JsonlManifestWriter(DataSourceWriter):
-    def __init__(self, options, overwrite: bool):
+    def __init__(self, options, schema, overwrite: bool):
         self.path = options.get("path")
         self.overwrite = overwrite
         if not self.path:
             raise ValueError("jsonl_manifest requires option 'path'")
+        # validate the schema NOW (driver side): unsupported nested types
+        # raise here with the field path, not as an executor TypeError
+        self.codecs = _schema_codecs(schema)
 
     def write(self, rows):
         os.makedirs(self.path, exist_ok=True)
@@ -57,7 +108,11 @@ class JsonlManifestWriter(DataSourceWriter):
         n = 0
         with open(os.path.join(self.path, tmp_name), "w") as f:
             for row in rows:
-                f.write(json.dumps(row.asDict()) + "\n")
+                rec = row.asDict()
+                for name, enc, _dec in self.codecs:
+                    if enc is not None and rec.get(name) is not None:
+                        rec[name] = enc(rec[name])
+                f.write(json.dumps(rec) + "\n")
                 n += 1
         return _ShardCommit(tmp_name, final_name, n)
 
@@ -75,6 +130,11 @@ class JsonlManifestWriter(DataSourceWriter):
         new_shards = []
         for m in messages:
             if m is None:
+                continue
+            if m.n_rows == 0:
+                # empty partition — don't publish a zero-row shard (its
+                # temp file is swept in step 4). At cluster scale this
+                # avoids one file per empty task.
                 continue
             os.replace(os.path.join(self.path, m.tmp_name),
                        os.path.join(self.path, m.final_name))
@@ -143,7 +203,9 @@ class JsonlManifestReader(DataSourceReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("jsonl_manifest requires option 'path'")
-        self.fields = [f.name for f in schema.fields]
+        # validated up front — same contract as the writer, so a schema
+        # that round-trips on write is guaranteed readable and vice versa
+        self.codecs = _schema_codecs(schema)
 
     def partitions(self):
         mpath = os.path.join(self.path, _MANIFEST)
@@ -159,7 +221,12 @@ class JsonlManifestReader(DataSourceReader):
         with open(os.path.join(self.path, partition.file)) as f:
             for line in f:
                 rec = json.loads(line)
-                yield tuple(rec.get(name) for name in self.fields)
+                out = []
+                for name, _enc, dec in self.codecs:
+                    v = rec.get(name)
+                    out.append(dec(v) if dec is not None and v is not None
+                               else v)
+                yield tuple(out)
 
 
 class JsonlManifestDataSource(DataSource):
@@ -168,7 +235,7 @@ class JsonlManifestDataSource(DataSource):
         return "jsonl_manifest"
 
     def writer(self, schema, overwrite: bool):
-        return JsonlManifestWriter(self.options, overwrite)
+        return JsonlManifestWriter(self.options, schema, overwrite)
 
     def reader(self, schema):
         # schema comes from the caller's .schema(...) (JSONL is
