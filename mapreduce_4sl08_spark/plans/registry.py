@@ -25,18 +25,14 @@ _MODULE_SPECS: list[QuerySpec] = [
 ]
 
 # Driver CORRECTNESS coverage history (the driver checks ~50 rows per
-# round, in registry order). Ordering policy for round 3+:
-#   1. _R3_PRIORITY — rows that CHANGED this round and must be re-proven:
-#      the round-2 red row (events_sliding_windows, oracle tz fix) and the
-#      two newly-oracle'd queries (agg_approx_distinct, pagerank).
-#   2. Never-driver-checked queries (anything not in r1 ∪ r2 — i.e. new
-#      round-3 queries) — automatically sort next.
-#   3. Least-recently-proven: the r1-checked set (proven two rounds ago).
-#   4. The r2-checked set (proven last round).
-_R3_PRIORITY: tuple[str, ...] = (
-    "events_sliding_windows", "agg_approx_distinct", "graph_pagerank_purchases",
-    "ivf_ann",  # nprobe 2→4 this round — result set changed
-    "corpus_curation_pipeline",  # per-doc signals fused into one scan
+# round, in registry order). Ordering policy:
+#   1. _ROUND_PRIORITY — rows whose plan or oracle CHANGED this round and
+#      must be re-proven first.
+#   2. Never-driver-checked queries (new this round) — sort next.
+#   3. Remaining queries by last-proven round, least recent first.
+_ROUND_PRIORITY: tuple[str, ...] = (
+    # round 4: degenerate-dimension guard / integer-exact mean (ADVICE r3)
+    "embedding_quantization", "bigram_surprisal_score",
 )
 
 # Round-1 pass (CORRECTNESS_r01.json): the first 50 registry entries.
@@ -63,6 +59,32 @@ _R1_DRIVER_CHECKED: frozenset[str] = frozenset(
     }
 )
 
+# Round-3 pass (CORRECTNESS_r03.json): all 50 rows green; r1 ∪ r2 ∪ r3
+# covers all 115 round-3 names.
+_R3_DRIVER_CHECKED: frozenset[str] = frozenset(
+    {
+        "agg_approx_distinct", "agg_percentiles", "bigram_surprisal_score",
+        "bpe_pretokenize_counts", "cluster_best_survivor",
+        "corpus_curation_pipeline", "dedup_connected_components",
+        "dedup_exact_documents", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+        "doc_fingerprint", "embedding_quantization", "events_asof_cogroup",
+        "events_session_window_native", "events_sliding_windows",
+        "events_windowed_topk", "graph_pagerank_purchases", "ivf_ann",
+        "join_anti_inactive", "join_full_nation_presence",
+        "join_left_order_counts", "join_right_order_customer",
+        "join_semi_big_spenders", "lateral_topk_orders", "latest_event_per_user",
+        "mapinarrow_norms", "mixture_sampling_weights", "mixture_weighted_sample",
+        "near_dup_containment", "q14_promo_share", "q1_pricing_summary",
+        "q3_shipping_priority", "q5_local_supplier_volume", "q6_forecast_revenue",
+        "q7_nation_volume", "q9_product_profit", "quality_rules_audit",
+        "range_join_prompt_ship", "sequence_packing_bins", "source_mix_report",
+        "span_dedup_report", "text_chunking_udtf", "text_language_id",
+        "text_quality_score", "text_repetition_stats", "text_token_positions",
+        "text_token_stats", "token_budget_selection", "window_trailing_30d_spend",
+        "zorder_layout_stats",
+    }
+)
+
 # Round-2 pass (CORRECTNESS_r02.json); r1 ∪ r2 covers all 98 round-2 names.
 _R2_DRIVER_CHECKED: frozenset[str] = frozenset(
     {
@@ -86,17 +108,21 @@ _R2_DRIVER_CHECKED: frozenset[str] = frozenset(
     }
 )
 
-_DRIVER_CHECKED: frozenset[str] = _R1_DRIVER_CHECKED | _R2_DRIVER_CHECKED
+_DRIVER_CHECKED: frozenset[str] = (
+    _R1_DRIVER_CHECKED | _R2_DRIVER_CHECKED | _R3_DRIVER_CHECKED
+)
 
 
 def _order_key(s: QuerySpec) -> int:
-    if s.name in _R3_PRIORITY:
+    if s.name in _ROUND_PRIORITY:
         return 0  # changed this round — must be re-proven first
     if s.name not in _DRIVER_CHECKED:
         return 1  # never driver-checked (new this round)
-    if s.name not in _R2_DRIVER_CHECKED:
-        return 2  # least recently proven (round 1 only)
-    return 3      # proven last round
+    if s.name in _R3_DRIVER_CHECKED:
+        return 4  # proven last round
+    if s.name in _R2_DRIVER_CHECKED:
+        return 3  # proven two rounds ago
+    return 2      # least recently proven (round 1 only)
 
 
 _ALL_SPECS: list[QuerySpec] = sorted(_MODULE_SPECS, key=_order_key)
