@@ -11,7 +11,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import curation, events, extended, relational, scale, text, vectors
+from . import curation, events, extended, relational, scale, text, vectors, warehouse
 from .base import QuerySpec
 
 _MODULE_SPECS: list[QuerySpec] = [
@@ -22,6 +22,7 @@ _MODULE_SPECS: list[QuerySpec] = [
     *extended.SPECS,
     *scale.SPECS,
     *curation.SPECS,
+    *warehouse.SPECS,
 ]
 
 # Driver CORRECTNESS coverage history (the driver checks ~50 rows per
