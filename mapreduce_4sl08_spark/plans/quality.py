@@ -1,0 +1,362 @@
+"""Data-quality and pipeline-observability plans.
+
+The audit/monitoring layer a production data platform runs beside the
+query engine: declarative constraint checking (Deequ-style), per-column
+profiling, robust time-series anomaly detection (median/MAD in exact
+integer arithmetic), and distribution histograms.
+
+Cross-engine discipline per plans/base.py: exact integers wherever a
+float could tie (ranks instead of interpolated percentiles, cents
+instead of dollars, epoch micros instead of rendered timestamps);
+identical expression text for unavoidable double arithmetic so IEEE
+evaluation order matches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .base import QuerySpec, t
+
+# ------------------------------------------------------- constraint audit
+
+
+def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit (the Deequ/soda-core shape): a
+    fixed constraint suite over orders+lineitem, one row per constraint
+    with its violation count and pass flag.
+
+    Plan shape: ONE pass over each fact table computes every row-level
+    constraint as a conditional aggregate (no per-constraint rescans);
+    the referential-integrity check is a left-anti join against the
+    orders keys. At 100 TB that is two scans plus one shuffle — adding
+    more constraints costs zero additional I/O.
+    """
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    o_stats = o.agg(
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
+        .alias("orders_pk_unique"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0))
+        .alias("orders_totalprice_positive"),
+        F.sum(F.when(~F.col("o_orderstatus").isin("F", "O", "P"), 1)
+              .otherwise(0)).alias("orders_status_domain"),
+        F.sum(F.when(F.col("o_orderdate").isNull(), 1).otherwise(0))
+        .alias("orders_orderdate_not_null"),
+    )
+    li_stats = li.agg(
+        F.sum(F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1)
+              .otherwise(0)).alias("lineitem_quantity_range"),
+        F.sum(F.when(F.col("l_discount").between(0, 1), 0).otherwise(1))
+        .alias("lineitem_discount_range"),
+        F.sum(F.when(F.col("l_shipdate").isNull(), 1).otherwise(0))
+        .alias("lineitem_shipdate_not_null"),
+    )
+    ri = (
+        li.join(o.select("o_orderkey"),
+                li.l_orderkey == F.col("o_orderkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("lineitem_orderkey_ri"))
+    )
+    combined = o_stats.crossJoin(li_stats).crossJoin(ri)
+    names = [
+        "orders_pk_unique", "orders_totalprice_positive",
+        "orders_status_domain", "orders_orderdate_not_null",
+        "lineitem_quantity_range", "lineitem_discount_range",
+        "lineitem_shipdate_not_null", "lineitem_orderkey_ri",
+    ]
+    stacked = combined.select(F.expr(
+        "stack({}, {}) AS (constraint_name, n_violations)".format(
+            len(names),
+            ", ".join(f"'{n}', cast({n} as bigint)" for n in names))))
+    return (
+        stacked.select(
+            "constraint_name", "n_violations",
+            (F.col("n_violations") == 0).alias("passed"))
+        .orderBy("constraint_name")
+    )
+
+
+DQ_CONSTRAINT_SQL = """
+WITH o_stats AS (
+  SELECT (COUNT(*) - COUNT(DISTINCT o_orderkey))::BIGINT AS orders_pk_unique,
+         SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)::BIGINT
+           AS orders_totalprice_positive,
+         SUM(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P') THEN 1 ELSE 0 END)::BIGINT
+           AS orders_status_domain,
+         SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)::BIGINT
+           AS orders_orderdate_not_null
+  FROM orders
+),
+li_stats AS (
+  SELECT SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END)::BIGINT
+           AS lineitem_quantity_range,
+         SUM(CASE WHEN l_discount BETWEEN 0 AND 1 THEN 0 ELSE 1 END)::BIGINT
+           AS lineitem_discount_range,
+         SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)::BIGINT
+           AS lineitem_shipdate_not_null
+  FROM lineitem
+),
+ri AS (
+  SELECT COUNT(*)::BIGINT AS lineitem_orderkey_ri
+  FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+),
+stacked AS (
+  SELECT 'orders_pk_unique' AS constraint_name, orders_pk_unique AS n_violations FROM o_stats
+  UNION ALL SELECT 'orders_totalprice_positive', orders_totalprice_positive FROM o_stats
+  UNION ALL SELECT 'orders_status_domain', orders_status_domain FROM o_stats
+  UNION ALL SELECT 'orders_orderdate_not_null', orders_orderdate_not_null FROM o_stats
+  UNION ALL SELECT 'lineitem_quantity_range', lineitem_quantity_range FROM li_stats
+  UNION ALL SELECT 'lineitem_discount_range', lineitem_discount_range FROM li_stats
+  UNION ALL SELECT 'lineitem_shipdate_not_null', lineitem_shipdate_not_null FROM li_stats
+  UNION ALL SELECT 'lineitem_orderkey_ri', lineitem_orderkey_ri FROM ri
+)
+SELECT constraint_name, n_violations, n_violations = 0 AS passed
+FROM stacked
+ORDER BY constraint_name
+"""
+
+# ------------------------------------------------------- column profiling
+
+
+def column_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile of the orders table (the catalog/observability
+    "describe extended" surface): null count, exact distinct count, and
+    a type-aware min/max serialized in engine-neutral units — keys and
+    cents as integers, timestamps as epoch micros, strings raw — so the
+    report hash-matches across engines without relying on float or
+    timestamp rendering.
+
+    One column-pruned scan per column, unioned: a single multi-column
+    aggregate with N exact countDistincts plans as an N+1-way EXPAND —
+    N+1× the shuffle volume of the scan, ruinous at 100 TB (measured
+    7.4 s vs 2.9 s here even at sf0.1). Parquet is columnar, so N
+    single-column scans read the same bytes once each and every
+    per-column distinct stays a plain two-phase aggregate.
+    """
+    o = t(spark, sf_dir, "orders")
+    cents = F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    # o_orderdate arrives as TIMESTAMP_NTZ; the session zone is pinned
+    # UTC (session.py), so the cast reads the same instant DuckDB's
+    # epoch_us sees on the naive value
+    epoch = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    # (raw column, ordering expr): min/max run over the ORDERING expr
+    # (numeric for numeric/timestamp columns) and are serialized to
+    # string AFTER the aggregate — a lexicographic string min would
+    # disagree with the numeric min on variable-width numbers
+    cols = {
+        "o_orderkey": (F.col("o_orderkey"), F.col("o_orderkey")),
+        "o_custkey": (F.col("o_custkey"), F.col("o_custkey")),
+        "o_orderstatus": (F.col("o_orderstatus"), F.col("o_orderstatus")),
+        "o_totalprice": (F.col("o_totalprice"), cents),
+        "o_orderdate": (F.col("o_orderdate"), epoch),
+        "o_orderpriority": (F.col("o_orderpriority"), F.col("o_orderpriority")),
+    }
+    profiles = [
+        o.agg(
+            F.sum(F.when(raw.isNull(), 1).otherwise(0)).cast("long")
+            .alias("n_nulls"),
+            F.countDistinct(raw).alias("n_distinct"),
+            F.min(key).cast("string").alias("min_repr"),
+            F.max(key).cast("string").alias("max_repr"),
+        ).select(F.lit(name).alias("column_name"), "n_nulls", "n_distinct",
+                 "min_repr", "max_repr")
+        for name, (raw, key) in cols.items()
+    ]
+    out = profiles[0]
+    for p in profiles[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("column_name")
+
+
+_PROFILE_ORACLE_COLS = """
+  SELECT 'o_orderkey' AS column_name,
+         SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+         COUNT(DISTINCT o_orderkey)::BIGINT AS n_distinct,
+         MIN(o_orderkey)::VARCHAR AS min_repr, MAX(o_orderkey)::VARCHAR AS max_repr
+  FROM orders
+  UNION ALL
+  SELECT 'o_custkey',
+         SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT,
+         COUNT(DISTINCT o_custkey)::BIGINT,
+         MIN(o_custkey)::VARCHAR, MAX(o_custkey)::VARCHAR
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderstatus',
+         SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)::BIGINT,
+         COUNT(DISTINCT o_orderstatus)::BIGINT,
+         MIN(o_orderstatus), MAX(o_orderstatus)
+  FROM orders
+  UNION ALL
+  SELECT 'o_totalprice',
+         SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)::BIGINT,
+         COUNT(DISTINCT o_totalprice)::BIGINT,
+         MIN(CAST(round(o_totalprice * 100) AS BIGINT))::VARCHAR,
+         MAX(CAST(round(o_totalprice * 100) AS BIGINT))::VARCHAR
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderdate',
+         SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)::BIGINT,
+         COUNT(DISTINCT o_orderdate)::BIGINT,
+         MIN(epoch_us(o_orderdate))::VARCHAR, MAX(epoch_us(o_orderdate))::VARCHAR
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority',
+         SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)::BIGINT,
+         COUNT(DISTINCT o_orderpriority)::BIGINT,
+         MIN(o_orderpriority), MAX(o_orderpriority)
+  FROM orders
+"""
+
+COLUMN_PROFILE_SQL = f"""
+SELECT * FROM ({_PROFILE_ORACLE_COLS})
+ORDER BY column_name
+"""
+
+# ----------------------------------------------- median/MAD rate anomaly
+
+
+def events_rate_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust event-rate anomaly detection: hourly event counts per
+    type, flagged when the count deviates from the type's median by
+    more than 3× the median absolute deviation (the standard robust
+    z-score / Hampel filter, Iglewicz & Hoaglin 1993). Median and MAD
+    are DISCRETE integer-rank percentiles over integer counts — no
+    interpolation, no floats, exact in both engines.
+
+    Plan: the fact scan collapses to one (type, hour) aggregate
+    (~types × hours rows); both median passes run over that tiny
+    aggregate, so the expensive part is one map-side-combinable groupBy
+    no matter the fact-table size.
+    """
+    e = t(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(
+            F.col("event_type"),
+            F.date_trunc("HOUR", F.col("ts")).alias("hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+    def discrete_median(df: DataFrame, val: str, out: str) -> DataFrame:
+        wr = Window.partitionBy("event_type").orderBy(val, "hour")
+        wp = Window.partitionBy("event_type")
+        ranked = (
+            df.withColumn("rn", F.row_number().over(wr))
+            .withColumn("cnt", F.count(F.lit(1)).over(wp))
+        )
+        return (
+            ranked.filter(F.col("rn") == F.expr("(50 * (cnt - 1)) div 100 + 1"))
+            .select("event_type", F.col(val).alias(out))
+        )
+
+    med = discrete_median(hourly, "n", "median_n")
+    dev = (
+        hourly.join(med, "event_type")
+        .withColumn("dev", F.abs(F.col("n") - F.col("median_n")))
+    )
+    mad = discrete_median(
+        dev.select("event_type", F.col("dev").alias("n"), "hour"), "n", "mad_n")
+    return (
+        dev.join(mad, "event_type")
+        .select(
+            "event_type", "hour", "n", "median_n", "mad_n",
+            # |n - median| > 3 * MAD, all integers — exact
+            (F.col("dev") > 3 * F.col("mad_n")).alias("is_anomaly"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+RATE_ANOMALY_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY n, hour) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS cnt
+  FROM hourly
+),
+med AS (
+  SELECT event_type, n AS median_n FROM ranked
+  WHERE rn = (50 * (cnt - 1)) // 100 + 1
+),
+dev AS (
+  SELECT hourly.event_type, hour, n, median_n, abs(n - median_n) AS dev
+  FROM hourly JOIN med ON hourly.event_type = med.event_type
+),
+dev_ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY dev, hour) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS cnt
+  FROM dev
+),
+mad AS (
+  SELECT event_type, dev AS mad_n FROM dev_ranked
+  WHERE rn = (50 * (cnt - 1)) // 100 + 1
+)
+SELECT dev.event_type AS event_type, hour, n, median_n, mad_n,
+       dev > 3 * mad_n AS is_anomaly
+FROM dev JOIN mad ON dev.event_type = mad.event_type
+ORDER BY 1, hour
+"""
+
+# ------------------------------------------------- equi-width histogram
+
+_HIST_BUCKETS = 20
+
+
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 20-bucket histogram of event value per type — the
+    distribution-profiling building block. Bucket boundaries derive from
+    the per-type min/max (broadcast back); the bucket expression is the
+    identical double arithmetic in both engines (IEEE evaluation order
+    matters — same expression text, no reassociation), with the
+    degenerate min==max guard mapping to bucket 0 (ADVICE r3 pattern).
+    """
+    e = t(spark, sf_dir, "events")
+    bounds = e.groupBy("event_type").agg(
+        F.min("value").alias("mn"), F.max("value").alias("mx"))
+    bucket = F.expr(
+        f"CASE WHEN mx = mn THEN 0 ELSE "
+        f"least(CAST(floor((value - mn) * {_HIST_BUCKETS} / (mx - mn)) AS INT),"
+        f" {_HIST_BUCKETS - 1}) END")
+    return (
+        e.join(F.broadcast(bounds), "event_type")
+        .select("event_type", bucket.alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type", "bucket")
+    )
+
+
+VALUE_HISTOGRAM_SQL = f"""
+WITH bounds AS (
+  SELECT event_type, MIN(value) AS mn, MAX(value) AS mx
+  FROM events GROUP BY 1
+)
+SELECT events.event_type AS event_type,
+       CAST(CASE WHEN mx = mn THEN 0 ELSE
+         least(CAST(floor((value - mn) * {_HIST_BUCKETS} / (mx - mn)) AS INT),
+               {_HIST_BUCKETS - 1}) END AS INT) AS bucket,
+       COUNT(*)::BIGINT AS n
+FROM events JOIN bounds ON events.event_type = bounds.event_type
+GROUP BY 1, 2
+ORDER BY 1, bucket
+"""
+
+
+SPECS: list[QuerySpec] = [
+    QuerySpec(
+        "dq_constraint_report", dq_constraint_report, DQ_CONSTRAINT_SQL,
+        "Deequ-style declarative constraint audit, one scan per table"),
+    QuerySpec(
+        "column_profile_orders", column_profile_orders, COLUMN_PROFILE_SQL,
+        "per-column null/distinct/min/max profile in engine-neutral units"),
+    QuerySpec(
+        "events_rate_anomaly_mad", events_rate_anomaly_mad, RATE_ANOMALY_SQL,
+        "robust hourly-rate anomaly flags via integer median/MAD"),
+    QuerySpec(
+        "events_value_histogram", events_value_histogram, VALUE_HISTOGRAM_SQL,
+        "equi-width per-type value histogram with degenerate-range guard"),
+]

@@ -11,7 +11,10 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import curation, events, extended, relational, scale, text, vectors, warehouse
+from . import (
+    curation, events, extended, quality, relational, scale, text, vectors,
+    warehouse,
+)
 from .base import QuerySpec
 
 _MODULE_SPECS: list[QuerySpec] = [
@@ -23,6 +26,7 @@ _MODULE_SPECS: list[QuerySpec] = [
     *scale.SPECS,
     *curation.SPECS,
     *warehouse.SPECS,
+    *quality.SPECS,
 ]
 
 # Driver CORRECTNESS coverage history (the driver checks ~50 rows per
