@@ -26,17 +26,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     to Catalyst — callers express plans declaratively and the scan narrows
     itself (verify with .explain: PushedFilters / ReadSchema).
 
-    `events.ts` is TIMESTAMP(NANOS) parquet, which Spark does not read
-    natively ([PARQUET_TYPE_ILLEGAL]); we read nanos as long and convert
-    to a microsecond timestamp — exact for this data (no sub-µs values),
-    and the same instant DuckDB sees."""
+    `events.ts` has shipped as TIMESTAMP(NANOS) parquet (Spark can't read
+    it natively — [PARQUET_TYPE_ILLEGAL] — so nanos are read as long and
+    converted, exact for this data) and as TIMESTAMP(MICROS) (read as
+    TIMESTAMP_NTZ). Both normalize to session-zone TimestampType here —
+    the session zone is pinned UTC (session.py), so the value equals the
+    naive instant DuckDB sees, and downstream epoch math (`unix_micros`)
+    stays valid. This is the ONLY place ts typing is handled."""
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    if name == "events":
         from pyspark.sql import functions as F
-        # integer division — ns epoch values exceed double's exact range
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # integer division — ns epoch values exceed double's exact range
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
