@@ -36,8 +36,10 @@ _MODULE_SPECS: list[QuerySpec] = [
 #   2. Never-driver-checked queries (new this round) — sort next.
 #   3. Remaining queries by last-proven round, least recent first.
 _ROUND_PRIORITY: tuple[str, ...] = (
-    # round 4: degenerate-dimension guard / integer-exact mean (ADVICE r3)
-    "embedding_quantization", "bigram_surprisal_score",
+    # round 5: basket-skew cap + memoized edge index (VERDICT r4 items 3-4)
+    "copurchase_triangles",
+    # round 5: profiler generalized to a schema walk (VERDICT r4 item 6)
+    "column_profile_orders",
 )
 
 # Round-1 pass (CORRECTNESS_r01.json): the first 50 registry entries.
@@ -113,8 +115,39 @@ _R2_DRIVER_CHECKED: frozenset[str] = frozenset(
     }
 )
 
+# Round-4 pass (CORRECTNESS_r04.json): all 50 rows green (2 changed +
+# 10 new + 38 stalest r1-era); cumulative r1∪r2∪r3∪r4 covers all 125.
+_R4_DRIVER_CHECKED: frozenset[str] = frozenset(
+    {
+        "agg_cube_orders", "agg_rollup_lineitem", "agg_stats_by_flag",
+        "approx_percentile_check", "bigram_surprisal_score",
+        "column_profile_orders", "copurchase_triangles",
+        "daily_revenue_gapfill", "decontamination_overlap",
+        "dedup_cluster_stats", "dq_constraint_report",
+        "embedding_quantization", "events_asof_last_view",
+        "events_dedup_exact", "events_json_extract",
+        "events_rate_anomaly_mad", "events_sessionize",
+        "events_tumbling_hourly", "events_user_features",
+        "events_value_histogram", "events_variant_extract",
+        "functions_showcase", "lineitem_unpivot_measures",
+        "merge_upsert_orders", "q10_returned_items", "q11_important_stock",
+        "q13_order_count_histogram", "q15_top_supplier",
+        "q16_supplier_cnt_by_part", "q17_small_quantity_revenue",
+        "q18_large_orders", "q19_disjunctive_revenue",
+        "q21_waiting_suppliers", "q22_idle_rich_customers",
+        "q8_market_share", "scd2_status_history", "set_ops_nations",
+        "sort_customers_multi", "string_functions_showcase",
+        "tfidf_top_terms", "topk_expensive_orders",
+        "trade_reachability_recursive", "unigram_rarity_score",
+        "window_lag_gap_days", "window_rank_family", "window_running_spend",
+        "window_topk_orders_per_customer", "window_value_functions",
+        "winnowing_fingerprints", "wordcount_documents",
+    }
+)
+
 _DRIVER_CHECKED: frozenset[str] = (
     _R1_DRIVER_CHECKED | _R2_DRIVER_CHECKED | _R3_DRIVER_CHECKED
+    | _R4_DRIVER_CHECKED
 )
 
 
@@ -123,11 +156,15 @@ def _order_key(s: QuerySpec) -> int:
         return 0  # changed this round — must be re-proven first
     if s.name not in _DRIVER_CHECKED:
         return 1  # never driver-checked (new this round)
+    # Remaining: least-recently-proven first (LRU rotation). Round 5's
+    # ~50-row budget lands on the r2-era rows, the stalest code state.
+    if s.name in _R4_DRIVER_CHECKED:
+        return 5  # proven last round
     if s.name in _R3_DRIVER_CHECKED:
-        return 4  # proven last round
+        return 4
     if s.name in _R2_DRIVER_CHECKED:
-        return 3  # proven two rounds ago
-    return 2      # least recently proven (round 1 only)
+        return 3
+    return 2      # round-1 only (none remain after the r4 sweep)
 
 
 _ALL_SPECS: list[QuerySpec] = sorted(_MODULE_SPECS, key=_order_key)

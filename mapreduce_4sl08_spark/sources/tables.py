@@ -43,7 +43,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # integer division — ns epoch values exceed double's exact range
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif ts_type == "timestamp_ntz":
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+            # Zone-explicit conversion (ADVICE r4): the NTZ wall-clock IS
+            # the UTC instant for this data. A plain cast interprets the
+            # naive value in spark.sql.session.timeZone — correct only
+            # because the engine pins UTC elsewhere; a raw session with a
+            # local zone would silently shift every instant. timestampdiff
+            # is pure NTZ arithmetic (no zone involved), so epoch micros —
+            # and the instant built from them — are session-zone-invariant.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr(
+                "timestampdiff(MICROSECOND,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")))
     return df
 
 

@@ -245,3 +245,50 @@ def test_jsonl_manifest_typed_roundtrip(spark, tmp_path):
     with pytest.raises(Exception, match="unsupported type for jsonl_manifest"):
         bad.write.format("jsonl_manifest") \
             .option("path", str(tmp_path / "bad")).mode("append").save()
+
+
+def test_load_table_events_ntz_session_zone_invariant(spark, tmp_path):
+    """ADVICE r4: load_table's timestamp_ntz -> timestamp conversion must
+    not depend on spark.sql.session.timeZone. The NTZ wall-clock IS the
+    UTC instant for events data; a raw session with a local zone must see
+    the same epoch micros as a UTC session."""
+    import datetime
+
+    import os
+
+    sf = str(tmp_path / "sf_ntz")
+    os.makedirs(sf)
+    src = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 3, 1, 12, 30, 45, 123456)),
+         (2, datetime.datetime(2024, 7, 4, 0, 0, 0))],
+        "user_id long, ts timestamp_ntz",
+    )
+    src.write.mode("overwrite").parquet(f"{sf}/events.parquet")
+
+    from mapreduce_4sl08_spark.sources.tables import load_table
+
+    def epochs():
+        df = load_table(spark, sf, "events")
+        assert dict(df.dtypes)["ts"] == "timestamp"
+        return sorted(
+            r[0] for r in
+            df.select(F.unix_micros("ts")).collect())
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        utc = epochs()
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        shifted = epochs()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+    # expected: the naive wall-clock interpreted as a UTC instant
+    want = sorted([
+        int(datetime.datetime(2024, 3, 1, 12, 30, 45, 123456,
+                              tzinfo=datetime.timezone.utc).timestamp() * 1e6),
+        int(datetime.datetime(2024, 7, 4, 0, 0, 0,
+                              tzinfo=datetime.timezone.utc).timestamp() * 1e6),
+    ])
+    assert utc == want
+    assert shifted == want
