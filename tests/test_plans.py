@@ -212,3 +212,64 @@ def test_dynamic_partition_pruning(spark, sf_smoke_dir, tmp_path):
     want = (load_table(spark, sf_smoke_dir, "orders")
             .filter(F.year("o_orderdate") == 1997).count())
     assert joined.count() == want
+
+
+def test_copurchase_basket_cap_excludes_hot_baskets(spark, tmp_path):
+    """Basket-skew guard (VERDICT r4): an order with more distinct parts
+    than _COPURCHASE_MAX_BASKET never reaches the O(k^2) pair expansion —
+    its parts contribute no edges — while normal orders are unaffected."""
+    from mapreduce_4sl08_spark.plans import warehouse
+
+    sf = str(tmp_path / "sf_hot")
+    import os
+    os.makedirs(sf)
+    cap = warehouse._COPURCHASE_MAX_BASKET
+    # hot basket: order 1 with cap+36 distinct parts (twice, so every
+    # pair would pass the >= 2 co-occurrence filter if not capped);
+    # normal baskets: orders 10/11 sharing parts (1,2,3) twice
+    rows = []
+    for ok in (1, 2):
+        rows += [(ok, p) for p in range(1000, 1000 + cap + 36)]
+    for ok in (10, 11):
+        rows += [(ok, p) for p in (1, 2, 3)]
+    spark.createDataFrame(rows, "l_orderkey long, l_partkey long") \
+        .write.mode("overwrite").parquet(f"{sf}/lineitem.parquet")
+
+    edges = warehouse._copurchase_edges(spark, sf)
+    got = {(r.p1, r.p2) for r in edges.collect()}
+    # only the normal-basket edges survive; the hot basket's
+    # (cap+36 choose 2) pairs were never generated
+    assert got == {(1, 2), (1, 3), (2, 3)}
+    edges.unpersist()
+    warehouse._EDGES_MEMO.clear()
+
+
+def test_copurchase_cap_is_output_invariant_on_fixture(spark, sf_dir):
+    """TPC-H baskets max out far below the cap, so the skew guard cannot
+    change the fixture answer (the guard exists for real-world data)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_4sl08_spark.plans import warehouse
+    from mapreduce_4sl08_spark.plans.base import t
+
+    li = t(spark, sf_dir, "lineitem")
+    max_basket = (
+        li.select("l_orderkey", "l_partkey").distinct()
+        .groupBy("l_orderkey").count()
+        .agg(F.max("count")).collect()[0][0]
+    )
+    assert max_basket <= warehouse._COPURCHASE_MAX_BASKET
+
+
+def test_copurchase_edges_memoized_no_persist_growth(spark, sf_smoke_dir):
+    """VERDICT r4: a registry sweep must not accumulate pinned RDDs.
+    Repeated copurchase_triangles invocations in one session reuse ONE
+    memoized persisted edge list."""
+    from mapreduce_4sl08_spark.plans import warehouse
+
+    warehouse.copurchase_triangles(spark, sf_smoke_dir).count()
+    n_after_first = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    warehouse.copurchase_triangles(spark, sf_smoke_dir).count()
+    warehouse.copurchase_triangles(spark, sf_smoke_dir).count()
+    n_after_third = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert n_after_third == n_after_first
