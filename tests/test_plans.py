@@ -273,3 +273,15 @@ def test_copurchase_edges_memoized_no_persist_growth(spark, sf_smoke_dir):
     warehouse.copurchase_triangles(spark, sf_smoke_dir).count()
     n_after_third = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
     assert n_after_third == n_after_first
+
+
+def test_profile_schema_declaration_matches_live_parquet(spark, sf_dir):
+    """The profiler's Spark side walks the LIVE schema; its oracle SQL is
+    generated from PROFILE_SCHEMAS. Pin the declaration to the parquet
+    so the two walks cannot drift."""
+    from mapreduce_4sl08_spark.plans.quality import PROFILE_SCHEMAS
+    from mapreduce_4sl08_spark.plans.base import t
+
+    for table, declared in PROFILE_SCHEMAS.items():
+        live = t(spark, sf_dir, table).dtypes
+        assert live == declared, table
