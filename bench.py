@@ -1,11 +1,19 @@
 #!/usr/bin/env python
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+JSON line: {"metric": ..., "value": total_median_sec, "unit": "sec",
+"queries": {name: median_sec}, "queries_min": {name: min_sec},
+"runs": 3, "sf": ...}.
 
-Each query is fully executed via a noop sink (sorts/limits included, no
-driver materialization beyond what the plan requires)."""
+Each query runs $SPARK_GRAFT_BENCH_RUNS times (default 3) and reports the
+per-query MEDIAN (and min) — single-run timings sit inside a ±30%
+box-noise band, which made round-over-round regressions unattributable
+(VERDICT r4 item 1). The first run of each query absorbs classload/codegen
+warm-up, so the former dedicated warm-up queries are dropped to keep total
+wall-clock in budget.
+
+Each run fully executes the plan via a noop sink (sorts/limits included,
+no driver materialization beyond what the plan requires)."""
 
 from __future__ import annotations
 
@@ -51,28 +59,51 @@ def run_query(spark, name: str, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
+def _reset_memos(spark) -> None:
+    """Restore first-invocation semantics between suite passes: several
+    heavy queries memoize shared persisted indexes per (applicationId,
+    sf_dir) — shingle index, verified near-dup pairs, CC labels,
+    co-purchase edges. Without the reset, passes 2+ would time the
+    memo-hit path (near-free) instead of the query."""
+    from mapreduce_4sl08_spark.plans import text, warehouse
+    for memo in (text._SHINGLE_MEMO, text._NGRAM_PAIRS_MEMO,
+                 text._CC_MEMO, warehouse._EDGES_MEMO):
+        memo.clear()
+    spark.catalog.clearCache()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     spark = get_session("bench")
-    # JVM/codegen warm-up so timings measure the plans, not classloading:
-    # q6 warms the relational scan/agg path, text_token_stats warms the
-    # documents scan + regex codegen, pandas_udf warm-up is covered by
-    # the first Arrow query paying its own worker startup (kept visible —
-    # that cost is real per-session at any scale)
-    run_query(spark, "q6_forecast_revenue", sf_dir)
-    run_query(spark, "text_token_stats", sf_dir)
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        timings[name] = round(run_query(spark, name, sf_dir), 3)
+    # N full suite passes (not N back-to-back repeats of each query):
+    # each pass starts with empty memos, so intra-pass index sharing —
+    # e.g. connected components reusing the jaccard pair set — matches
+    # the single-pass semantics of rounds 1-4 and per-query medians stay
+    # comparable across rounds.
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(n_runs):
+        _reset_memos(spark)
+        for name in HEADLINE:
+            samples[name].append(run_query(spark, name, sf_dir))
 
-    total = round(sum(timings.values()), 3)
+    medians: dict[str, float] = {}
+    mins: dict[str, float] = {}
+    for name, runs in samples.items():
+        runs = sorted(runs)
+        medians[name] = round(runs[len(runs) // 2], 3)
+        mins[name] = round(runs[0], 3)
+
+    total = round(sum(medians.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": medians,
+        "queries_min": mins,
+        "runs": n_runs,
         "sf": float(sf),
     }))
     spark.stop()
