@@ -90,10 +90,26 @@ class _ShardCommit(WriterCommitMessage):
         self.n_rows = n_rows
 
 
+def committed_batch_ids(path: str) -> set[str]:
+    """Batch ids recorded in the committed manifest — the replay guard
+    for exactly-once foreachBatch streaming: a restart that re-delivers
+    an already-committed micro-batch (crash AFTER sink commit, BEFORE
+    the streaming checkpoint advanced) is detected and skipped
+    (see streaming/sinks.py::jsonl_batch_writer)."""
+    mpath = os.path.join(path, _MANIFEST)
+    if not os.path.exists(mpath):
+        return set()
+    with open(mpath) as f:
+        return set(json.load(f).get("batches", []))
+
+
 class JsonlManifestWriter(DataSourceWriter):
     def __init__(self, options, schema, overwrite: bool):
         self.path = options.get("path")
         self.overwrite = overwrite
+        # optional streaming batch id — recorded in the manifest at
+        # commit so replayed micro-batches are detectable (exactly-once)
+        self.batch_id = options.get("batch_id")
         if not self.path:
             raise ValueError("jsonl_manifest requires option 'path'")
         # validate the schema NOW (driver side): unsupported nested types
@@ -116,12 +132,12 @@ class JsonlManifestWriter(DataSourceWriter):
                 n += 1
         return _ShardCommit(tmp_name, final_name, n)
 
-    def _read_manifest(self) -> list[dict]:
+    def _read_manifest(self) -> dict:
         mpath = os.path.join(self.path, _MANIFEST)
         if not os.path.exists(mpath):
-            return []
+            return {}
         with open(mpath) as f:
-            return json.load(f).get("shards", [])
+            return json.load(f)
 
     def commit(self, messages):
         # 1. publish exactly the committed attempts (rename is atomic);
@@ -148,9 +164,14 @@ class JsonlManifestWriter(DataSourceWriter):
             stale = [fn for fn in os.listdir(self.path)
                      if fn.startswith("shard-") and fn not in keep]
             shards = new_shards
+            batches: list[str] = []
         else:
             stale = []
-            shards = self._read_manifest() + new_shards
+            prior = self._read_manifest()
+            shards = prior.get("shards", []) + new_shards
+            batches = list(prior.get("batches", []))
+        if self.batch_id is not None:
+            batches = sorted(set(batches) | {str(self.batch_id)})
         # 3. publish the manifest atomically (temp + rename) — THE commit
         #    point. A concurrent reader sees either the old manifest with
         #    its shards still on disk, or the complete new manifest —
@@ -158,6 +179,7 @@ class JsonlManifestWriter(DataSourceWriter):
         manifest = {
             "shards": sorted(shards, key=lambda s: s["file"]),
             "total_rows": sum(s["rows"] for s in shards),
+            "batches": batches,
         }
         tmp_manifest = os.path.join(
             self.path, f"{_TMP_PREFIX}{uuid.uuid4().hex}-manifest.json")

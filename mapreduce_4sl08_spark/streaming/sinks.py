@@ -10,6 +10,8 @@ the result is a normal readable partitioned parquet dataset.
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
@@ -23,6 +25,52 @@ def partitioned_batch_sink(stream_df: DataFrame, path: str,
         stream_df.writeStream
         .foreachBatch(write_batch)
         .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def jsonl_batch_writer(path: str) -> Callable[[DataFrame, int], None]:
+    """Idempotent foreachBatch function for the jsonl_manifest sink —
+    the exactly-once streaming contract across kill/restart.
+
+    foreachBatch is at-least-once: if the process dies AFTER the sink's
+    manifest commit but BEFORE the streaming checkpoint records the
+    batch, the restart re-delivers the same (batch_id, data). The sink
+    records every committed batch_id in its manifest, so the replay is
+    detected here and skipped — manifest contents end up exactly-once
+    regardless of where the crash landed:
+
+    - crash before sink commit: only temp shards exist (invisible to the
+      manifest-gated reader); the replay re-writes and commits them;
+    - crash after sink commit: batch_id is in the manifest; the replay
+      is a no-op.
+    """
+    from ..sources.jsonl_sink import (
+        JsonlManifestDataSource, committed_batch_ids)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if str(batch_id) in committed_batch_ids(path):
+            return  # replay of a committed batch — exactly-once guard
+        batch_df.sparkSession.dataSource.register(JsonlManifestDataSource)
+        (batch_df.write.format("jsonl_manifest")
+         .option("path", path).option("batch_id", str(batch_id))
+         .mode("append").save())
+
+    return write_batch
+
+
+def jsonl_manifest_sink(stream_df: DataFrame, path: str,
+                        checkpoint: str,
+                        query_name: str = "jsonl_sink") -> StreamingQuery:
+    """Stream into the manifest-committed JSONL sink exactly-once:
+    restartable from ``checkpoint``, idempotent under micro-batch replay
+    (see jsonl_batch_writer)."""
+    return (
+        stream_df.writeStream
+        .foreachBatch(jsonl_batch_writer(path))
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
     )

@@ -275,3 +275,58 @@ def test_stream_windowed_topk_matches_batch_twin(spark, events_dir, sf_smoke_dir
     assert sorted(tuple(r) for r in got_final.collect()) == \
         sorted(tuple(r) for r in want.collect())
     assert want.count() > 20  # non-vacuous
+
+
+def test_jsonl_manifest_sink_checkpoint_recovery(spark, events_dir, tmp_path):
+    """Exactly-once across a mid-stream kill (VERDICT r4 item 5): the
+    worst-case crash window — sink manifest COMMITTED, streaming
+    checkpoint NOT yet advanced — re-delivers the same micro-batch on
+    restart. The manifest's batch-id replay guard must skip it, and the
+    final manifest contents must equal the batch twin exactly once."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from mapreduce_4sl08_spark.sources.jsonl_sink import (
+        JsonlManifestDataSource, committed_batch_ids)
+    from mapreduce_4sl08_spark.streaming.ops import EVENTS_SCHEMA
+    from mapreduce_4sl08_spark.streaming.sinks import jsonl_batch_writer
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    write_batch = jsonl_batch_writer(out)
+
+    def crashing(batch_df, batch_id):
+        write_batch(batch_df, batch_id)
+        if batch_id == 0:
+            raise RuntimeError("injected crash AFTER sink commit")
+
+    def stream():
+        return (spark.readStream.schema(EVENTS_SCHEMA)
+                .option("maxFilesPerTrigger", "1").parquet(events_dir))
+
+    q = (stream().writeStream.foreachBatch(crashing)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    with pytest.raises(StreamingQueryException):
+        q.awaitTermination()
+
+    # the crash landed after commit: batch 0 IS in the manifest, the
+    # checkpoint does NOT have it committed — the poison replay window
+    assert committed_batch_ids(out) == {"0"}
+
+    q2 = (stream().writeStream.foreachBatch(write_batch)
+          .option("checkpointLocation", ckpt)
+          .trigger(availableNow=True).start())
+    q2.awaitTermination()
+
+    spark.dataSource.register(JsonlManifestDataSource)
+    got = (spark.read.format("jsonl_manifest").schema(EVENTS_SCHEMA)
+           .option("path", out).load())
+    twin = spark.read.schema(EVENTS_SCHEMA).parquet(events_dir)
+    n_twin = twin.count()
+    assert got.count() == n_twin                       # no loss, no dupes
+    assert got.select("event_id").distinct().count() == \
+        twin.select("event_id").distinct().count()
+    # every batch file landed in exactly one committed batch
+    n_files = len([f for f in __import__("os").listdir(events_dir)
+                   if f.endswith(".parquet")])
+    assert len(committed_batch_ids(out)) == n_files
