@@ -40,6 +40,8 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     "copurchase_triangles",
     # round 5: profiler generalized to a schema walk (VERDICT r4 item 6)
     "column_profile_orders",
+    # round 5: pagerank memoized (leak fix; plan semantics unchanged)
+    "graph_pagerank_purchases",
 )
 
 # Round-1 pass (CORRECTNESS_r01.json): the first 50 registry entries.

@@ -285,3 +285,15 @@ def test_profile_schema_declaration_matches_live_parquet(spark, sf_dir):
     for table, declared in PROFILE_SCHEMAS.items():
         live = t(spark, sf_dir, table).dtypes
         assert live == declared, table
+
+
+def test_pagerank_memoized_no_persist_growth(spark, sf_smoke_dir):
+    """Same sweep invariant as the co-purchase edges: repeated pagerank
+    invocations reuse ONE memoized rank plan (and its node/link caches)."""
+    from mapreduce_4sl08_spark.plans.extended import graph_pagerank_purchases
+
+    graph_pagerank_purchases(spark, sf_smoke_dir).count()
+    n_first = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    graph_pagerank_purchases(spark, sf_smoke_dir).count()
+    n_third = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert n_third == n_first
