@@ -65,9 +65,10 @@ def _reset_memos(spark) -> None:
     sf_dir) — shingle index, verified near-dup pairs, CC labels,
     co-purchase edges. Without the reset, passes 2+ would time the
     memo-hit path (near-free) instead of the query."""
-    from mapreduce_4sl08_spark.plans import text, warehouse
+    from mapreduce_4sl08_spark.plans import extended, text, warehouse
     for memo in (text._SHINGLE_MEMO, text._NGRAM_PAIRS_MEMO,
-                 text._CC_MEMO, warehouse._EDGES_MEMO):
+                 text._CC_MEMO, warehouse._EDGES_MEMO,
+                 extended._PAGERANK_MEMO):
         memo.clear()
     spark.catalog.clearCache()
 
