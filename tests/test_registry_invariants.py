@@ -79,3 +79,32 @@ def test_no_driver_collect_in_plan_builders():
         assert m is None, (
             f"{name} materializes on the driver via '{m.group(0)}' — "
             f"express scalar subqueries as crossJoin(broadcast(agg))")
+
+
+def test_memoized_persists_bounded_across_sweep(spark):
+    """VERDICT r4: a registry sweep must not accumulate pinned RDDs.
+
+    Every query whose plan persists a multi-consumer intermediate
+    (shingle index, verified jaccard pairs, converged CC labels,
+    co-purchase edges, pagerank nodes/links) memoizes it per
+    (applicationId, sf_dir). Sweep the whole persist-capable family
+    twice: the second sweep must add ZERO persistent RDDs."""
+    PERSISTING = [
+        "dedup_ngram_jaccard", "dedup_minhash_lsh",
+        "dedup_connected_components", "dedup_cluster_stats",
+        "corpus_curation_pipeline", "copurchase_triangles",
+        "graph_pagerank_purchases",
+    ]
+    sf = "/root/testdata/sf0.001"
+
+    def sweep():
+        for name in PERSISTING:
+            QUERIES[name].fn(spark, sf).count()
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    n_first = sweep()
+    n_second = sweep()
+    assert n_second == n_first, (
+        f"persistent RDDs grew across an identical sweep "
+        f"({n_first} -> {n_second}) — a per-call persist() leaked; "
+        f"memoize it per (applicationId, sf_dir)")
