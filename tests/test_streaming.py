@@ -330,3 +330,51 @@ def test_jsonl_manifest_sink_checkpoint_recovery(spark, events_dir, tmp_path):
     n_files = len([f for f in __import__("os").listdir(events_dir)
                    if f.endswith(".parquet")])
     assert len(committed_batch_ids(out)) == n_files
+
+
+def test_jsonl_manifest_sink_crash_before_commit(spark, events_dir, tmp_path):
+    """The other crash window: process dies BEFORE the sink commits the
+    batch. Nothing entered the manifest (at most invisible temp shards),
+    so the restart re-delivers and re-writes the batch — still exactly
+    once end-to-end."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from mapreduce_4sl08_spark.sources.jsonl_sink import (
+        JsonlManifestDataSource, committed_batch_ids)
+    from mapreduce_4sl08_spark.streaming.ops import EVENTS_SCHEMA
+    from mapreduce_4sl08_spark.streaming.sinks import jsonl_batch_writer
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    write_batch = jsonl_batch_writer(out)
+    crashed = {"done": False}
+
+    def crashing(batch_df, batch_id):
+        if batch_id == 0 and not crashed["done"]:
+            crashed["done"] = True
+            raise RuntimeError("injected crash BEFORE sink commit")
+        write_batch(batch_df, batch_id)
+
+    def stream():
+        return (spark.readStream.schema(EVENTS_SCHEMA)
+                .option("maxFilesPerTrigger", "1").parquet(events_dir))
+
+    q = (stream().writeStream.foreachBatch(crashing)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    with pytest.raises(StreamingQueryException):
+        q.awaitTermination()
+    assert committed_batch_ids(out) == set()  # nothing committed
+
+    q2 = (stream().writeStream.foreachBatch(crashing)
+          .option("checkpointLocation", ckpt)
+          .trigger(availableNow=True).start())
+    q2.awaitTermination()
+
+    spark.dataSource.register(JsonlManifestDataSource)
+    got = (spark.read.format("jsonl_manifest").schema(EVENTS_SCHEMA)
+           .option("path", out).load())
+    twin = spark.read.schema(EVENTS_SCHEMA).parquet(events_dir)
+    assert got.count() == twin.count()
+    assert got.select("event_id").distinct().count() == \
+        twin.select("event_id").distinct().count()
