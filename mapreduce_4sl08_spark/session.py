@@ -55,6 +55,13 @@ def get_session(app_name: str = "mapreduce_4sl08_spark",
         master = f"local[{cpus}]"
     builder = SparkSession.builder.appName(app_name).master(master)
     conf = dict(ENGINE_CONF)
+    if master.startswith("local"):
+        # Spark's default driver heap is 1g — in local mode that single
+        # JVM is ALSO every executor, so 32 task threads share 1g and
+        # anything past ~sf0.1 falls over. Only effective for the first
+        # session in a process (the JVM is launched then); harmless after.
+        conf.setdefault("spark.driver.memory",
+                        os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():
