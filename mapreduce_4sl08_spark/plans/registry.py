@@ -42,6 +42,9 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     "column_profile_orders",
     # round 5: pagerank memoized (leak fix; plan semantics unchanged)
     "graph_pagerank_purchases",
+    # round 5: CC loop lineage-truncated via localCheckpoint (4.4x faster;
+    # fixpoint unchanged) — re-prove CC and its composing consumers
+    "dedup_connected_components", "corpus_curation_pipeline",
 )
 
 # Round-1 pass (CORRECTNESS_r01.json): the first 50 registry entries.
