@@ -13,20 +13,33 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+_CKPT_EVERY = 3
+
+
 def pagerank(edges: DataFrame, iterations: int = 10,
              damping: float = 0.85) -> DataFrame:
     """edges(src, dst) directed → (node, rank). Dangling nodes keep the
     teleport mass (standard simplified treatment). Deterministic up to
-    float summation order."""
+    float summation order.
+
+    Lineage is truncated every _CKPT_EVERY iterations via
+    localCheckpoint: a 10-iteration rank plan otherwise embeds every
+    prior iteration's joins and Catalyst re-analyzes the whole tree at
+    action time — measured 17.9 s (cache) vs 3.5 s (checkpoint) at
+    sf0.01 with IDENTICAL 8-dp output. The arithmetic is unchanged
+    (checkpoint stores the rows a subtree would compute anyway); only
+    the plan size is bounded. Same pattern and cluster note as the CC
+    loop (plans/text.py): use .checkpoint() + spark.checkpoint.dir for
+    reliable storage on a real cluster."""
     nodes = (edges.select(F.col("src").alias("node"))
              .unionByName(edges.select(F.col("dst").alias("node")))
-             .distinct().cache())
+             .distinct().localCheckpoint(eager=True))
     n_nodes = nodes.count()
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    links = edges.join(outdeg, "src").cache()
+    links = edges.join(outdeg, "src").localCheckpoint(eager=True)
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
-    for _ in range(iterations):
+    for i in range(iterations):
         contribs = (
             links.join(ranks, links.src == ranks.node)
             .select("dst", (F.col("rank") / F.col("outdeg")).alias("contrib"))
@@ -41,6 +54,8 @@ def pagerank(edges: DataFrame, iterations: int = 10,
                  + F.lit(damping) * F.coalesce("in_mass", F.lit(0.0))).alias("rank"),
             )
         )
+        if (i + 1) % _CKPT_EVERY == 0 and i < iterations - 1:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 
