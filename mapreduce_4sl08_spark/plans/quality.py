@@ -215,9 +215,10 @@ def _profile_oracle_repr(name: str, dtype: str) -> str:
     return name
 
 
-def _profile_oracle_sql(table: str) -> str:
+def _profile_oracle_sql(table: str,
+                        cols: list[tuple[str, str]] | None = None) -> str:
     parts = []
-    for name, dtype in PROFILE_SCHEMAS[table]:
+    for name, dtype in (PROFILE_SCHEMAS[table] if cols is None else cols):
         rep = _profile_oracle_repr(name, dtype)
         parts.append(
             f"  SELECT '{name}' AS column_name,\n"

@@ -297,3 +297,34 @@ def test_pagerank_memoized_no_persist_growth(spark, sf_smoke_dir):
     graph_pagerank_purchases(spark, sf_smoke_dir).count()
     n_third = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
     assert n_third == n_first
+
+
+def test_profile_table_generalizes_to_unseen_types(spark, tmp_path):
+    """profile_table's type dispatch covers date/boolean/float columns no
+    fixture table exercises — prove the schema walk and the generated
+    oracle agree on a synthetic table containing them (incl. nulls)."""
+    import datetime
+
+    import duckdb
+
+    from mapreduce_4sl08_spark.plans.quality import (
+        _profile_oracle_sql, profile_table)
+    from tests.oracle import compare_frames
+
+    sf = str(tmp_path / "sf_syn")
+    rows = [
+        (1, datetime.date(2024, 1, 31), True, 12.34, "x"),
+        (2, datetime.date(2023, 7, 4), False, -0.5, None),
+        (3, None, None, None, "y"),
+    ]
+    ddl = "id long, d date, flag boolean, v double, s string"
+    spark.createDataFrame(rows, ddl).write.mode("overwrite") \
+        .parquet(f"{sf}/syn.parquet")
+
+    got = profile_table(spark, sf, "syn").toPandas()
+    cols = [("id", "bigint"), ("d", "date"), ("flag", "boolean"),
+            ("v", "double"), ("s", "string")]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW syn AS SELECT * FROM '{sf}/syn.parquet/*.parquet'")
+    want = con.execute(_profile_oracle_sql("syn", cols)).fetchdf()
+    compare_frames(got, want, "profile_syn")
