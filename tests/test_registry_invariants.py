@@ -108,3 +108,20 @@ def test_memoized_persists_bounded_across_sweep(spark):
         f"persistent RDDs grew across an identical sweep "
         f"({n_first} -> {n_second}) — a per-call persist() leaked; "
         f"memoize it per (applicationId, sf_dir)")
+
+
+def test_driver_checked_bookkeeping_names_exist():
+    """The LRU-rotation sets must reference real registry names — a typo
+    (or a renamed query) would silently misorder the driver budget."""
+    from mapreduce_4sl08_spark.plans import registry
+
+    known = set(registry.QUERIES)
+    for label, names in (
+        ("_ROUND_PRIORITY", set(registry._ROUND_PRIORITY)),
+        ("_R1_DRIVER_CHECKED", registry._R1_DRIVER_CHECKED),
+        ("_R2_DRIVER_CHECKED", registry._R2_DRIVER_CHECKED),
+        ("_R3_DRIVER_CHECKED", registry._R3_DRIVER_CHECKED),
+        ("_R4_DRIVER_CHECKED", registry._R4_DRIVER_CHECKED),
+    ):
+        unknown = names - known
+        assert not unknown, f"{label} references unknown queries: {unknown}"
