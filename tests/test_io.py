@@ -292,3 +292,53 @@ def test_load_table_events_ntz_session_zone_invariant(spark, tmp_path):
     ])
     assert utc == want
     assert shifted == want
+
+
+def test_jsonl_codec_roundtrip_property():
+    """Property: every supported type's (encode, decode) pair round-trips
+    arbitrary values exactly, through an actual JSON serialization —
+    driver-side, no Spark needed (the codecs run identically in tasks)."""
+    import datetime
+    import decimal
+    import json
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pyspark.sql import types as T
+
+    from mapreduce_4sl08_spark.sources.jsonl_sink import _codec
+
+    timestamps = st.datetimes(
+        min_value=datetime.datetime(1, 1, 1),
+        max_value=datetime.datetime(9999, 12, 31, 23, 59, 59))
+    dates = st.dates()
+    binaries = st.binary(max_size=64)
+    decimals = st.decimals(allow_nan=False, allow_infinity=False,
+                           places=4, min_value=-10**12, max_value=10**12)
+
+    cases = [
+        (T.TimestampNTZType(), timestamps),
+        (T.DateType(), dates),
+        (T.BinaryType(), binaries),
+        (T.DecimalType(16, 4), decimals),
+        (T.ArrayType(T.TimestampNTZType()),
+         st.lists(st.one_of(st.none(), timestamps), max_size=4)),
+        (T.ArrayType(T.DecimalType(16, 4)),
+         st.lists(st.one_of(st.none(), decimals), max_size=4)),
+    ]
+
+    @settings(max_examples=200, deadline=None)
+    @given(data=st.data())
+    def check(data):
+        for dtype, strat in cases:
+            v = data.draw(strat)
+            enc, dec = _codec(dtype, "f")
+            wire = json.loads(json.dumps(enc(v)))
+            got = dec(wire)
+            if isinstance(got, (bytes, bytearray)):
+                assert bytes(got) == bytes(v)
+            else:
+                assert got == v, (dtype.simpleString(), v, got)
+
+    check()
