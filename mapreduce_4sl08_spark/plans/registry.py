@@ -45,6 +45,7 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     # round 5: CC loop lineage-truncated via localCheckpoint (4.4x faster;
     # fixpoint unchanged) — re-prove CC and its composing consumers
     "dedup_connected_components", "corpus_curation_pipeline",
+    "dedup_cluster_stats", "cluster_best_survivor",
 )
 
 # Round-1 pass (CORRECTNESS_r01.json): the first 50 registry entries.
