@@ -342,3 +342,33 @@ def test_jsonl_codec_roundtrip_property():
                 assert got == v, (dtype.simpleString(), v, got)
 
     check()
+
+
+def test_jsonl_manifest_abort_keeps_prior_commit(spark, tmp_path):
+    """A failed write job must not disturb the committed manifest: the
+    abort path sweeps temp shards and the manifest-gated reader still
+    sees exactly the prior commit."""
+    import os
+
+    import pytest
+
+    from mapreduce_4sl08_spark.sources.jsonl_sink import JsonlManifestDataSource
+
+    spark.dataSource.register(JsonlManifestDataSource)
+    out = str(tmp_path / "jsonl_abort")
+
+    ok = spark.range(5).selectExpr("id", "CAST(id AS STRING) AS s")
+    ok.write.format("jsonl_manifest").option("path", out).mode("append").save()
+
+    # second write fails mid-task (executor-side error after some rows)
+    bad = spark.range(100).selectExpr(
+        "id", "CAST(assert_true(id < 50, 'boom') AS STRING) AS s")
+    with pytest.raises(Exception):
+        bad.write.format("jsonl_manifest").option("path", out) \
+            .mode("append").save()
+
+    back = (spark.read.format("jsonl_manifest")
+            .schema("id long, s string").option("path", out).load())
+    assert sorted(r.id for r in back.collect()) == [0, 1, 2, 3, 4]
+    leftovers = [f for f in os.listdir(out) if f.startswith("_tmp-")]
+    assert leftovers == []
