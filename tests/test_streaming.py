@@ -378,3 +378,23 @@ def test_jsonl_manifest_sink_crash_before_commit(spark, events_dir, tmp_path):
     assert got.count() == twin.count()
     assert got.select("event_id").distinct().count() == \
         twin.select("event_id").distinct().count()
+
+
+def test_jsonl_manifest_sink_wrapper(spark, events_dir, tmp_path):
+    """The one-call sink wrapper streams a source to the manifest sink
+    exactly-once and is restart-safe (no-op when nothing new)."""
+    from mapreduce_4sl08_spark.sources.jsonl_sink import JsonlManifestDataSource
+    from mapreduce_4sl08_spark.streaming.ops import EVENTS_SCHEMA
+    from mapreduce_4sl08_spark.streaming.sinks import jsonl_manifest_sink
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
+    jsonl_manifest_sink(stream, out, ckpt).awaitTermination()
+    jsonl_manifest_sink(stream, out, ckpt).awaitTermination()  # restart: no-op
+
+    spark.dataSource.register(JsonlManifestDataSource)
+    got = (spark.read.format("jsonl_manifest").schema(EVENTS_SCHEMA)
+           .option("path", out).load())
+    twin = spark.read.schema(EVENTS_SCHEMA).parquet(events_dir)
+    assert got.count() == twin.count()
