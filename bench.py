@@ -90,12 +90,15 @@ def main() -> None:
         for name in HEADLINE:
             samples[name].append(run_query(spark, name, sf_dir))
 
+    import statistics
     medians: dict[str, float] = {}
     mins: dict[str, float] = {}
     for name, runs in samples.items():
-        runs = sorted(runs)
-        medians[name] = round(runs[len(runs) // 2], 3)
-        mins[name] = round(runs[0], 3)
+        # statistics.median averages the two middles for even run counts
+        # (runs[n//2] would pick the slower one — with runs=2 that is the
+        # cold pass, inflating every number)
+        medians[name] = round(statistics.median(runs), 3)
+        mins[name] = round(min(runs), 3)
 
     total = round(sum(medians.values()), 3)
     print(json.dumps({

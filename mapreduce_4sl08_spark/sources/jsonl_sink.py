@@ -90,17 +90,28 @@ class _ShardCommit(WriterCommitMessage):
         self.n_rows = n_rows
 
 
-def committed_batch_ids(path: str) -> set[str]:
-    """Batch ids recorded in the committed manifest — the replay guard
-    for exactly-once foreachBatch streaming: a restart that re-delivers
-    an already-committed micro-batch (crash AFTER sink commit, BEFORE
-    the streaming checkpoint advanced) is detected and skipped
-    (see streaming/sinks.py::jsonl_batch_writer)."""
+def read_manifest(path: str) -> dict:
+    """The committed manifest, or {} if nothing was ever committed.
+    Single read path shared by the writer's append-merge and the
+    streaming replay guard — the manifest format has ONE parser."""
     mpath = os.path.join(path, _MANIFEST)
     if not os.path.exists(mpath):
-        return set()
+        return {}
     with open(mpath) as f:
-        return set(json.load(f).get("batches", []))
+        return json.load(f)
+
+
+def committed_batch_ids(path: str) -> set[str]:
+    """Stream-scoped batch keys ("<stream_id>/<batch_id>") recorded in
+    the committed manifest — the replay guard for exactly-once
+    foreachBatch streaming: a restart that re-delivers an
+    already-committed micro-batch (crash AFTER sink commit, BEFORE the
+    streaming checkpoint advanced) is detected and skipped. Keys are
+    scoped by stream id so a NEW query lineage (fresh checkpoint)
+    appending to an existing path restarts its batch numbering without
+    colliding with a prior stream's entries
+    (see streaming/sinks.py::jsonl_batch_writer)."""
+    return set(read_manifest(path).get("batches", []))
 
 
 class JsonlManifestWriter(DataSourceWriter):
@@ -132,13 +143,6 @@ class JsonlManifestWriter(DataSourceWriter):
                 n += 1
         return _ShardCommit(tmp_name, final_name, n)
 
-    def _read_manifest(self) -> dict:
-        mpath = os.path.join(self.path, _MANIFEST)
-        if not os.path.exists(mpath):
-            return {}
-        with open(mpath) as f:
-            return json.load(f)
-
     def commit(self, messages):
         # 1. publish exactly the committed attempts (rename is atomic);
         #    orphan temp files from failed/speculative attempts stay
@@ -167,7 +171,7 @@ class JsonlManifestWriter(DataSourceWriter):
             batches: list[str] = []
         else:
             stale = []
-            prior = self._read_manifest()
+            prior = read_manifest(self.path)
             shards = prior.get("shards", []) + new_shards
             batches = list(prior.get("batches", []))
         if self.batch_id is not None:

@@ -10,6 +10,7 @@ the result is a normal readable partitioned parquet dataset.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
@@ -30,31 +31,41 @@ def partitioned_batch_sink(stream_df: DataFrame, path: str,
     )
 
 
-def jsonl_batch_writer(path: str) -> Callable[[DataFrame, int], None]:
+def jsonl_batch_writer(path: str,
+                       stream_id: str) -> Callable[[DataFrame, int], None]:
     """Idempotent foreachBatch function for the jsonl_manifest sink —
     the exactly-once streaming contract across kill/restart.
 
     foreachBatch is at-least-once: if the process dies AFTER the sink's
     manifest commit but BEFORE the streaming checkpoint records the
     batch, the restart re-delivers the same (batch_id, data). The sink
-    records every committed batch_id in its manifest, so the replay is
+    records every committed batch in its manifest, so the replay is
     detected here and skipped — manifest contents end up exactly-once
     regardless of where the crash landed:
 
     - crash before sink commit: only temp shards exist (invisible to the
       manifest-gated reader); the replay re-writes and commits them;
-    - crash after sink commit: batch_id is in the manifest; the replay
+    - crash after sink commit: the batch is in the manifest; the replay
       is a no-op.
+
+    ``stream_id`` scopes the recorded keys to ONE query lineage —
+    micro-batch ids restart at 0 for every new checkpoint, so an
+    unscoped guard would silently drop the early batches of any new
+    query appending to a path a prior stream wrote (data loss). Use one
+    stable id per (query, checkpoint) pair; ``jsonl_manifest_sink``
+    derives it from the checkpoint location, which shares exactly the
+    lifetime of the batch numbering it scopes.
     """
     from ..sources.jsonl_sink import (
         JsonlManifestDataSource, committed_batch_ids)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if str(batch_id) in committed_batch_ids(path):
+        key = f"{stream_id}/{batch_id}"
+        if key in committed_batch_ids(path):
             return  # replay of a committed batch — exactly-once guard
         batch_df.sparkSession.dataSource.register(JsonlManifestDataSource)
         (batch_df.write.format("jsonl_manifest")
-         .option("path", path).option("batch_id", str(batch_id))
+         .option("path", path).option("batch_id", key)
          .mode("append").save())
 
     return write_batch
@@ -65,10 +76,12 @@ def jsonl_manifest_sink(stream_df: DataFrame, path: str,
                         query_name: str = "jsonl_sink") -> StreamingQuery:
     """Stream into the manifest-committed JSONL sink exactly-once:
     restartable from ``checkpoint``, idempotent under micro-batch replay
-    (see jsonl_batch_writer)."""
+    (see jsonl_batch_writer; the replay-guard scope is the checkpoint
+    location — same lifetime as the batch numbering)."""
+    stream_id = os.path.normpath(checkpoint)
     return (
         stream_df.writeStream
-        .foreachBatch(jsonl_batch_writer(path))
+        .foreachBatch(jsonl_batch_writer(path, stream_id))
         .queryName(query_name)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)

@@ -370,5 +370,15 @@ def test_jsonl_manifest_abort_keeps_prior_commit(spark, tmp_path):
     back = (spark.read.format("jsonl_manifest")
             .schema("id long, s string").option("path", out).load())
     assert sorted(r.id for r in back.collect()) == [0, 1, 2, 3, 4]
+
+    # a task still running at abort time may flush its temp file AFTER
+    # the abort sweep — that orphan is invisible (manifest-gated) and the
+    # NEXT successful commit sweeps it (commit step 4): assert that.
+    spark.range(100, 102).selectExpr("id", "CAST(id AS STRING) AS s") \
+        .write.format("jsonl_manifest").option("path", out) \
+        .mode("append").save()
+    back2 = (spark.read.format("jsonl_manifest")
+             .schema("id long, s string").option("path", out).load())
+    assert sorted(r.id for r in back2.collect()) == [0, 1, 2, 3, 4, 100, 101]
     leftovers = [f for f in os.listdir(out) if f.startswith("_tmp-")]
     assert leftovers == []

@@ -272,7 +272,9 @@ def test_copurchase_edges_memoized_no_persist_growth(spark, sf_smoke_dir):
     warehouse.copurchase_triangles(spark, sf_smoke_dir).count()
     warehouse.copurchase_triangles(spark, sf_smoke_dir).count()
     n_after_third = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
-    assert n_after_third == n_after_first
+    # <= not ==: the async ContextCleaner may unpersist orphaned
+    # checkpoint blocks between samples; the invariant is NO GROWTH
+    assert n_after_third <= n_after_first
 
 
 def test_profile_schema_declaration_matches_live_parquet(spark, sf_dir):
@@ -296,7 +298,8 @@ def test_pagerank_memoized_no_persist_growth(spark, sf_smoke_dir):
     n_first = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
     graph_pagerank_purchases(spark, sf_smoke_dir).count()
     n_third = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
-    assert n_third == n_first
+    # <= not ==: see test_copurchase_edges_memoized_no_persist_growth
+    assert n_third <= n_first
 
 
 def test_profile_table_generalizes_to_unseen_types(spark, tmp_path):

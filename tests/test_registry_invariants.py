@@ -95,16 +95,18 @@ def test_memoized_persists_bounded_across_sweep(spark):
         "corpus_curation_pipeline", "copurchase_triangles",
         "graph_pagerank_purchases",
     ]
-    sf = "/root/testdata/sf0.001"
+    from tests.conftest import SF_SMOKE
 
     def sweep():
         for name in PERSISTING:
-            QUERIES[name].fn(spark, sf).count()
+            QUERIES[name].fn(spark, SF_SMOKE).count()
         return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
 
     n_first = sweep()
     n_second = sweep()
-    assert n_second == n_first, (
+    # <= not ==: the async ContextCleaner may reclaim orphaned
+    # localCheckpoint blocks between sweeps; the invariant is NO GROWTH
+    assert n_second <= n_first, (
         f"persistent RDDs grew across an identical sweep "
         f"({n_first} -> {n_second}) — a per-call persist() leaked; "
         f"memoize it per (applicationId, sf_dir)")

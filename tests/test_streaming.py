@@ -292,7 +292,7 @@ def test_jsonl_manifest_sink_checkpoint_recovery(spark, events_dir, tmp_path):
 
     out = str(tmp_path / "out")
     ckpt = str(tmp_path / "ckpt")
-    write_batch = jsonl_batch_writer(out)
+    write_batch = jsonl_batch_writer(out, "s1")
 
     def crashing(batch_df, batch_id):
         write_batch(batch_df, batch_id)
@@ -311,7 +311,7 @@ def test_jsonl_manifest_sink_checkpoint_recovery(spark, events_dir, tmp_path):
 
     # the crash landed after commit: batch 0 IS in the manifest, the
     # checkpoint does NOT have it committed — the poison replay window
-    assert committed_batch_ids(out) == {"0"}
+    assert committed_batch_ids(out) == {"s1/0"}
 
     q2 = (stream().writeStream.foreachBatch(write_batch)
           .option("checkpointLocation", ckpt)
@@ -346,7 +346,7 @@ def test_jsonl_manifest_sink_crash_before_commit(spark, events_dir, tmp_path):
 
     out = str(tmp_path / "out")
     ckpt = str(tmp_path / "ckpt")
-    write_batch = jsonl_batch_writer(out)
+    write_batch = jsonl_batch_writer(out, "s1")
     crashed = {"done": False}
 
     def crashing(batch_df, batch_id):
@@ -398,3 +398,14 @@ def test_jsonl_manifest_sink_wrapper(spark, events_dir, tmp_path):
            .option("path", out).load())
     twin = spark.read.schema(EVENTS_SCHEMA).parquet(events_dir)
     assert got.count() == twin.count()
+
+    # a NEW query lineage (fresh checkpoint) appending to the same path
+    # restarts batch numbering at 0 — its batches must NOT be mistaken
+    # for replays of the first stream's (the guard is stream-scoped)
+    ckpt2 = str(tmp_path / "ckpt2")
+    jsonl_manifest_sink(
+        spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir),
+        out, ckpt2).awaitTermination()
+    got2 = (spark.read.format("jsonl_manifest").schema(EVENTS_SCHEMA)
+            .option("path", out).load())
+    assert got2.count() == 2 * twin.count()  # nothing silently dropped
