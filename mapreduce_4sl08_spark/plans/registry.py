@@ -36,16 +36,14 @@ _MODULE_SPECS: list[QuerySpec] = [
 #   2. Never-driver-checked queries (new this round) — sort next.
 #   3. Remaining queries by last-proven round, least recent first.
 _ROUND_PRIORITY: tuple[str, ...] = (
-    # round 5: basket-skew cap + memoized edge index (VERDICT r4 items 3-4)
+    # round 6: memo registry gained session-scoped eviction and the CC /
+    # pagerank loops gained the reliable-checkpoint knob (default off, but
+    # the touched code paths are re-proven first per LRU policy).
+    "dedup_connected_components", "graph_pagerank_purchases",
     "copurchase_triangles",
-    # round 5: profiler generalized to a schema walk (VERDICT r4 item 6)
-    "column_profile_orders",
-    # round 5: pagerank memoized (leak fix; plan semantics unchanged)
-    "graph_pagerank_purchases",
-    # round 5: CC loop lineage-truncated via localCheckpoint (4.4x faster;
-    # fixpoint unchanged) — re-prove CC and its composing consumers
-    "dedup_connected_components", "corpus_curation_pipeline",
-    "dedup_cluster_stats", "cluster_best_survivor",
+    # round 6: profiler dtype dispatch now raises on unhandled types
+    # (ADVICE item) — re-prove both profile queries.
+    "column_profile_orders", "column_profile_lineitem",
 )
 
 # Round-1 pass (CORRECTNESS_r01.json): the first 50 registry entries.
@@ -151,9 +149,37 @@ _R4_DRIVER_CHECKED: frozenset[str] = frozenset(
     }
 )
 
+# Round-5 pass (CORRECTNESS_r05.json): all 50 rows green (7 changed +
+# 1 new + 42 stalest r1/r2-era); cumulative r1∪…∪r5 covers all 126.
+_R5_DRIVER_CHECKED: frozenset[str] = frozenset(
+    {
+        "array_functions_showcase", "bucketed_join_zero_shuffle",
+        "cluster_best_survivor", "column_profile_lineitem",
+        "column_profile_orders", "copurchase_triangles",
+        "corpus_curation_pipeline", "date_functions_showcase",
+        "dedup_cluster_stats", "dedup_connected_components",
+        "dedup_exact_documents", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+        "doc_fingerprint", "docs_with_embeddings", "embedding_near_dup",
+        "embedding_norms", "events_funnel_conversion", "events_pivot_types",
+        "events_retention_cohorts", "graph_pagerank_purchases",
+        "grouping_sets_revenue", "in_subquery_customers",
+        "knn_bruteforce_cosine", "lsh_bucket_ann", "map_functions_showcase",
+        "multimodal_decode_stub", "multimodal_frame_sample",
+        "pandas_udf_norms", "q12_priority_by_ship_delay",
+        "q1_pricing_summary", "q20_dominant_suppliers",
+        "q2_min_balance_supplier", "q4_late_ship_orders", "q7_nation_volume",
+        "q9_product_profit", "quality_rules_audit", "regexp_extract_ids",
+        "salted_hot_key_agg", "simhash_dedup", "span_dedup_report",
+        "stratified_sample_documents", "text_bigram_top20",
+        "text_char_trigram_profile", "text_chunking_udtf",
+        "text_language_id", "text_quality_score", "text_repetition_stats",
+        "text_token_positions", "text_token_stats",
+    }
+)
+
 _DRIVER_CHECKED: frozenset[str] = (
     _R1_DRIVER_CHECKED | _R2_DRIVER_CHECKED | _R3_DRIVER_CHECKED
-    | _R4_DRIVER_CHECKED
+    | _R4_DRIVER_CHECKED | _R5_DRIVER_CHECKED
 )
 
 
@@ -162,10 +188,12 @@ def _order_key(s: QuerySpec) -> int:
         return 0  # changed this round — must be re-proven first
     if s.name not in _DRIVER_CHECKED:
         return 1  # never driver-checked (new this round)
-    # Remaining: least-recently-proven first (LRU rotation). Round 5's
-    # ~50-row budget lands on the r2-era rows, the stalest code state.
+    # Remaining: least-recently-proven first (LRU rotation). Round 6's
+    # ~50-row budget lands on the r3-era rows, now the stalest code state.
+    if s.name in _R5_DRIVER_CHECKED:
+        return 6  # proven last round
     if s.name in _R4_DRIVER_CHECKED:
-        return 5  # proven last round
+        return 5
     if s.name in _R3_DRIVER_CHECKED:
         return 4
     if s.name in _R2_DRIVER_CHECKED:
