@@ -76,7 +76,9 @@ def _reset_memos(spark) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # clamp BEFORE session spin-up: 0/negative would leave every sample
+    # list empty and statistics.median would raise after ~30 s of setup
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     spark = get_session("bench")
 
     # N full suite passes (not N back-to-back repeats of each query):

@@ -139,7 +139,17 @@ def _profile_order_key(name: str, dtype: str) -> F.Column:
             f" TIMESTAMP_NTZ '1970-01-01 00:00:00', {name})")
     if dtype == "timestamp":
         return F.unix_micros(F.col(name))
-    return F.col(name)  # integral, string, date, boolean
+    if dtype in ("tinyint", "smallint", "int", "bigint",
+                 "string", "date", "boolean"):
+        return F.col(name)  # already engine-neutral as-is
+    # No silent fall-through: an unhandled type (decimal, interval, …)
+    # whose Spark string rendering and the generated DuckDB oracle's
+    # VARCHAR cast can disagree (scale, trailing zeros) must fail LOUDLY
+    # here, not as a value-hash mismatch across engines (ADVICE r5).
+    raise TypeError(
+        f"profile_table: no engine-neutral ordering serialization for "
+        f"column {name!r} of type {dtype!r} — add an explicit branch "
+        f"(and mirror it in the oracle generator) before profiling it")
 
 
 def profile_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
@@ -212,7 +222,15 @@ def _profile_oracle_repr(name: str, dtype: str) -> str:
         return f"CAST(round({name} * 100) AS BIGINT)"
     if dtype in ("timestamp_ntz", "timestamp"):
         return f"epoch_us({name})"
-    return name
+    if dtype in ("tinyint", "smallint", "int", "bigint",
+                 "string", "date", "boolean"):
+        return name
+    # mirror of _profile_order_key's strictness — both dispatches must
+    # reject a type neither has an explicit engine-neutral branch for
+    raise TypeError(
+        f"profile oracle: no engine-neutral serialization for column "
+        f"{name!r} of type {dtype!r} — add matching branches in "
+        f"_profile_order_key and _profile_oracle_repr")
 
 
 def _profile_oracle_sql(table: str,

@@ -18,16 +18,32 @@ partition per committed shard; uncommitted/orphan files are invisible):
 
     spark.dataSource.register(JsonlManifestDataSource)
     df.write.format("jsonl_manifest").option("path", out).mode("append").save()
+
+Concurrency contract: concurrent APPEND jobs to one path are safe on
+POSIX filesystems — commits serialize on an advisory flock sidecar
+(``_LOCK``), temp shards are job-prefixed so one job's cleanup never
+removes another's in-flight files (foreign orphans are only reclaimed
+after a staleness grace). On filesystems without flock semantics
+(object stores, some NFS mounts) run a SINGLE concurrent writer per
+path. Concurrent overwrite+append is inherently racy (overwrite
+replaces the shard set by design) — don't mix modes concurrently.
 """
 
 from __future__ import annotations
 
 import base64
+import contextlib
 import datetime
 import decimal
 import json
 import os
+import time
 import uuid
+
+try:
+    import fcntl
+except ImportError:  # non-POSIX — commit lock degrades to single-writer
+    fcntl = None
 
 from pyspark.sql import types as T
 from pyspark.sql.datasource import (
@@ -37,6 +53,11 @@ from pyspark.sql.datasource import (
 
 _MANIFEST = "_MANIFEST.json"
 _TMP_PREFIX = "_tmp-"
+# Foreign temp shards (another writer's prefix) are garbage-collected at
+# commit only once this stale — a CONCURRENT writer's in-flight shards
+# must never be swept out from under it (its commit would then fail on
+# the rename), while a crashed writer's orphans still get reclaimed.
+_ORPHAN_GRACE_SEC = 600.0
 
 # JSON-native atomic types need no coercion on either side.
 _JSON_NATIVE = (
@@ -101,28 +122,70 @@ def read_manifest(path: str) -> dict:
         return json.load(f)
 
 
-def committed_batch_ids(path: str) -> set[str]:
-    """Stream-scoped batch keys ("<stream_id>/<batch_id>") recorded in
-    the committed manifest — the replay guard for exactly-once
+def committed_streams(path: str) -> dict[str, int]:
+    """Per-stream high-water mark {stream_id: last committed batch id}
+    from the committed manifest — the replay guard for exactly-once
     foreachBatch streaming: a restart that re-delivers an
     already-committed micro-batch (crash AFTER sink commit, BEFORE the
-    streaming checkpoint advanced) is detected and skipped. Keys are
-    scoped by stream id so a NEW query lineage (fresh checkpoint)
-    appending to an existing path restarts its batch numbering without
-    colliding with a prior stream's entries
+    streaming checkpoint advanced) is detected and skipped. Micro-batch
+    ids are monotonic within one query lineage, so ONE integer per
+    stream bounds the manifest — recording every batch key would grow
+    the manifest (and every commit's read-modify-write) O(batches) for
+    a long-lived stream (ADVICE r5). Marks are scoped by stream id so a
+    NEW lineage (fresh checkpoint) appending to an existing path
+    restarts its numbering without colliding with a prior stream's
     (see streaming/sinks.py::jsonl_batch_writer)."""
-    return set(read_manifest(path).get("batches", []))
+    m = read_manifest(path)
+    streams = {k: int(v) for k, v in m.get("streams", {}).items()}
+    for key in m.get("batches", []):  # legacy pre-r6 list-of-keys format
+        sid, _, bid = key.rpartition("/")
+        streams[sid] = max(streams.get(sid, -1), int(bid))
+    return streams
+
+
+def last_committed_batch(path: str, stream_id: str) -> int | None:
+    """Highest committed micro-batch id for one stream, or None if the
+    stream never committed. A re-delivered batch_id <= this is a replay."""
+    return committed_streams(path).get(stream_id)
+
+
+@contextlib.contextmanager
+def _commit_lock(path: str):
+    """Serialize manifest read-modify-write across concurrent committers
+    (advisory flock on a sidecar file). Two appending writers otherwise
+    race last-manifest-wins and one loses the other's shards (ADVICE
+    r5). POSIX-only semantics: on filesystems without flock (object
+    stores, some NFS), the caller must guarantee a single concurrent
+    writer per path — documented in the module docstring."""
+    if fcntl is None:
+        yield
+        return
+    with open(os.path.join(path, "_LOCK"), "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        try:
+            yield
+        finally:
+            fcntl.flock(lock, fcntl.LOCK_UN)
 
 
 class JsonlManifestWriter(DataSourceWriter):
     def __init__(self, options, schema, overwrite: bool):
         self.path = options.get("path")
         self.overwrite = overwrite
-        # optional streaming batch id — recorded in the manifest at
-        # commit so replayed micro-batches are detectable (exactly-once)
+        # optional streaming replay-guard mark — recorded in the manifest
+        # at commit so replayed micro-batches are detectable
+        # (exactly-once); stream_id scopes batch numbering to one query
+        # lineage (see streaming/sinks.py::jsonl_batch_writer)
+        self.stream_id = options.get("stream_id")
         self.batch_id = options.get("batch_id")
         if not self.path:
             raise ValueError("jsonl_manifest requires option 'path'")
+        # one id per WRITE JOB, minted on the driver and shared by every
+        # task of this job (the writer object is serialized to tasks):
+        # temp shards are job-prefixed so a job only ever sweeps its OWN
+        # stragglers eagerly — a concurrent writer's in-flight temps are
+        # foreign and protected by the staleness grace (ADVICE r5)
+        self.job_uuid = uuid.uuid4().hex
         # validate the schema NOW (driver side): unsupported nested types
         # raise here with the field path, not as an executor TypeError
         self.codecs = _schema_codecs(schema)
@@ -130,7 +193,7 @@ class JsonlManifestWriter(DataSourceWriter):
     def write(self, rows):
         os.makedirs(self.path, exist_ok=True)
         shard_id = uuid.uuid4().hex
-        tmp_name = f"{_TMP_PREFIX}{shard_id}.jsonl"
+        tmp_name = f"{_TMP_PREFIX}{self.job_uuid}-{shard_id}.jsonl"
         final_name = f"shard-{shard_id}.jsonl"
         n = 0
         with open(os.path.join(self.path, tmp_name), "w") as f:
@@ -144,6 +207,15 @@ class JsonlManifestWriter(DataSourceWriter):
         return _ShardCommit(tmp_name, final_name, n)
 
     def commit(self, messages):
+        # The read-merge-publish below is serialized across concurrent
+        # committers by an advisory lock — two appenders racing the
+        # manifest read-modify-write would otherwise lose shards
+        # last-manifest-wins (ADVICE r5).
+        os.makedirs(self.path, exist_ok=True)  # zero-task job edge case
+        with _commit_lock(self.path):
+            self._commit_locked(messages)
+
+    def _commit_locked(self, messages):
         # 1. publish exactly the committed attempts (rename is atomic);
         #    orphan temp files from failed/speculative attempts stay
         #    invisible and are swept below
@@ -168,14 +240,21 @@ class JsonlManifestWriter(DataSourceWriter):
             stale = [fn for fn in os.listdir(self.path)
                      if fn.startswith("shard-") and fn not in keep]
             shards = new_shards
-            batches: list[str] = []
+            streams: dict[str, int] = {}
         else:
             stale = []
             prior = read_manifest(self.path)
             shards = prior.get("shards", []) + new_shards
-            batches = list(prior.get("batches", []))
+            streams = {k: int(v) for k, v in prior.get("streams", {}).items()}
+            for key in prior.get("batches", []):  # legacy pre-r6 format
+                sid, _, bid = key.rpartition("/")
+                streams[sid] = max(streams.get(sid, -1), int(bid))
         if self.batch_id is not None:
-            batches = sorted(set(batches) | {str(self.batch_id)})
+            # one integer high-water mark per stream — O(streams), not
+            # O(batches), so a long-lived stream's manifest (and every
+            # commit's read-modify-write) stays bounded (ADVICE r5)
+            sid = self.stream_id or ""
+            streams[sid] = max(streams.get(sid, -1), int(self.batch_id))
         # 3. publish the manifest atomically (temp + rename) — THE commit
         #    point. A concurrent reader sees either the old manifest with
         #    its shards still on disk, or the complete new manifest —
@@ -183,32 +262,45 @@ class JsonlManifestWriter(DataSourceWriter):
         manifest = {
             "shards": sorted(shards, key=lambda s: s["file"]),
             "total_rows": sum(s["rows"] for s in shards),
-            "batches": batches,
+            "streams": dict(sorted(streams.items())),
         }
         tmp_manifest = os.path.join(
-            self.path, f"{_TMP_PREFIX}{uuid.uuid4().hex}-manifest.json")
+            self.path, f"{_TMP_PREFIX}{self.job_uuid}-manifest.json")
         with open(tmp_manifest, "w") as f:
             json.dump(manifest, f, indent=2)
         os.replace(tmp_manifest, os.path.join(self.path, _MANIFEST))
-        # 4. only now retire stale shards and sweep uncommitted temp files
+        # 4. only now retire stale shards and garbage-collect temps: this
+        #    job's stragglers eagerly; FOREIGN temps only once stale —
+        #    a concurrent writer's in-flight shards must survive
+        now = time.time()
+        own = f"{_TMP_PREFIX}{self.job_uuid}-"
         for fn in stale:
             os.remove(os.path.join(self.path, fn))
         for fn in os.listdir(self.path):
-            if fn.startswith(_TMP_PREFIX):
-                os.remove(os.path.join(self.path, fn))
+            if not fn.startswith(_TMP_PREFIX):
+                continue
+            full = os.path.join(self.path, fn)
+            try:
+                if fn.startswith(own) or (
+                        now - os.path.getmtime(full) > _ORPHAN_GRACE_SEC):
+                    os.remove(full)
+            except OSError:
+                pass  # racing remover / vanished straggler — best effort
 
     def abort(self, messages):
         # only temp files can exist for this batch — remove the reported
-        # ones and sweep any stragglers from unreported attempts
+        # ones and sweep this job's stragglers from unreported attempts
+        # (foreign temps are left for their own writer / the stale GC)
         for m in messages:
             if m is not None:
                 try:
                     os.remove(os.path.join(self.path, m.tmp_name))
                 except OSError:
                     pass
+        own = f"{_TMP_PREFIX}{self.job_uuid}-"
         try:
             for fn in os.listdir(self.path):
-                if fn.startswith(_TMP_PREFIX):
+                if fn.startswith(own):
                     os.remove(os.path.join(self.path, fn))
         except OSError:
             pass

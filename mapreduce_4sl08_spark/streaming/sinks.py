@@ -57,15 +57,20 @@ def jsonl_batch_writer(path: str,
     lifetime of the batch numbering it scopes.
     """
     from ..sources.jsonl_sink import (
-        JsonlManifestDataSource, committed_batch_ids)
+        JsonlManifestDataSource, last_committed_batch)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        key = f"{stream_id}/{batch_id}"
-        if key in committed_batch_ids(path):
+        # micro-batch ids are monotonic within one lineage and delivered
+        # in order, so the manifest stores ONE high-water mark per
+        # stream (bounded manifest; ADVICE r5) and any id at or below
+        # it is a replay
+        last = last_committed_batch(path, stream_id)
+        if last is not None and batch_id <= last:
             return  # replay of a committed batch — exactly-once guard
         batch_df.sparkSession.dataSource.register(JsonlManifestDataSource)
         (batch_df.write.format("jsonl_manifest")
-         .option("path", path).option("batch_id", key)
+         .option("path", path).option("stream_id", stream_id)
+         .option("batch_id", str(batch_id))
          .mode("append").save())
 
     return write_batch
@@ -77,8 +82,12 @@ def jsonl_manifest_sink(stream_df: DataFrame, path: str,
     """Stream into the manifest-committed JSONL sink exactly-once:
     restartable from ``checkpoint``, idempotent under micro-batch replay
     (see jsonl_batch_writer; the replay-guard scope is the checkpoint
-    location — same lifetime as the batch numbering)."""
-    stream_id = os.path.normpath(checkpoint)
+    location — same lifetime as the batch numbering). realpath, not
+    normpath: the same checkpoint spelled differently across restarts
+    (relative vs absolute, via symlink, different CWD) must map to ONE
+    stream id, or the guard silently turns off for the crash-after-
+    commit window (ADVICE r5)."""
+    stream_id = os.path.realpath(checkpoint)
     return (
         stream_df.writeStream
         .foreachBatch(jsonl_batch_writer(path, stream_id))

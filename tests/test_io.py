@@ -371,14 +371,25 @@ def test_jsonl_manifest_abort_keeps_prior_commit(spark, tmp_path):
             .schema("id long, s string").option("path", out).load())
     assert sorted(r.id for r in back.collect()) == [0, 1, 2, 3, 4]
 
-    # a task still running at abort time may flush its temp file AFTER
-    # the abort sweep — that orphan is invisible (manifest-gated) and the
-    # NEXT successful commit sweeps it (commit step 4): assert that.
+    # a task of a CRASHED writer (driver died — abort never ran) may
+    # leave a temp shard behind. The next commit garbage-collects it
+    # once STALE; a fresh foreign temp — a concurrent writer's
+    # in-flight shard — must survive the sweep (its own commit would
+    # otherwise fail on the rename).
+    import time
+    stale = os.path.join(out, "_tmp-deadjob-straggler.jsonl")
+    fresh = os.path.join(out, "_tmp-livejob-inflight.jsonl")
+    for p in (stale, fresh):
+        with open(p, "w") as f:
+            f.write("{}\n")
+    os.utime(stale, (time.time() - 3600, time.time() - 3600))
+
     spark.range(100, 102).selectExpr("id", "CAST(id AS STRING) AS s") \
         .write.format("jsonl_manifest").option("path", out) \
         .mode("append").save()
     back2 = (spark.read.format("jsonl_manifest")
              .schema("id long, s string").option("path", out).load())
     assert sorted(r.id for r in back2.collect()) == [0, 1, 2, 3, 4, 100, 101]
-    leftovers = [f for f in os.listdir(out) if f.startswith("_tmp-")]
-    assert leftovers == []
+    leftovers = {f for f in os.listdir(out) if f.startswith("_tmp-")}
+    assert "_tmp-deadjob-straggler.jsonl" not in leftovers  # stale GC'd
+    assert "_tmp-livejob-inflight.jsonl" in leftovers       # not stomped

@@ -286,7 +286,7 @@ def test_jsonl_manifest_sink_checkpoint_recovery(spark, events_dir, tmp_path):
     from pyspark.errors.exceptions.captured import StreamingQueryException
 
     from mapreduce_4sl08_spark.sources.jsonl_sink import (
-        JsonlManifestDataSource, committed_batch_ids)
+        JsonlManifestDataSource, last_committed_batch)
     from mapreduce_4sl08_spark.streaming.ops import EVENTS_SCHEMA
     from mapreduce_4sl08_spark.streaming.sinks import jsonl_batch_writer
 
@@ -311,7 +311,7 @@ def test_jsonl_manifest_sink_checkpoint_recovery(spark, events_dir, tmp_path):
 
     # the crash landed after commit: batch 0 IS in the manifest, the
     # checkpoint does NOT have it committed — the poison replay window
-    assert committed_batch_ids(out) == {"s1/0"}
+    assert last_committed_batch(out, "s1") == 0
 
     q2 = (stream().writeStream.foreachBatch(write_batch)
           .option("checkpointLocation", ckpt)
@@ -326,10 +326,11 @@ def test_jsonl_manifest_sink_checkpoint_recovery(spark, events_dir, tmp_path):
     assert got.count() == n_twin                       # no loss, no dupes
     assert got.select("event_id").distinct().count() == \
         twin.select("event_id").distinct().count()
-    # every batch file landed in exactly one committed batch
+    # every batch file landed in exactly one committed batch (ids are
+    # 0..n-1, so the stream's high-water mark is n-1)
     n_files = len([f for f in __import__("os").listdir(events_dir)
                    if f.endswith(".parquet")])
-    assert len(committed_batch_ids(out)) == n_files
+    assert last_committed_batch(out, "s1") == n_files - 1
 
 
 def test_jsonl_manifest_sink_crash_before_commit(spark, events_dir, tmp_path):
@@ -340,7 +341,7 @@ def test_jsonl_manifest_sink_crash_before_commit(spark, events_dir, tmp_path):
     from pyspark.errors.exceptions.captured import StreamingQueryException
 
     from mapreduce_4sl08_spark.sources.jsonl_sink import (
-        JsonlManifestDataSource, committed_batch_ids)
+        JsonlManifestDataSource, committed_streams)
     from mapreduce_4sl08_spark.streaming.ops import EVENTS_SCHEMA
     from mapreduce_4sl08_spark.streaming.sinks import jsonl_batch_writer
 
@@ -364,7 +365,7 @@ def test_jsonl_manifest_sink_crash_before_commit(spark, events_dir, tmp_path):
          .trigger(availableNow=True).start())
     with pytest.raises(StreamingQueryException):
         q.awaitTermination()
-    assert committed_batch_ids(out) == set()  # nothing committed
+    assert committed_streams(out) == {}  # nothing committed
 
     q2 = (stream().writeStream.foreachBatch(crashing)
           .option("checkpointLocation", ckpt)
