@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..session import truncate_lineage
+
 
 _CKPT_EVERY = 3
 
@@ -23,20 +25,21 @@ def pagerank(edges: DataFrame, iterations: int = 10,
     float summation order.
 
     Lineage is truncated every _CKPT_EVERY iterations via
-    localCheckpoint: a 10-iteration rank plan otherwise embeds every
-    prior iteration's joins and Catalyst re-analyzes the whole tree at
-    action time — measured 17.9 s (cache) vs 3.5 s (checkpoint) at
-    sf0.01 with IDENTICAL 8-dp output. The arithmetic is unchanged
+    session.truncate_lineage: a 10-iteration rank plan otherwise embeds
+    every prior iteration's joins and Catalyst re-analyzes the whole
+    tree at action time — measured 17.9 s (cache) vs 3.5 s (checkpoint)
+    at sf0.01 with IDENTICAL 8-dp output. The arithmetic is unchanged
     (checkpoint stores the rows a subtree would compute anyway); only
-    the plan size is bounded. Same pattern and cluster note as the CC
-    loop (plans/text.py): use .checkpoint() + spark.checkpoint.dir for
-    reliable storage on a real cluster."""
-    nodes = (edges.select(F.col("src").alias("node"))
-             .unionByName(edges.select(F.col("dst").alias("node")))
-             .distinct().localCheckpoint(eager=True))
+    the plan size is bounded. Same pattern as the CC loop
+    (plans/text.py); set SPARK_GRAFT_CHECKPOINT_DIR for reliable
+    .checkpoint() storage on a real cluster (survives executor loss)."""
+    nodes = truncate_lineage(
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct())
     n_nodes = nodes.count()
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    links = edges.join(outdeg, "src").localCheckpoint(eager=True)
+    links = truncate_lineage(edges.join(outdeg, "src"))
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     for i in range(iterations):
@@ -55,7 +58,7 @@ def pagerank(edges: DataFrame, iterations: int = 10,
             )
         )
         if (i + 1) % _CKPT_EVERY == 0 and i < iterations - 1:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = truncate_lineage(ranks)
     return ranks
 
 

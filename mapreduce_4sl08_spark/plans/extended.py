@@ -15,7 +15,7 @@ from pyspark.sql.types import DoubleType
 
 from ..functions import TOKEN_SPLIT_RE
 from ..sources import register_views
-from .base import QuerySpec, t
+from .base import QuerySpec, SessionMemo, t
 
 # ---------------------------------------------------------------- subqueries
 
@@ -484,7 +484,7 @@ ORDER BY label
 # count() action at build time — without memoization every invocation in
 # a registry sweep stacked two fresh cached DataFrames and re-ran the
 # count (same leak class as the co-purchase edge list, VERDICT r4).
-_PAGERANK_MEMO: dict[tuple[str, str], DataFrame] = {}
+_PAGERANK_MEMO: SessionMemo = SessionMemo()
 
 
 def graph_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -16,7 +16,8 @@ from pyspark.sql import functions as F
 
 from ..functions import NON_WORD_RE, TOKEN_SPLIT_RE, word_shingles
 from ..operators.wordcount import word_count
-from .base import QuerySpec, t
+from ..session import truncate_lineage
+from .base import QuerySpec, SessionMemo, t
 
 # ------------------------------------------------------------ flagship
 # The whole reference engine (SURVEY §2.3) applied to documents.text.
@@ -450,13 +451,13 @@ ORDER BY kept_doc_id
 #: DataFrame pair instead of re-registering equal persist() entries
 #: (Spark's CacheManager dedupes the storage either way, but each extra
 #: registration logs a warning and rebuilds the analyzed plan)
-_SHINGLE_MEMO: dict[tuple[str, str, int], tuple[DataFrame, DataFrame]] = {}
+_SHINGLE_MEMO: SessionMemo = SessionMemo()
 
 #: per-(application, sf_dir) memo of the VERIFIED Jaccard pair set — the
 #: expensive AllPairs cascade runs once per session per dataset; repeated
 #: invocations (bench loops, cc, curation pipeline) reuse the one
 #: persisted DataFrame instead of stacking new cache entries
-_NGRAM_PAIRS_MEMO: dict[tuple[str, str], DataFrame] = {}
+_NGRAM_PAIRS_MEMO: SessionMemo = SessionMemo()
 
 
 def _shingle_sets(spark: SparkSession, sf_dir: str, n: int = 3):
@@ -763,7 +764,7 @@ ORDER BY doc_id, chunk_idx
 #: Plan-level caching can't express this (the loop is driver code), so
 #: the memo is the DataFrame analogue of a materialized view. Data under
 #: sf_dir is immutable for a session, so the memo cannot go stale.
-_CC_MEMO: dict[tuple[str, str], DataFrame] = {}
+_CC_MEMO: SessionMemo = SessionMemo()
 
 
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -778,21 +779,20 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         return cached
     d = t(spark, sf_dir, "documents")
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    # localCheckpoint (not cache): the iterative loop's real cost on a
+    # truncate_lineage (not cache): the iterative loop's real cost on a
     # tiny edge list is DRIVER-SIDE — every round's action re-analyzes a
     # plan tree that embeds the full AllPairs pipeline plus all prior
     # rounds' joins (measured at sf0.1: 9.1 s/4.8 s per round with
     # cache(), 0.6 s/0.4 s with lineage truncated; 256 edges either
     # way). Checkpointing materializes the rows and CUTS the lineage, so
-    # each round analyzes a constant-size plan. Blocks are per-executor
-    # (no fault-tolerance across executor loss); for a 100 TB cluster
-    # run, set spark.checkpoint.dir and use .checkpoint() — same
-    # truncation, reliable storage. Intermediate round checkpoints are
-    # KB-sized × O(diameter) rounds and are GC'd by the ContextCleaner.
-    edges = (
+    # each round analyzes a constant-size plan. Storage is switchable
+    # (session.truncate_lineage): executor-local blocks by default; set
+    # SPARK_GRAFT_CHECKPOINT_DIR for reliable .checkpoint() storage on a
+    # cluster (survives executor loss). Intermediate round checkpoints
+    # are KB-sized × O(diameter) rounds, GC'd by the ContextCleaner.
+    edges = truncate_lineage(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-        .localCheckpoint(eager=True)
     )
     # Propagate ONLY over edge-incident nodes — for a near-dup graph these
     # are a tiny fraction of the corpus, so each round's join touches
@@ -804,11 +804,10 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # first loop round would compute from identity labels, so seeding it
     # here saves one full join+agg+collect round (~one job floor on
     # local[32]; one fewer synchronization barrier on a real cluster).
-    labels = (
+    labels = truncate_lineage(
         edges.groupBy(F.col("src").alias("doc_id"))
         .agg(F.min("dst").alias("nbr_min"))
         .select("doc_id", F.least("doc_id", "nbr_min").alias("component"))
-        .localCheckpoint(eager=True)
     )
     # Convergence check: labels are monotone non-increasing under
     # min-propagation, so the label SUM strictly decreases until the
@@ -824,11 +823,10 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # every propagated node has ≥1 edge (symmetric edge list), so the
         # inner join covers the full label set
-        new_labels = (
+        new_labels = truncate_lineage(
             labels.join(neighbor_min, "doc_id")
             .select("doc_id",
                     F.least(F.col("component"), F.col("nbr_component")).alias("component"))
-            .localCheckpoint(eager=True)
         )
         cur_sum = new_labels.agg(F.sum("component")).collect()[0][0]
         labels = new_labels

@@ -19,7 +19,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from .base import QuerySpec, t
+from .base import QuerySpec, SessionMemo, t
 
 # --------------------------------------------------------------- SCD type 2
 
@@ -246,7 +246,7 @@ _COPURCHASE_MAX_BASKET = 64
 # 7) — and memoizing (vs per-call persist()) keeps a registry sweep from
 # stacking pinned RDDs session-wide (VERDICT r4). Same rationale as the
 # shingle index in plans/text.py.
-_EDGES_MEMO: dict[tuple[str, str], DataFrame] = {}
+_EDGES_MEMO: SessionMemo = SessionMemo()
 
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:

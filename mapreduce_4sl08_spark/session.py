@@ -100,6 +100,37 @@ def cluster_conf(total_cores: int, input_bytes: int,
     }
 
 
+def truncate_lineage(df: "DataFrame") -> "DataFrame":  # noqa: F821
+    """Cut the logical-plan lineage of an iterative-loop intermediate.
+
+    Every driver-side fixpoint loop (connected components, pagerank)
+    MUST truncate lineage each round — with plain cache() the plan tree
+    embeds all prior rounds and Catalyst re-analysis makes the loop
+    driver-bound (measured 9 s/round vs 0.6 s at sf0.1; ROUND_NOTES r5).
+
+    Storage is switchable for the cluster path (VERDICT r5 item 3):
+
+    - default: ``localCheckpoint(eager=True)`` — executor-local blocks,
+      zero configuration, right for local[] runs and tests; NOT fault
+      tolerant across executor loss.
+    - ``SPARK_GRAFT_CHECKPOINT_DIR`` set: reliable ``.checkpoint()``
+      into that directory (HDFS/object-store path on a real cluster) —
+      survives executor loss, at the cost of a distributed write per
+      truncation. The context's checkpoint dir is set on first use and
+      left alone if the operator already configured one.
+
+    Both paths materialize exactly the rows the subtree computes, so
+    results are bit-identical — only failure semantics differ.
+    """
+    ckpt_dir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    if not ckpt_dir:
+        return df.localCheckpoint(eager=True)
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is None:
+        sc.setCheckpointDir(ckpt_dir)
+    return df.checkpoint(eager=True)
+
+
 def apply_engine_conf(spark: SparkSession) -> SparkSession:
     """Best-effort apply of *dynamic* engine confs to an externally-built
     session (the driver hands us one in ``__spark_entry__.entry``).

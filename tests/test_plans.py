@@ -331,3 +331,113 @@ def test_profile_table_generalizes_to_unseen_types(spark, tmp_path):
     con.execute(f"CREATE VIEW syn AS SELECT * FROM '{sf}/syn.parquet/*.parquet'")
     want = con.execute(_profile_oracle_sql("syn", cols)).fetchdf()
     compare_frames(got, want, "profile_syn")
+
+
+def test_profile_dispatch_rejects_unhandled_types():
+    """Both profile dispatches (Spark-side ordering expr, oracle SQL
+    repr) must FAIL LOUDLY on a dtype without an explicit engine-neutral
+    branch — decimal's string rendering differs between Spark and
+    DuckDB's VARCHAR cast (scale/trailing zeros), so a silent
+    fall-through would surface as a value-hash mismatch (ADVICE r5)."""
+    import pytest
+
+    from mapreduce_4sl08_spark.plans.quality import (
+        _profile_oracle_repr, _profile_order_key)
+
+    for dtype in ("decimal(10,2)", "interval day", "binary"):
+        with pytest.raises(TypeError, match="engine-neutral"):
+            _profile_order_key("c", dtype)
+        with pytest.raises(TypeError, match="engine-neutral"):
+            _profile_oracle_repr("c", dtype)
+
+
+def test_reliable_checkpoint_knob(spark, sf_smoke_dir, tmp_path, monkeypatch):
+    """SPARK_GRAFT_CHECKPOINT_DIR switches iterative-loop lineage
+    truncation from executor-local blocks to reliable .checkpoint()
+    storage (the cluster path — survives executor loss): identical CC
+    output, and checkpoint data actually lands in the directory
+    (VERDICT r5 item 3)."""
+    import os
+
+    from mapreduce_4sl08_spark.plans import text
+
+    text._CC_MEMO.clear()
+    local = text.dedup_connected_components(spark, sf_smoke_dir).collect()
+
+    ckpt = str(tmp_path / "reliable_ckpt")
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_DIR", ckpt)
+    text._CC_MEMO.clear()
+    try:
+        reliable = text.dedup_connected_components(
+            spark, sf_smoke_dir).collect()
+    finally:
+        text._CC_MEMO.clear()  # don't leak reliable-ckpt frames to others
+    assert reliable == local
+    found = [f for _root, _dirs, files in os.walk(ckpt) for f in files]
+    assert found, "reliable path wrote nothing under the checkpoint dir"
+
+
+def test_session_memo_evicts_dead_application_entries():
+    """SessionMemo drops entries keyed by any applicationId other than
+    the one being accessed — only one SparkContext can be live per
+    process, so foreign-app entries are handles into a stopped context
+    (dead persisted blocks). Same-app entries for other datasets stay."""
+    from mapreduce_4sl08_spark.plans.base import SessionMemo
+
+    m = SessionMemo()
+    m[("app-1", "sfA")] = "dfA"
+    m[("app-1", "sfB")] = "dfB"
+    assert m.get(("app-1", "sfA")) == "dfA"
+    assert len(m) == 2  # same app, two datasets — both kept
+
+    # context cycled: every call site keys by the LIVE session's app id
+    # (that's the contract — keys are always minted from spark.sparkContext),
+    # so an access under app-2 means app-1 is dead: evicted on both paths
+    m[("app-2", "sfA")] = "dfA2"
+    assert len(m) == 1
+    assert m.get(("app-2", "sfA")) == "dfA2"
+    assert ("app-1", "sfB") not in m
+    assert len(m) == 1
+
+
+def test_all_plan_memos_are_session_scoped():
+    """Every registered memo must carry the eviction policy — a plain
+    dict here would leak DataFrame handles across session restarts."""
+    from mapreduce_4sl08_spark.plans import extended, text, warehouse
+    from mapreduce_4sl08_spark.plans.base import SessionMemo
+
+    for memo in (text._SHINGLE_MEMO, text._NGRAM_PAIRS_MEMO, text._CC_MEMO,
+                 warehouse._EDGES_MEMO, extended._PAGERANK_MEMO):
+        assert isinstance(memo, SessionMemo)
+
+
+def test_memo_bounded_across_real_session_cycle():
+    """Cycle two REAL SparkContexts in one process (the long-lived
+    harness shape): the memo must hold exactly the live application's
+    entry after each cycle, never accumulate dead-app handles
+    (VERDICT r5 item 4). Subprocess: stopping the shared test context
+    would break the session-scoped fixture."""
+    import subprocess
+    import sys
+
+    code = """
+import sys; sys.path.insert(0, '/root/repo')
+from pyspark.sql import SparkSession
+from mapreduce_4sl08_spark.plans import warehouse
+
+seen_apps = set()
+for cycle in range(2):
+    spark = (SparkSession.builder.master('local[2]')
+             .config('spark.ui.enabled', 'false').getOrCreate())
+    seen_apps.add(spark.sparkContext.applicationId)
+    warehouse.copurchase_triangles(spark, '/root/testdata/sf0.001').count()
+    assert len(warehouse._EDGES_MEMO) == 1, dict(warehouse._EDGES_MEMO)
+    (app_id,) = {k[0] for k in warehouse._EDGES_MEMO}
+    assert app_id == spark.sparkContext.applicationId
+    spark.stop()
+assert len(seen_apps) == 2, seen_apps  # genuinely two applications
+print('MEMO_CYCLE_OK')
+"""
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=300, cwd="/root/repo")
+    assert "MEMO_CYCLE_OK" in out.stdout, (out.stdout, out.stderr[-2000:])
