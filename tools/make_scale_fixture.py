@@ -1,0 +1,126 @@
+#!/usr/bin/env python
+"""Build an N× KEY-SHIFTED copy of a testdata scale dir for scaling
+probes (VERDICT r5 item 2 — run the full headline bench at 10×).
+
+    python tools/make_scale_fixture.py [src_sf_dir] [out_dir] [copies]
+
+Defaults: /root/testdata/sf0.1 → <repo>/.benchdata/sf0.1x10, 10 copies.
+
+Replicating rows verbatim multiplies join/graph DENSITY, not data size
+(the r5 probe lesson: an un-shifted co-purchase probe legitimately
+explodes — ROUND_NOTES). Real growth adds NEW keys, so every copy
+shifts its keys by copy_index × (max_key + 1):
+
+- customer/supplier/part/orders/lineitem: all primary AND foreign keys
+  shifted consistently — each copy is a disjoint, referentially-intact
+  sub-warehouse (per-key join fan-in stays constant).
+- events: event/user ids shifted; ts striped +32 days per copy so the
+  (type, hour) group count scales with the data instead of densifying.
+- documents: doc_id shifted; for copies > 0 every text token gets a
+  copy-specific suffix (regex \\w+ run → run + 'q<i>'). The map is a
+  bijection on tokens WITHIN a copy, so each copy's shingle-set /
+  near-dup structure is identical to the original corpus, while
+  cross-copy Jaccard collapses to ~0 — near-dup cluster sizes stay
+  constant as the corpus grows (the honest 100 TB shape: more docs,
+  not more copies of each doc). n_chars re-derived from the new text.
+- embeddings: vec_id shifted, vectors kept (ANN probe cost depends on
+  row count, not vector values).
+- region/nation: shared dimensions, copied once verbatim.
+
+Pure pyarrow (no JVM): preserves each column's physical parquet type —
+notably events.ts TIMESTAMP(NANOS), which the engine's load_table
+special-cases (sources/tables.py).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+VERBATIM = ("region", "nation")
+
+# table -> {column: key-space} ; equal key-space strings share one shift
+KEYED = {
+    "customer": {"c_custkey": "cust"},
+    "supplier": {"s_suppkey": "supp"},
+    "part": {"p_partkey": "part"},
+    "orders": {"o_orderkey": "order", "o_custkey": "cust"},
+    "lineitem": {"l_orderkey": "order", "l_partkey": "part",
+                 "l_suppkey": "supp"},
+    "events": {"event_id": "event", "user_id": "user"},
+    "documents": {"doc_id": "doc"},
+    "embeddings": {"vec_id": "vec"},
+}
+
+EVENT_STRIPE_DAYS = 32
+
+
+def _shift_units(src: str) -> dict[str, int]:
+    """One shift unit per key space = max over every column using it + 1
+    (so shifted copies are disjoint AND referentially consistent)."""
+    units: dict[str, int] = {}
+    for table, cols in KEYED.items():
+        t = pq.read_table(os.path.join(src, f"{table}.parquet"),
+                          columns=list(cols))
+        for col, space in cols.items():
+            hi = pc.max(t[col]).as_py() or 0
+            units[space] = max(units.get(space, 0), hi + 1)
+    return units
+
+
+def _transform(table: str, t: pa.Table, i: int,
+               units: dict[str, int]) -> pa.Table:
+    for col, space in KEYED[table].items():
+        idx = t.schema.get_field_index(col)
+        shifted = pc.add(t[col], pa.scalar(i * units[space],
+                                           type=t.schema.field(col).type))
+        t = t.set_column(idx, t.schema.field(col), shifted)
+    if table == "events" and i > 0:
+        idx = t.schema.get_field_index("ts")
+        ts_type = t.schema.field("ts").type
+        ns_per_day = 24 * 3600 * 1_000_000_000
+        stripe = pa.scalar(i * EVENT_STRIPE_DAYS * ns_per_day,
+                           type=pa.duration(ts_type.unit))
+        t = t.set_column(idx, t.schema.field("ts"), pc.add(t["ts"], stripe))
+    if table == "documents" and i > 0:
+        idx = t.schema.get_field_index("text")
+        text = pc.replace_substring_regex(
+            t["text"], pattern=r"(\w+)", replacement=rf"\1q{i}")
+        t = t.set_column(idx, t.schema.field("text"), text)
+        nidx = t.schema.get_field_index("n_chars")
+        n_chars = pc.cast(pc.utf8_length(t["text"]),
+                          t.schema.field("n_chars").type)
+        t = t.set_column(nidx, t.schema.field("n_chars"), n_chars)
+    return t
+
+
+def main() -> None:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out = (sys.argv[2] if len(sys.argv) > 2
+           else os.path.join(repo, ".benchdata",
+                             os.path.basename(src.rstrip("/")) + "x10"))
+    copies = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    os.makedirs(out, exist_ok=True)
+
+    units = _shift_units(src)
+    print("shift units:", units)
+    for table in VERBATIM:
+        t = pq.read_table(os.path.join(src, f"{table}.parquet"))
+        pq.write_table(t, os.path.join(out, f"{table}.parquet"))
+        print(f"{table}: {t.num_rows} rows (shared dim, 1 copy)")
+    for table in KEYED:
+        t = pq.read_table(os.path.join(src, f"{table}.parquet"))
+        parts = [_transform(table, t, i, units) for i in range(copies)]
+        merged = pa.concat_tables(parts)
+        pq.write_table(merged, os.path.join(out, f"{table}.parquet"))
+        print(f"{table}: {t.num_rows} -> {merged.num_rows} rows")
+    print("fixture at", out)
+
+
+if __name__ == "__main__":
+    main()
