@@ -76,6 +76,10 @@ def _reset_memos(spark) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf = float(sf)
+    except ValueError:
+        pass  # non-numeric tag, e.g. the 10x key-shifted fixture "0.1x10"
     # clamp BEFORE session spin-up: 0/negative would leave every sample
     # list empty and statistics.median would raise after ~30 s of setup
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
@@ -110,7 +114,7 @@ def main() -> None:
         "queries": medians,
         "queries_min": mins,
         "runs": n_runs,
-        "sf": float(sf),
+        "sf": sf,
     }))
     spark.stop()
 

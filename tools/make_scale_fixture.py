@@ -82,8 +82,11 @@ def _transform(table: str, t: pa.Table, i: int,
     if table == "events" and i > 0:
         idx = t.schema.get_field_index("ts")
         ts_type = t.schema.field("ts").type
-        ns_per_day = 24 * 3600 * 1_000_000_000
-        stripe = pa.scalar(i * EVENT_STRIPE_DAYS * ns_per_day,
+        # stripe magnitude must be expressed in the column's OWN unit —
+        # events.ts has shipped as both MICROS and NANOS parquet
+        per_day = {"s": 86_400, "ms": 86_400_000,
+                   "us": 86_400_000_000, "ns": 86_400_000_000_000}
+        stripe = pa.scalar(i * EVENT_STRIPE_DAYS * per_day[ts_type.unit],
                            type=pa.duration(ts_type.unit))
         t = t.set_column(idx, t.schema.field("ts"), pc.add(t["ts"], stripe))
     if table == "documents" and i > 0:
