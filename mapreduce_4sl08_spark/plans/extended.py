@@ -267,8 +267,12 @@ def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
                 hamming.alias("hamming"))
-        .distinct()
+        # filter BEFORE distinct: hamming is row-local, so verifying
+        # first shrinks the distinct's shuffle input to the true
+        # near-dup pairs instead of every multi-band candidate collision
+        # (ADVICE r6 — matters on a high-collision corpus).
         .filter(F.col("hamming") <= _HAMMING_MAX)
+        .distinct()
         .orderBy("doc_a", "doc_b")
     )
 

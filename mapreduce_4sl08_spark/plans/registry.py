@@ -36,14 +36,15 @@ _MODULE_SPECS: list[QuerySpec] = [
 #   2. Never-driver-checked queries (new this round) — sort next.
 #   3. Remaining queries by last-proven round, least recent first.
 _ROUND_PRIORITY: tuple[str, ...] = (
-    # round 6: memo registry gained session-scoped eviction and the CC /
-    # pagerank loops gained the reliable-checkpoint knob (default off, but
-    # the touched code paths are re-proven first per LRU policy).
-    "dedup_connected_components", "graph_pagerank_purchases",
-    "copurchase_triangles",
-    # round 6: profiler dtype dispatch now raises on unhandled types
-    # (ADVICE item) — re-prove both profile queries.
-    "column_profile_orders", "column_profile_lineitem",
+    # round 7: simhash_dedup's plan changed (filter-before-distinct
+    # reorder) — re-prove first.
+    "simhash_dedup",
+    # round 7 (ADVICE r6): dedup_ngram_jaccard's body was refactored in
+    # r6 (candidate stage split into _jaccard_candidates, memo class
+    # swap) but was missing from the r6 priority tuple — it and
+    # dedup_minhash_lsh (shares _shingle_sets) were only exercised
+    # indirectly through dedup_connected_components. Re-prove directly.
+    "dedup_ngram_jaccard", "dedup_minhash_lsh",
 )
 
 # Round-1 pass (CORRECTNESS_r01.json): the first 50 registry entries.
@@ -177,9 +178,39 @@ _R5_DRIVER_CHECKED: frozenset[str] = frozenset(
     }
 )
 
+# Round-6 pass (CORRECTNESS_r06.json): all 50 rows green (5 changed +
+# 45 stalest r1/r3-era); cumulative r1∪…∪r6 covers all 126.
+_R6_DRIVER_CHECKED: frozenset[str] = frozenset(
+    {
+        "agg_approx_distinct", "agg_cube_orders", "agg_percentiles",
+        "agg_rollup_lineitem", "agg_stats_by_flag",
+        "bigram_surprisal_score", "bpe_pretokenize_counts",
+        "column_profile_lineitem", "column_profile_orders",
+        "copurchase_triangles", "decontamination_overlap",
+        "dedup_connected_components", "events_asof_cogroup",
+        "events_session_window_native", "events_sliding_windows",
+        "events_windowed_topk", "functions_showcase",
+        "graph_pagerank_purchases", "ivf_ann", "join_anti_inactive",
+        "join_full_nation_presence", "join_left_order_counts",
+        "join_right_order_customer", "join_semi_big_spenders",
+        "lateral_topk_orders", "latest_event_per_user", "mapinarrow_norms",
+        "mixture_sampling_weights", "mixture_weighted_sample",
+        "near_dup_containment", "q14_promo_share", "q3_shipping_priority",
+        "q5_local_supplier_volume", "q6_forecast_revenue",
+        "range_join_prompt_ship", "sequence_packing_bins",
+        "set_ops_nations", "sort_customers_multi", "source_mix_report",
+        "tfidf_top_terms", "token_budget_selection",
+        "topk_expensive_orders", "unigram_rarity_score",
+        "window_lag_gap_days", "window_running_spend",
+        "window_topk_orders_per_customer", "window_trailing_30d_spend",
+        "winnowing_fingerprints", "wordcount_documents",
+        "zorder_layout_stats",
+    }
+)
+
 _DRIVER_CHECKED: frozenset[str] = (
     _R1_DRIVER_CHECKED | _R2_DRIVER_CHECKED | _R3_DRIVER_CHECKED
-    | _R4_DRIVER_CHECKED | _R5_DRIVER_CHECKED
+    | _R4_DRIVER_CHECKED | _R5_DRIVER_CHECKED | _R6_DRIVER_CHECKED
 )
 
 
@@ -188,10 +219,13 @@ def _order_key(s: QuerySpec) -> int:
         return 0  # changed this round — must be re-proven first
     if s.name not in _DRIVER_CHECKED:
         return 1  # never driver-checked (new this round)
-    # Remaining: least-recently-proven first (LRU rotation). Round 6's
-    # ~50-row budget lands on the r3-era rows, now the stalest code state.
+    # Remaining: least-recently-proven first (LRU rotation). Round 7's
+    # ~50-row budget lands on the rows last proven in r4 (the stalest
+    # code state after the r6 sweep), then the r5-proven block.
+    if s.name in _R6_DRIVER_CHECKED:
+        return 7  # proven last round
     if s.name in _R5_DRIVER_CHECKED:
-        return 6  # proven last round
+        return 6
     if s.name in _R4_DRIVER_CHECKED:
         return 5
     if s.name in _R3_DRIVER_CHECKED:

@@ -801,7 +801,10 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (session.truncate_lineage): executor-local blocks by default; set
     # SPARK_GRAFT_CHECKPOINT_DIR for reliable .checkpoint() storage on a
     # cluster (survives executor loss). Intermediate round checkpoints
-    # are KB-sized × O(diameter) rounds, GC'd by the ContextCleaner.
+    # are KB-sized × O(diameter) rounds; localCheckpoint blocks are GC'd
+    # by the ContextCleaner, and the reliable path's files are too
+    # because ENGINE_CONF sets cleanCheckpoints=true (ADVICE r6 — the
+    # Spark default would leave reliable checkpoint files forever).
     edges = truncate_lineage(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))

@@ -39,6 +39,12 @@ ENGINE_CONF: dict[str, str] = {
     "spark.sql.shuffle.partitions": "32",
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
     "spark.ui.showConsoleProgress": "false",
+    # reliable .checkpoint() data (SPARK_GRAFT_CHECKPOINT_DIR path in
+    # truncate_lineage) is NOT cleaned by default — without this, every
+    # fixpoint round leaves checkpoint files in the dir forever (ADVICE
+    # r6). With it, the ContextCleaner removes a checkpoint's files once
+    # the RDD is GC'd, same lifecycle as localCheckpoint blocks.
+    "spark.cleaner.referenceTracking.cleanCheckpoints": "true",
 }
 
 

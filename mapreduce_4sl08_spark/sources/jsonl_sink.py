@@ -22,11 +22,18 @@ partition per committed shard; uncommitted/orphan files are invisible):
 Concurrency contract: concurrent APPEND jobs to one path are safe on
 POSIX filesystems — commits serialize on an advisory flock sidecar
 (``_LOCK``), temp shards are job-prefixed so one job's cleanup never
-removes another's in-flight files (foreign orphans are only reclaimed
-after a staleness grace). On filesystems without flock semantics
-(object stores, some NFS mounts) run a SINGLE concurrent writer per
-path. Concurrent overwrite+append is inherently racy (overwrite
-replaces the shard set by design) — don't mix modes concurrently.
+removes another's in-flight files. Each job additionally registers
+LIVENESS: its driver holds a flock on ``_live-<job>`` for the job's
+whole lifetime, so other committers reclaim a foreign temp only when
+that lock is provably dropped (owner crashed — the OS releases flocks
+on process death), never on mtime staleness while the owner is merely
+slow (ADVICE r6: commit delays beyond any fixed grace are routine
+straggler territory at 100 TB). A generous mtime grace remains only as
+the fallback for temps with no liveness record. On filesystems without
+flock semantics (object stores, some NFS mounts) run a SINGLE
+concurrent writer per path. Concurrent overwrite+append is inherently
+racy (overwrite replaces the shard set by design) — don't mix modes
+concurrently.
 """
 
 from __future__ import annotations
@@ -53,11 +60,19 @@ from pyspark.sql.datasource import (
 
 _MANIFEST = "_MANIFEST.json"
 _TMP_PREFIX = "_tmp-"
+_LIVE_PREFIX = "_live-"
 # Foreign temp shards (another writer's prefix) are garbage-collected at
-# commit only once this stale — a CONCURRENT writer's in-flight shards
-# must never be swept out from under it (its commit would then fail on
-# the rename), while a crashed writer's orphans still get reclaimed.
-_ORPHAN_GRACE_SEC = 600.0
+# commit. Liveness is probed via the owner's ``_live-<job>`` flock (held
+# by the writing driver for the job's whole lifetime, released by the OS
+# even on a crash) — a CONCURRENT writer's in-flight shards are never
+# swept out from under it no matter how long its commit is delayed
+# (ADVICE r6: a >grace straggler is routine at the 100 TB design point),
+# while a crashed writer's orphans are reclaimed as soon as its lock
+# drops. The mtime grace below is only the FALLBACK for temps with no
+# liveness record (legacy writers, flock-less filesystems) and is sized
+# well above any sane job duration rather than above a commit delay.
+_ORPHAN_GRACE_SEC = float(os.environ.get(
+    "SPARK_GRAFT_SINK_ORPHAN_GRACE_SEC", 6 * 3600))
 
 # JSON-native atomic types need no coercion on either side.
 _JSON_NATIVE = (
@@ -149,6 +164,33 @@ def last_committed_batch(path: str, stream_id: str) -> int | None:
     return committed_streams(path).get(stream_id)
 
 
+def _job_alive(path: str, job_uuid: str) -> bool | None:
+    """Is the job that owns ``_live-<job_uuid>`` still running?
+
+    - ``True``: the liveness flock is held — the owner's driver process
+      is alive (possibly a long straggler whose commit is delayed); its
+      temp shards must not be touched.
+    - ``False``: the liveness file exists but its flock is free — the
+      owner died without cleanup (the OS released the lock); its temps
+      are reclaimable immediately.
+    - ``None``: no liveness record (legacy writer, flock-less platform,
+      or already cleaned) — caller falls back to the mtime grace.
+    """
+    if fcntl is None:
+        return None
+    live = os.path.join(path, f"{_LIVE_PREFIX}{job_uuid}")
+    try:
+        with open(live) as f:
+            try:
+                fcntl.flock(f, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            except OSError:
+                return True  # held by a live process
+            fcntl.flock(f, fcntl.LOCK_UN)
+        return False
+    except OSError:
+        return None  # no record / unreadable — mtime fallback
+
+
 @contextlib.contextmanager
 def _commit_lock(path: str):
     """Serialize manifest read-modify-write across concurrent committers
@@ -189,6 +231,54 @@ class JsonlManifestWriter(DataSourceWriter):
         # validate the schema NOW (driver side): unsupported nested types
         # raise here with the field path, not as an executor TypeError
         self.codecs = _schema_codecs(schema)
+        # liveness registration (ADVICE r6): hold a flock on a per-job
+        # sidecar for the job's entire lifetime, acquired BEFORE any task
+        # can write a temp shard. Other committers probe this lock to
+        # distinguish "slow but alive" (never sweep) from "crashed"
+        # (reclaim now) — mtime staleness can't make that distinction and
+        # sweeping a live straggler's temps breaks its commit.
+        self._live_fh = None
+        self._acquire_liveness()
+
+    def _acquire_liveness(self) -> None:
+        if fcntl is None:
+            return  # flock-less platform: temps rely on the mtime grace
+        os.makedirs(self.path, exist_ok=True)
+        live = os.path.join(self.path, f"{_LIVE_PREFIX}{self.job_uuid}")
+        while True:
+            fh = open(live, "w")
+            fcntl.flock(fh, fcntl.LOCK_EX)  # uncontended: our own file
+            # a concurrent sweep may have unlinked the path between our
+            # create and flock (it probes free locks) — verify the fd
+            # still IS the path, else the registration would be invisible
+            try:
+                if os.stat(live).st_ino == os.fstat(fh.fileno()).st_ino:
+                    self._live_fh = fh
+                    return
+            except OSError:
+                pass
+            fh.close()
+
+    def _release_liveness(self) -> None:
+        if self._live_fh is None:
+            return
+        try:
+            os.remove(os.path.join(
+                self.path, f"{_LIVE_PREFIX}{self.job_uuid}"))
+        except OSError:
+            pass
+        try:
+            self._live_fh.close()  # closing drops the flock
+        except OSError:
+            pass
+        self._live_fh = None
+
+    def __getstate__(self):
+        # the writer is pickled to executors for write(); the liveness fd
+        # is driver-only state (executors neither hold nor release it)
+        state = dict(self.__dict__)
+        state["_live_fh"] = None
+        return state
 
     def write(self, rows):
         os.makedirs(self.path, exist_ok=True)
@@ -212,8 +302,11 @@ class JsonlManifestWriter(DataSourceWriter):
         # manifest read-modify-write would otherwise lose shards
         # last-manifest-wins (ADVICE r5).
         os.makedirs(self.path, exist_ok=True)  # zero-task job edge case
-        with _commit_lock(self.path):
-            self._commit_locked(messages)
+        try:
+            with _commit_lock(self.path):
+                self._commit_locked(messages)
+        finally:
+            self._release_liveness()
 
     def _commit_locked(self, messages):
         # 1. publish exactly the committed attempts (rename is atomic);
@@ -270,22 +363,53 @@ class JsonlManifestWriter(DataSourceWriter):
             json.dump(manifest, f, indent=2)
         os.replace(tmp_manifest, os.path.join(self.path, _MANIFEST))
         # 4. only now retire stale shards and garbage-collect temps: this
-        #    job's stragglers eagerly; FOREIGN temps only once stale —
-        #    a concurrent writer's in-flight shards must survive
+        #    job's stragglers eagerly; FOREIGN temps only when their
+        #    owner's liveness flock is provably dropped (crashed job) —
+        #    a live concurrent writer's in-flight shards must survive
+        #    regardless of how long its commit is delayed (ADVICE r6).
+        #    Temps with no liveness record fall back to the mtime grace.
         now = time.time()
         own = f"{_TMP_PREFIX}{self.job_uuid}-"
         for fn in stale:
             os.remove(os.path.join(self.path, fn))
+        alive_cache: dict[str, bool | None] = {self.job_uuid: True}
+        dead_owners: set[str] = set()
         for fn in os.listdir(self.path):
             if not fn.startswith(_TMP_PREFIX):
                 continue
             full = os.path.join(self.path, fn)
             try:
-                if fn.startswith(own) or (
-                        now - os.path.getmtime(full) > _ORPHAN_GRACE_SEC):
+                if fn.startswith(own):
                     os.remove(full)
+                    continue
+                owner = fn[len(_TMP_PREFIX):].split("-", 1)[0]
+                if owner not in alive_cache:
+                    alive_cache[owner] = _job_alive(self.path, owner)
+                alive = alive_cache[owner]
+                if alive is True:
+                    continue  # live concurrent job — never sweep
+                if alive is False:
+                    os.remove(full)  # owner crashed; lock is free
+                    dead_owners.add(owner)
+                elif now - os.path.getmtime(full) > _ORPHAN_GRACE_SEC:
+                    os.remove(full)  # no liveness record — stale fallback
             except OSError:
                 pass  # racing remover / vanished straggler — best effort
+        # retire dead owners' liveness sidecars (their temps are gone);
+        # sidecars whose owner left NO temps age out via the same grace
+        for fn in os.listdir(self.path):
+            if not fn.startswith(_LIVE_PREFIX):
+                continue
+            owner = fn[len(_LIVE_PREFIX):]
+            full = os.path.join(self.path, fn)
+            try:
+                if owner in dead_owners or (
+                        owner != self.job_uuid
+                        and _job_alive(self.path, owner) is False
+                        and now - os.path.getmtime(full) > _ORPHAN_GRACE_SEC):
+                    os.remove(full)
+            except OSError:
+                pass
 
     def abort(self, messages):
         # only temp files can exist for this batch — remove the reported
@@ -304,6 +428,7 @@ class JsonlManifestWriter(DataSourceWriter):
                     os.remove(os.path.join(self.path, fn))
         except OSError:
             pass
+        self._release_liveness()
 
 
 class _ShardPartition(InputPartition):

@@ -31,8 +31,9 @@ def partitioned_batch_sink(stream_df: DataFrame, path: str,
     )
 
 
-def jsonl_batch_writer(path: str,
-                       stream_id: str) -> Callable[[DataFrame, int], None]:
+def jsonl_batch_writer(path: str, stream_id: str,
+                       legacy_ids: tuple[str, ...] = (),
+                       ) -> Callable[[DataFrame, int], None]:
     """Idempotent foreachBatch function for the jsonl_manifest sink —
     the exactly-once streaming contract across kill/restart.
 
@@ -55,6 +56,14 @@ def jsonl_batch_writer(path: str,
     stable id per (query, checkpoint) pair; ``jsonl_manifest_sink``
     derives it from the checkpoint location, which shares exactly the
     lifetime of the batch numbering it scopes.
+
+    ``legacy_ids`` are alternate spellings of the SAME stream under
+    prior id schemes (pre-r6 manifests recorded normpath-based ids;
+    the current scheme is realpath-based). The guard takes the max mark
+    over every spelling, so a stream whose checkpoint was recorded
+    under an old spelling keeps its replay protection across the
+    upgrade (ADVICE r6); new commits record under the current id, which
+    migrates the stream forward naturally.
     """
     from ..sources.jsonl_sink import (
         JsonlManifestDataSource, last_committed_batch)
@@ -64,7 +73,10 @@ def jsonl_batch_writer(path: str,
         # in order, so the manifest stores ONE high-water mark per
         # stream (bounded manifest; ADVICE r5) and any id at or below
         # it is a replay
-        last = last_committed_batch(path, stream_id)
+        marks = [last_committed_batch(path, s)
+                 for s in (stream_id, *legacy_ids)]
+        marks = [m for m in marks if m is not None]
+        last = max(marks) if marks else None
         if last is not None and batch_id <= last:
             return  # replay of a committed batch — exactly-once guard
         batch_df.sparkSession.dataSource.register(JsonlManifestDataSource)
@@ -86,11 +98,17 @@ def jsonl_manifest_sink(stream_df: DataFrame, path: str,
     normpath: the same checkpoint spelled differently across restarts
     (relative vs absolute, via symlink, different CWD) must map to ONE
     stream id, or the guard silently turns off for the crash-after-
-    commit window (ADVICE r5)."""
+    commit window (ADVICE r5). Manifests written before the realpath
+    switch recorded normpath-spelled ids, so those spellings are passed
+    as legacy ids — the guard takes the max mark over all of them
+    (ADVICE r6: an upgraded stream must not lose its high-water mark)."""
     stream_id = os.path.realpath(checkpoint)
+    legacy = tuple({os.path.normpath(checkpoint),
+                    os.path.abspath(os.path.normpath(checkpoint))}
+                   - {stream_id})
     return (
         stream_df.writeStream
-        .foreachBatch(jsonl_batch_writer(path, stream_id))
+        .foreachBatch(jsonl_batch_writer(path, stream_id, legacy))
         .queryName(query_name)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)

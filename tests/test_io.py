@@ -372,17 +372,36 @@ def test_jsonl_manifest_abort_keeps_prior_commit(spark, tmp_path):
     assert sorted(r.id for r in back.collect()) == [0, 1, 2, 3, 4]
 
     # a task of a CRASHED writer (driver died — abort never ran) may
-    # leave a temp shard behind. The next commit garbage-collects it
-    # once STALE; a fresh foreign temp — a concurrent writer's
-    # in-flight shard — must survive the sweep (its own commit would
-    # otherwise fail on the rename).
+    # leave a temp shard behind. Liveness-based reclaim (ADVICE r6):
+    # the crashed job's `_live-` flock is free, so the next commit
+    # reclaims its temps IMMEDIATELY (no mtime guessing); a temp with
+    # no liveness record at all (legacy writer) is only swept once
+    # older than the generous fallback grace; a LIVE concurrent
+    # writer's in-flight shard survives no matter how old — its own
+    # commit would otherwise fail on the rename.
     import time
-    stale = os.path.join(out, "_tmp-deadjob-straggler.jsonl")
-    fresh = os.path.join(out, "_tmp-livejob-inflight.jsonl")
-    for p in (stale, fresh):
+
+    from mapreduce_4sl08_spark.sources.jsonl_sink import (
+        _LIVE_PREFIX, JsonlManifestWriter)
+    from pyspark.sql import types as T
+
+    dead = os.path.join(out, "_tmp-deadjob-straggler.jsonl")
+    legacy_fresh = os.path.join(out, "_tmp-legacyjob-inflight.jsonl")
+    for p in (dead, legacy_fresh):
         with open(p, "w") as f:
             f.write("{}\n")
-    os.utime(stale, (time.time() - 3600, time.time() - 3600))
+    # deadjob crashed: liveness file exists, flock NOT held
+    open(os.path.join(out, f"{_LIVE_PREFIX}deadjob"), "w").close()
+    # a live concurrent job: driver-held flock, ancient temp — the
+    # mtime must be irrelevant while the owner is alive
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("s", T.StringType())])
+    live_writer = JsonlManifestWriter({"path": out}, schema, False)
+    live_tmp = os.path.join(
+        out, f"_tmp-{live_writer.job_uuid}-inflight.jsonl")
+    with open(live_tmp, "w") as f:
+        f.write("{}\n")
+    os.utime(live_tmp, (time.time() - 86400, time.time() - 86400))
 
     spark.range(100, 102).selectExpr("id", "CAST(id AS STRING) AS s") \
         .write.format("jsonl_manifest").option("path", out) \
@@ -391,5 +410,47 @@ def test_jsonl_manifest_abort_keeps_prior_commit(spark, tmp_path):
              .schema("id long, s string").option("path", out).load())
     assert sorted(r.id for r in back2.collect()) == [0, 1, 2, 3, 4, 100, 101]
     leftovers = {f for f in os.listdir(out) if f.startswith("_tmp-")}
-    assert "_tmp-deadjob-straggler.jsonl" not in leftovers  # stale GC'd
-    assert "_tmp-livejob-inflight.jsonl" in leftovers       # not stomped
+    assert "_tmp-deadjob-straggler.jsonl" not in leftovers  # dead: GC'd now
+    assert f"{_LIVE_PREFIX}deadjob" not in os.listdir(out)  # sidecar too
+    assert "_tmp-legacyjob-inflight.jsonl" in leftovers     # inside grace
+    assert os.path.basename(live_tmp) in leftovers  # alive: mtime ignored
+    live_writer.abort([])  # releases the liveness flock + sweeps own temp
+    assert not os.path.exists(live_tmp)
+
+
+def test_jsonl_sink_liveness_lifecycle(tmp_path):
+    """Liveness registration (ADVICE r6) — pure-Python semantics, no
+    Spark: the writer holds a flock on `_live-<job>` for its lifetime,
+    the fd never pickles to executors, release unlinks the sidecar, and
+    `_job_alive` distinguishes alive / crashed / no-record."""
+    import os
+    import pickle
+
+    from pyspark.sql import types as T
+
+    from mapreduce_4sl08_spark.sources.jsonl_sink import (
+        _LIVE_PREFIX, JsonlManifestWriter, _job_alive)
+
+    schema = T.StructType([T.StructField("x", T.LongType())])
+    d = str(tmp_path)
+    w = JsonlManifestWriter({"path": d}, schema, overwrite=False)
+    live = os.path.join(d, f"{_LIVE_PREFIX}{w.job_uuid}")
+    assert os.path.exists(live)
+    assert _job_alive(d, w.job_uuid) is True          # flock held
+
+    w2 = pickle.loads(pickle.dumps(w))                # executor copy
+    assert w2._live_fh is None and w2.job_uuid == w.job_uuid
+
+    w._release_liveness()
+    assert not os.path.exists(live)
+    assert _job_alive(d, w.job_uuid) is None          # no record
+
+    open(os.path.join(d, f"{_LIVE_PREFIX}crashed"), "w").close()
+    assert _job_alive(d, "crashed") is False          # free lock = dead
+
+    # commit() releases liveness even for an empty (zero-task) job
+    w3 = JsonlManifestWriter({"path": d}, schema, overwrite=False)
+    w3.commit([])
+    assert w3._live_fh is None
+    assert not os.path.exists(
+        os.path.join(d, f"{_LIVE_PREFIX}{w3.job_uuid}"))

@@ -410,3 +410,48 @@ def test_jsonl_manifest_sink_wrapper(spark, events_dir, tmp_path):
     got2 = (spark.read.format("jsonl_manifest").schema(EVENTS_SCHEMA)
             .option("path", out).load())
     assert got2.count() == 2 * twin.count()  # nothing silently dropped
+
+
+def test_jsonl_replay_guard_honors_legacy_stream_id(tmp_path):
+    """ADVICE r6: manifests written before the realpath stream-id switch
+    recorded normpath-spelled ids. The replay guard must take the max
+    mark over the current id AND the legacy spellings, or an upgraded
+    stream silently loses its crash-after-commit protection. Pure
+    Python — the guard's skip path never touches the batch DataFrame."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from mapreduce_4sl08_spark.sources.jsonl_sink import JsonlManifestWriter
+    from mapreduce_4sl08_spark.streaming.sinks import jsonl_batch_writer
+
+    out = str(tmp_path / "out")
+    # pre-upgrade, a RELATIVELY-spelled checkpoint produced a relative
+    # normpath id; the realpath scheme resolves it absolute — distinct
+    # spellings of the same stream
+    legacy_id = os.path.normpath("ckpt")            # "ckpt"
+    current_id = os.path.realpath(str(tmp_path / "ckpt"))
+    assert legacy_id != current_id
+
+    # pre-upgrade commit: high-water mark recorded under the LEGACY id
+    schema = T.StructType([T.StructField("x", T.LongType())])
+    w = JsonlManifestWriter(
+        {"path": out, "stream_id": legacy_id, "batch_id": "3"},
+        schema, overwrite=False)
+    w.commit([])
+
+    class Untouchable:  # the guard must return before reaching this
+        def __getattr__(self, name):
+            raise AssertionError("replayed batch was not skipped")
+
+    guard = jsonl_batch_writer(out, current_id, legacy_ids=(legacy_id,))
+    guard(Untouchable(), 3)   # replay under old spelling — skipped
+    guard(Untouchable(), 2)   # below the mark — skipped
+    # a NEW batch must pass the guard (and then touch the DataFrame)
+    import pytest as _pytest
+    with _pytest.raises(AssertionError):
+        guard(Untouchable(), 4)
+    # without the legacy spelling the guard would NOT skip (control)
+    unaware = jsonl_batch_writer(out, current_id)
+    with _pytest.raises(AssertionError):
+        unaware(Untouchable(), 3)
