@@ -224,10 +224,15 @@ def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocks per Manku/Jain/Das Sarma, "Detecting near-duplicates for web
     crawling" (WWW 2007)."""
     d = t(spark, sf_dir, "documents")
+    # token distinctness only exists WITHIN a document, so dedup
+    # row-locally with array_distinct before exploding — the row-level
+    # .distinct() it replaces shuffled the whole exploded token index
+    # (the same corpus-sized-shuffle deletion as _shingle_sets, r7)
     toks = d.select(
         "doc_id",
-        F.explode(F.split(F.trim(F.lower("text")), TOKEN_SPLIT_RE)).alias("token"),
-    ).filter(F.col("token") != "").distinct()
+        F.explode(F.array_distinct(
+            F.split(F.trim(F.lower("text")), TOKEN_SPLIT_RE))).alias("token"),
+    ).filter(F.col("token") != "")
     hashed_toks = (
         toks.withColumn("m", F.md5(F.col("token")))
         .select(
