@@ -36,9 +36,12 @@ _MODULE_SPECS: list[QuerySpec] = [
 #   2. Never-driver-checked queries (new this round) — sort next.
 #   3. Remaining queries by last-proven round, least recent first.
 _ROUND_PRIORITY: tuple[str, ...] = (
-    # round 7: simhash_dedup's plan changed (filter-before-distinct
-    # reorder) — re-prove first.
-    "simhash_dedup",
+    # round 7: plans changed (simhash filter-before-distinct + token
+    # array_distinct; jaccard/minhash/winnowing/fingerprint via the
+    # shuffle-free shingle index and the _bind_once lambda fix;
+    # doc_fingerprint staged projections) — re-prove first.
+    "simhash_dedup", "doc_fingerprint", "winnowing_fingerprints",
+    "text_char_trigram_profile",
     # round 7 (ADVICE r6): dedup_ngram_jaccard's body was refactored in
     # r6 (candidate stage split into _jaccard_candidates, memo class
     # swap) but was missing from the r6 priority tuple — it and

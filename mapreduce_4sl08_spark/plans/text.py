@@ -322,14 +322,21 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines agree bit-for-bit."""
     d = t(spark, sf_dir, "documents")
     norm = F.lower(F.trim("text"))
-    toks = F.split(norm, TOKEN_SPLIT_RE)
-    sh = word_shingles(toks, 5)
+    # stage norm and the hashed shingle array as columns: inlined, norm
+    # would evaluate 3× per row (md5 + inside the split) and the
+    # shingle pipeline 2× (min and max) — CollapseProject keeps staged
+    # projections with multi-referenced non-cheap expressions (r3/r7
+    # ROUND_NOTES lessons)
+    staged = d.select("doc_id", norm.alias("norm")).select(
+        "doc_id", "norm",
+        F.transform(word_shingles(F.split("norm", TOKEN_SPLIT_RE), 5),
+                    F.md5).alias("sh_md5"))
     return (
-        d.select(
+        staged.select(
             "doc_id",
-            F.md5(norm).alias("full_hash"),
-            F.array_min(F.transform(sh, F.md5)).alias("min_shingle_hash"),
-            F.array_max(F.transform(sh, F.md5)).alias("max_shingle_hash"),
+            F.md5("norm").alias("full_hash"),
+            F.array_min("sh_md5").alias("min_shingle_hash"),
+            F.array_max("sh_md5").alias("max_shingle_hash"),
         )
         .orderBy("doc_id")
     )

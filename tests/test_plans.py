@@ -441,3 +441,43 @@ print('MEMO_CYCLE_OK')
     out = subprocess.run([sys.executable, "-c", code], capture_output=True,
                          text=True, timeout=300, cwd="/root/repo")
     assert "MEMO_CYCLE_OK" in out.stdout, (out.stdout, out.stderr[-2000:])
+
+
+def test_sliding_window_primitives_bind_input_once(spark, sf_smoke_dir):
+    """Pin the r7 lambda-binding fix: word_shingles/char_ngrams must
+    evaluate a raw-expression input ONCE per row, never once per
+    position. Codegen inlines an unbound child expression into every
+    per-position lambda invocation — measured 41.6 s -> 4.3 s on the
+    10x shingle index. The physical plan of the shingle-set projection
+    must therefore contain exactly one regex split per distinct split
+    expression (the _bind_once array wrapper), not one per lambda
+    reference."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_4sl08_spark.functions import char_ngrams, word_shingles
+    from mapreduce_4sl08_spark.plans.text import TOKEN_SPLIT_RE
+    from mapreduce_4sl08_spark.sources import load_table
+
+    d = load_table(spark, sf_smoke_dir, "documents")
+    toks = F.split(F.lower(F.trim("text")), TOKEN_SPLIT_RE)
+    sets = d.select(
+        "doc_id",
+        F.array_sort(F.array_distinct(word_shingles(toks, 3))).alias("s"))
+    plan = sets._jdf.queryExecution().executedPlan().toString()
+    n_split = len(re.findall(r"split\(", plan))
+    assert n_split == 1, f"split evaluated {n_split} times in:\n{plan[:2000]}"
+
+    trig = d.select(char_ngrams(
+        F.lower(F.regexp_replace("text", r"[^A-Za-z]", "")), 3).alias("g"))
+    plan2 = trig._jdf.queryExecution().executedPlan().toString()
+    n_rr = len(re.findall(r"regexp_replace\(", plan2))
+    assert n_rr == 1, f"regexp_replace evaluated {n_rr} times"
+
+    # semantic equivalence: expression input == pre-materialized column
+    via_expr = d.select("doc_id", word_shingles(toks, 3).alias("s"))
+    via_col = (d.select("doc_id", toks.alias("t"))
+               .select("doc_id", word_shingles(F.col("t"), 3).alias("s")))
+    assert sorted(map(tuple, via_expr.collect())) == \
+        sorted(map(tuple, via_col.collect()))
