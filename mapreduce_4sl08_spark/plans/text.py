@@ -656,7 +656,11 @@ _MINHASH_ROWS = 2
 _JACCARD_THRESHOLD = 0.4
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _minhash_candidates(spark: SparkSession, sf_dir: str):
+    """The MinHash-LSH candidate stage (signatures → bands → bucket
+    join), before exact verification — split out so the banding
+    candidate→verified funnel is measurable, same pattern as
+    `_jaccard_candidates` (r6/r7). Returns (candidates, shingle_sets)."""
     sh, sets = _shingle_sets(spark, sf_dir, 3)
     # signature: per doc, min over shingles of 8-hex slices of ONE md5 —
     # one hash per row instead of _MINHASH_PERMS hashes (aggregate exprs
@@ -688,6 +692,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
+    return cand, sets
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cand, sets = _minhash_candidates(spark, sf_dir)
     # exact-Jaccard verification restricted to the banded candidates —
     # array_intersect per pair, not a second inverted-index join
     return (
