@@ -591,25 +591,50 @@ def _jaccard_candidates(spark: SparkSession, sf_dir: str,
         .persist()
     )
     a, b = pref.alias("a"), pref.alias("b")
-    # PPJoin pruning inside the inverted-index join (Xiao et al., WWW'08):
-    # - length filter: J ≥ t requires t·|B| ≤ |A| (sizes within ratio t);
-    # - positional filter: a match at canonical positions (pa, pb) bounds
-    #   the overlap by 1 + min(|A|-pa, |B|-pb), which must reach
-    #   α = ⌈t/(1+t)·(|A|+|B|)⌉. Both prune candidates BEFORE the
-    #   distinct + set-intersection verify — on a homogeneous corpus this
-    #   is the difference between verifying every co-occurring pair and
-    #   verifying the few that can actually clear the threshold.
+    # PPJoin pruning inside the inverted-index join (Xiao et al., WWW'08;
+    # prefix asymmetry per Bayardo et al., WWW'07 §3.1):
+    # - pairs are canonicalized by SIZE (n_sh, doc_id), not by doc id:
+    #   side `a` is the smaller set of the pair. That unlocks the
+    #   asymmetric "indexing prefix": for a qualifying pair with
+    #   |A| ≤ |B|, the overlap k ≥ ⌈2t/(1+t)·|A|⌉, and the smallest
+    #   common shingle c1 has ≥ k-1 common shingles after it in BOTH
+    #   lists, so pos_a(c1) ≤ |A| - k + 1 ≤ |A| - 2t/(1+t)·|A| + 1.
+    #   At t = 0.5 that is a ~|A|/3 prefix on the probe side instead of
+    #   the ~|A|/2 Chaudhuri prefix `pref` stores — a third of the
+    #   self-join's `a`-side input rows never enter the join. (The
+    #   mixed-α prefix lemma is sound because c1 lands inside BOTH
+    #   prefixes for ANY α ≤ k; the ε guards float roundoff of the
+    #   non-dyadic 2t/(1+t) in the conservative direction.)
+    # - length filter: J ≥ t requires t·|B| ≤ |A| (one direction only —
+    #   a is the smaller side by canonicalization);
+    # - positional filter: a match at canonical positions (pa, pb)
+    #   bounds the overlap by 1 + min(|A|-pa, |B|-pb), which must reach
+    #   α = ⌈t/(1+t)·(|A|+|B|)⌉. All prune BEFORE the distinct + set-
+    #   intersection verify. (The pair-level ACCUMULATED positional
+    #   bound — c matches + rem at the last — was probe-measured r7:
+    #   prunes 0 of 124,979 candidates at sf0.1; survivors almost all
+    #   match on exactly one prefix shingle, where it degenerates to
+    #   the per-row bound. Not worth the wider shuffle row.)
     alpha = F.ceil(F.lit(threshold / (1 + threshold))
                    * (F.col("a.n_sh") + F.col("b.n_sh")))
     ubound = 1 + F.least(F.col("a.n_sh") - F.col("a.pos"),
                          F.col("b.n_sh") - F.col("b.pos"))
+    a_probe_prefix = (
+        F.col("a.pos")
+        <= F.col("a.n_sh") * F.lit(1.0 - 2.0 * threshold / (1 + threshold))
+        + F.lit(1.0 + 1e-6))
+    a_before_b = (
+        (F.col("a.n_sh") < F.col("b.n_sh"))
+        | ((F.col("a.n_sh") == F.col("b.n_sh"))
+           & (F.col("a.doc_id") < F.col("b.doc_id"))))
     cand = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.doc_id") < F.col("b.doc_id"))
-               & (F.col("a.n_sh") >= F.lit(threshold) * F.col("b.n_sh"))
-               & (F.col("b.n_sh") >= F.lit(threshold) * F.col("a.n_sh")))
+               & a_before_b
+               & a_probe_prefix
+               & (F.col("a.n_sh") >= F.lit(threshold) * F.col("b.n_sh")))
         .filter(ubound >= alpha)
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select(F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+                F.greatest("a.doc_id", "b.doc_id").alias("doc_b"))
         .distinct()
     )
     return cand, sets
