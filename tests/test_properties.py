@@ -226,6 +226,92 @@ def test_winnowing_guarantee(spark, sf_smoke_dir):
     assert fps[900001] & fps[900002], "shared run produced no shared fingerprint"
 
 
+def test_jaccard_prune_cascade_is_lossless_on_varied_sizes(spark):
+    """Soundness of the AllPairs/PPJoin candidate cascade — including the
+    r7 asymmetric probe prefix (size-canonical pairs, mixed-α prefix
+    lemma): on a seeded corpus of WIDELY varying doc sizes (3..60 tokens,
+    truncations right at the t·|B| length boundary, same-size ties,
+    exact duplicates), the verified output must equal a pure-Python
+    brute force over every pair. The parquet-fixture oracles can't vary
+    size structure; this pins the pruning math against exactly the
+    shapes where an off-by-one in prefix length or a wrong tie-break in
+    the canonical order would silently drop a true pair."""
+    import itertools
+    import os
+    import random
+    import tempfile
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from mapreduce_4sl08_spark.plans import QUERIES
+
+    rng = random.Random(20260814)
+    vocab = [f"w{i}" for i in range(120)]
+    docs = {}
+    next_id = 910000
+
+    def add(tokens):
+        nonlocal next_id
+        docs[next_id] = " ".join(tokens)
+        next_id += 1
+        return next_id - 1
+
+    bases = []
+    for n in (3, 4, 5, 7, 10, 15, 20, 30, 45, 60):
+        toks = [rng.choice(vocab) for _ in range(n)]
+        bases.append(toks)
+        add(toks)
+    for toks in bases:
+        # near-dup: replace ~20% of tokens in place
+        mutated = list(toks)
+        for i in rng.sample(range(len(toks)), max(1, len(toks) // 5)):
+            mutated[i] = rng.choice(vocab)
+        add(mutated)
+        # truncation at the length-filter boundary: |B'| ≈ |B|/2
+        if len(toks) >= 6:
+            add(toks[:len(toks) // 2])
+        # exact duplicate (J = 1.0) and a same-size shuffled tie
+        add(toks)
+        shuffled = list(toks)
+        rng.shuffle(shuffled)
+        add(shuffled)
+
+    def shingle_set(text):
+        toks = text.strip().lower().split()
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    def round4(x):
+        return float(Decimal(repr(x)).quantize(Decimal("0.0001"),
+                                               rounding=ROUND_HALF_UP))
+
+    expected = {}
+    sets = {i: shingle_set(s) for i, s in docs.items()}
+    for a, b in itertools.combinations(sorted(docs), 2):
+        sa, sb = sets[a], sets[b]
+        if not sa or not sb:
+            continue
+        nc = len(sa & sb)
+        if nc == 0:
+            continue
+        j = round4(nc / (len(sa) + len(sb) - nc))
+        if j >= 0.5:
+            expected[(a, b)] = (nc, j)
+
+    tmp = spark.createDataFrame(sorted(docs.items()), ["doc_id", "text"])
+    d = tempfile.mkdtemp(prefix="jacfuzz")
+    tmp.withColumn("lang", F.lit("en")).withColumn("source", F.lit("t")) \
+       .withColumn("n_chars", F.length("text")) \
+       .write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    got = {(r.doc_a, r.doc_b): (r.n_common, r.jaccard)
+           for r in QUERIES["dedup_ngram_jaccard"].fn(spark, d).collect()}
+    missing = set(expected) - set(got)
+    extra = set(got) - set(expected)
+    assert not missing, f"pruning dropped true pairs: {sorted(missing)[:5]}"
+    assert not extra, f"verify emitted below-threshold pairs: {sorted(extra)[:5]}"
+    for pair, (nc, j) in expected.items():
+        g_nc, g_j = got[pair]
+        assert g_nc == nc and abs(g_j - j) < 1e-9, (pair, (nc, j), got[pair])
+
+
 def test_bpe_pretokenizer_cross_engine_parity(spark):
     """The BPE pretokenizer regex must tokenize IDENTICALLY under Java
     regex (Spark) and RE2 (DuckDB) — the reason the pattern is restricted
