@@ -48,6 +48,13 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     # dedup_minhash_lsh (shares _shingle_sets) were only exercised
     # indirectly through dedup_connected_components. Re-prove directly.
     "dedup_ngram_jaccard", "dedup_minhash_lsh",
+    # round 7 late session: the jaccard candidate join switched to
+    # size-canonical pairs with the asymmetric probe prefix — every
+    # consumer of the verified pair set must be re-proven, not just
+    # dedup_ngram_jaccard itself.
+    "dedup_connected_components", "corpus_curation_pipeline",
+    "span_dedup_report", "dedup_cluster_stats", "cluster_best_survivor",
+    "decontamination_overlap",
 )
 
 # Round-1 pass (CORRECTNESS_r01.json): the first 50 registry entries.
