@@ -68,7 +68,7 @@ def _reset_memos(spark) -> None:
     from mapreduce_4sl08_spark.plans import extended, text, warehouse
     for memo in (text._SHINGLE_MEMO, text._NGRAM_PAIRS_MEMO,
                  text._CC_MEMO, warehouse._EDGES_MEMO,
-                 extended._PAGERANK_MEMO):
+                 extended._PAGERANK_MEMO, extended._SIMHASH_MEMO):
         memo.clear()
     spark.catalog.clearCache()
 

@@ -211,6 +211,15 @@ def _half_bit(col: str, bit: int):
     return (F.shiftright(F.col(col), bit).bitwiseAND(F.lit(1)) * 2 - 1)
 
 
+#: per-(application, sf_dir) memo of the persisted fingerprint table —
+#: the banded self-join reads it on BOTH sides, and without persistence
+#: each side re-runs the corpus scan + tokenize + md5 + 64-sum
+#: aggregation + bit reconstruction (profiled r7: the full query cost
+#: ~4.5 s at sf0.1 while every warm stage through the join is <1 s —
+#: the gap was this doubled upstream). Same policy as _SHINGLE_MEMO.
+_SIMHASH_MEMO: SessionMemo = SessionMemo()
+
+
 def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup detection, fully scalable shape:
     per-doc 64-bit simhash (two md5-derived 32-bit halves, deterministic
@@ -223,61 +232,81 @@ def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounding algorithms" (STOC 2002); 64-bit fingerprints with ~16-bit
     blocks per Manku/Jain/Das Sarma, "Detecting near-duplicates for web
     crawling" (WWW 2007)."""
-    d = t(spark, sf_dir, "documents")
-    # token distinctness only exists WITHIN a document, so dedup
-    # row-locally with array_distinct before exploding — the row-level
-    # .distinct() it replaces shuffled the whole exploded token index
-    # (the same corpus-sized-shuffle deletion as _shingle_sets, r7)
-    toks = d.select(
-        "doc_id",
-        F.explode(F.array_distinct(
-            F.split(F.trim(F.lower("text")), TOKEN_SPLIT_RE))).alias("token"),
-    ).filter(F.col("token") != "")
-    hashed_toks = (
-        toks.withColumn("m", F.md5(F.col("token")))
-        .select(
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    hashed = _SIMHASH_MEMO.get(memo_key)
+    if hashed is None:
+        d = t(spark, sf_dir, "documents")
+        # token distinctness only exists WITHIN a document, so dedup
+        # row-locally with array_distinct before exploding — the row-level
+        # .distinct() it replaces shuffled the whole exploded token index
+        # (the same corpus-sized-shuffle deletion as _shingle_sets, r7)
+        toks = d.select(
             "doc_id",
-            F.conv(F.substring("m", 1, 8), 16, 10).cast("long").alias("h_hi"),
-            F.conv(F.substring("m", 9, 8), 16, 10).cast("long").alias("h_lo"),
+            F.explode(F.array_distinct(
+                F.split(F.trim(F.lower("text")), TOKEN_SPLIT_RE))).alias("token"),
+        ).filter(F.col("token") != "")
+        hashed_toks = (
+            toks.withColumn("m", F.md5(F.col("token")))
+            .select(
+                "doc_id",
+                F.conv(F.substring("m", 1, 8), 16, 10).cast("long").alias("h_hi"),
+                F.conv(F.substring("m", 9, 8), 16, 10).cast("long").alias("h_lo"),
+            )
         )
-    )
-    sim = hashed_toks.groupBy("doc_id").agg(
-        *[F.sum(_half_bit(f"h_{half}", b)).alias(f"s_{half}_{b}")
-          for half in ("hi", "lo") for b in range(_SIMHASH_HALF_BITS)])
-    halves = []
-    for half in ("hi", "lo"):
-        bits = None
-        for b in range(_SIMHASH_HALF_BITS):
-            term = F.when(F.col(f"s_{half}_{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0))
-            bits = term if bits is None else bits + term
-        halves.append(bits.cast("long").alias(f"sim_{half}"))
-    hashed = sim.select("doc_id", *halves)
+        sim = hashed_toks.groupBy("doc_id").agg(
+            *[F.sum(_half_bit(f"h_{half}", b)).alias(f"s_{half}_{b}")
+              for half in ("hi", "lo") for b in range(_SIMHASH_HALF_BITS)])
+        halves = []
+        for half in ("hi", "lo"):
+            bits = None
+            for b in range(_SIMHASH_HALF_BITS):
+                term = F.when(F.col(f"s_{half}_{b}") >= 0,
+                              F.lit(1 << b)).otherwise(F.lit(0))
+                bits = term if bits is None else bits + term
+            halves.append(bits.cast("long").alias(f"sim_{half}"))
+        # persisted + memoized: BOTH sides of the banded self-join read
+        # the fingerprint table — without this each side re-ran the
+        # corpus scan + md5 + 64-sum aggregation (see _SIMHASH_MEMO)
+        hashed = sim.select("doc_id", *halves).persist()
+        _SIMHASH_MEMO[memo_key] = hashed
+
+    def _band_slice(side: str, j: int):
+        half = "hi" if j < 2 else "lo"
+        return (F.shiftright(F.col(f"{side}.sim_{half}"), 16 * (j % 2))
+                .bitwiseAND(F.lit(0xFFFF)))
+
     # 4×16-bit bands: two per half — keys stay small positive ints
     band_exprs = [
-        F.concat(F.lit(f"{2 * i + j}:"),
-                 F.shiftright(F.col(f"sim_{half}"), 16 * j).bitwiseAND(F.lit(0xFFFF)))
-        for i, half in enumerate(("hi", "lo")) for j in range(2)
+        F.concat(F.lit(f"{j}:"),
+                 F.shiftright(F.col(f"sim_{half}"), 16 * (j % 2))
+                 .bitwiseAND(F.lit(0xFFFF)))
+        for j, half in enumerate(("hi", "hi", "lo", "lo"))
     ]
     bands = hashed.select(
         "doc_id", "sim_hi", "sim_lo",
-        F.explode(F.array(*band_exprs)).alias("band_key"),
+        F.posexplode(F.array(*band_exprs)).alias("band_id", "band_key"),
     )
     a, b2 = bands.alias("a"), bands.alias("b")
     hamming = (
         F.bit_count(F.col("a.sim_hi").bitwiseXOR(F.col("b.sim_hi")))
         + F.bit_count(F.col("a.sim_lo").bitwiseXOR(F.col("b.sim_lo")))
     ).cast("int")
+    # a pair sharing k of the 4 bands is emitted by k joined rows; keep
+    # only the row whose matched band is the FIRST equal band (decidable
+    # row-locally — both full fingerprints ride along), so every
+    # qualifying pair is emitted exactly once and the .distinct() this
+    # replaces — a shuffle of every verified multi-band pair (2.7×
+    # multiplicity measured at sf0.1: 281,692 → 105,002 rows) — is gone.
+    first_eq = F.when(_band_slice("a", 0) == _band_slice("b", 0), 0) \
+                .when(_band_slice("a", 1) == _band_slice("b", 1), 1) \
+                .when(_band_slice("a", 2) == _band_slice("b", 2), 2) \
+                .otherwise(3)
     return (
         a.join(b2, (F.col("a.band_key") == F.col("b.band_key"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .filter((hamming <= _HAMMING_MAX) & (F.col("a.band_id") == first_eq))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
                 hamming.alias("hamming"))
-        # filter BEFORE distinct: hamming is row-local, so verifying
-        # first shrinks the distinct's shuffle input to the true
-        # near-dup pairs instead of every multi-band candidate collision
-        # (ADVICE r6 — matters on a high-collision corpus).
-        .filter(F.col("hamming") <= _HAMMING_MAX)
-        .distinct()
         .orderBy("doc_a", "doc_b")
     )
 

@@ -407,7 +407,8 @@ def test_all_plan_memos_are_session_scoped():
     from mapreduce_4sl08_spark.plans.base import SessionMemo
 
     for memo in (text._SHINGLE_MEMO, text._NGRAM_PAIRS_MEMO, text._CC_MEMO,
-                 warehouse._EDGES_MEMO, extended._PAGERANK_MEMO):
+                 warehouse._EDGES_MEMO, extended._PAGERANK_MEMO,
+                 extended._SIMHASH_MEMO):
         assert isinstance(memo, SessionMemo)
 
 

@@ -66,6 +66,19 @@ def test_minhash_candidates_superset_check(spark, sf_smoke_dir):
             assert lsh[pair] == j
 
 
+def test_simhash_pairs_unique_and_verified(spark, sf_smoke_dir):
+    """The first-equal-band emission (r7 — replaces .distinct()) must
+    produce each qualifying pair EXACTLY once, oriented doc_a < doc_b,
+    with the verified hamming bound."""
+    from mapreduce_4sl08_spark.plans.extended import _HAMMING_MAX
+    rows = QUERIES["simhash_dedup"].fn(spark, sf_smoke_dir).collect()
+    pairs = [(r.doc_a, r.doc_b) for r in rows]
+    assert len(pairs) == len(set(pairs)), "duplicate pair emitted"
+    for r in rows:
+        assert r.doc_a < r.doc_b
+        assert 0 <= r.hamming <= _HAMMING_MAX
+
+
 def test_knn_rank_ordering(spark, sf_smoke_dir):
     rows = QUERIES["knn_bruteforce_cosine"].fn(spark, sf_smoke_dir).collect()
     by_q = {}
