@@ -65,19 +65,30 @@ def user_session_features_fast(events: DataFrame) -> DataFrame:
         import pandas as pd
 
         def one(pdf: pd.DataFrame) -> pd.DataFrame:
-            groups = []
-            for uid, g in pdf.groupby("user_id", sort=False):
-                g = g.sort_values(["ts", "event_id"])
-                ts = g["ts"].astype("int64") / 1e9
-                n = len(g)
-                span = float(ts.iloc[-1] - ts.iloc[0]) if n > 1 else 0.0
-                deltas = g["value"].diff().abs().dropna()
-                groups.append((uid, n, span,
-                               span / (n - 1) if n > 1 else 0.0,
-                               float(deltas.max()) if len(deltas) else 0.0))
-            return pd.DataFrame(groups, columns=[
-                "user_id", "n_events", "span_seconds",
-                "mean_gap_seconds", "max_value_delta"])
+            # fully vectorized: ONE partition-wide sort, then C-side
+            # groupby aggregations — the per-group Python loop this
+            # replaces (iterate groups, sort each, diff each) cost ~3×
+            # more at sf0.1 (1.0-1.2 s vs 0.37 s, measured interleaved
+            # r7) and scales with GROUP COUNT in interpreter steps; this
+            # scales in vectorized C. Arithmetic is identical per value
+            # (diff/abs/max are element-wise), so output is bit-equal —
+            # pinned by test_grouped_map_fast_equals_canonical.
+            pdf = pdf.sort_values(["user_id", "ts", "event_id"])
+            ts = pdf["ts"].astype("int64") / 1e9
+            uid = pdf["user_id"].values
+            g = pdf.groupby("user_id", sort=False)
+            n = g.size()
+            span = (ts.groupby(uid, sort=False).max()
+                    - ts.groupby(uid, sort=False).min()).where(n > 1, 0.0)
+            max_delta = g["value"].diff().abs().groupby(uid, sort=False).max()
+            return pd.DataFrame({
+                "user_id": n.index.astype("int64"),
+                "n_events": n.values.astype("int64"),
+                "span_seconds": span.values.astype("float64"),
+                "mean_gap_seconds": (span / (n - 1).clip(lower=1))
+                .where(n > 1, 0.0).values.astype("float64"),
+                "max_value_delta": max_delta.fillna(0.0).values.astype("float64"),
+            })
 
         # a group never spans batches: the input is hash-partitioned on
         # user_id, but one PARTITION can arrive as several Arrow batches,
