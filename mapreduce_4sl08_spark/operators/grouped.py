@@ -78,8 +78,8 @@ def user_session_features_fast(events: DataFrame) -> DataFrame:
             uid = pdf["user_id"].values
             g = pdf.groupby("user_id", sort=False)
             n = g.size()
-            span = (ts.groupby(uid, sort=False).max()
-                    - ts.groupby(uid, sort=False).min()).where(n > 1, 0.0)
+            gts = ts.groupby(uid, sort=False)
+            span = (gts.max() - gts.min()).where(n > 1, 0.0)
             max_delta = g["value"].diff().abs().groupby(uid, sort=False).max()
             return pd.DataFrame({
                 "user_id": n.index.astype("int64"),

@@ -239,7 +239,7 @@ def test_winnowing_guarantee(spark, sf_smoke_dir):
     assert fps[900001] & fps[900002], "shared run produced no shared fingerprint"
 
 
-def test_jaccard_prune_cascade_is_lossless_on_varied_sizes(spark):
+def test_jaccard_prune_cascade_is_lossless_on_varied_sizes(spark, tmp_path):
     """Soundness of the AllPairs/PPJoin candidate cascade — including the
     r7 asymmetric probe prefix (size-canonical pairs, mixed-α prefix
     lemma): on a seeded corpus of WIDELY varying doc sizes (3..60 tokens,
@@ -252,7 +252,6 @@ def test_jaccard_prune_cascade_is_lossless_on_varied_sizes(spark):
     import itertools
     import os
     import random
-    import tempfile
     from decimal import ROUND_HALF_UP, Decimal
 
     from mapreduce_4sl08_spark.plans import QUERIES
@@ -310,7 +309,7 @@ def test_jaccard_prune_cascade_is_lossless_on_varied_sizes(spark):
             expected[(a, b)] = (nc, j)
 
     tmp = spark.createDataFrame(sorted(docs.items()), ["doc_id", "text"])
-    d = tempfile.mkdtemp(prefix="jacfuzz")
+    d = str(tmp_path)  # pytest-managed: parquet fixture is cleaned up
     tmp.withColumn("lang", F.lit("en")).withColumn("source", F.lit("t")) \
        .withColumn("n_chars", F.length("text")) \
        .write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))

@@ -93,7 +93,7 @@ def test_memoized_persists_bounded_across_sweep(spark):
         "dedup_ngram_jaccard", "dedup_minhash_lsh",
         "dedup_connected_components", "dedup_cluster_stats",
         "corpus_curation_pipeline", "copurchase_triangles",
-        "graph_pagerank_purchases",
+        "graph_pagerank_purchases", "simhash_dedup",
     ]
     from tests.conftest import SF_SMOKE
 
