@@ -54,6 +54,27 @@ def test_window_topk_uses_group_limit_pushdown(spark, sf_dir):
     assert plan.count("WindowGroupLimit") >= 2  # partial + final
 
 
+def test_jaccard_probe_prefix_filters_before_shuffle(spark, sf_dir):
+    """The asymmetric probe prefix (r7) must survive as a PRE-SHUFFLE
+    Filter on the self-join's a-side, not sink into the join condition:
+    the whole point is that ~1/3 of one side's rows never enter the
+    shingle exchange. The ε literal 1.000001 is unique to that filter
+    (the positional α uses a bare 0.3333… ceil), so a Filter node
+    carrying it proves Catalyst pushed the a-side-only condition out of
+    the join."""
+    import re
+
+    from mapreduce_4sl08_spark.plans import text
+    cand, _ = text._jaccard_candidates(spark, sf_dir)
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"Filter .*1\.000001", plan), \
+        "probe-prefix condition no longer pushed below the join"
+    join_lines = [ln for ln in plan.splitlines() if "SortMergeJoin" in ln
+                  or "ShuffledHashJoin" in ln]
+    assert not any("1.000001" in ln for ln in join_lines), \
+        "probe-prefix condition evaluated inside the join instead"
+
+
 def test_semi_join_stays_semi(spark, sf_dir):
     plan = plan_of(spark, "join_semi_big_spenders", sf_dir)
     assert "LeftSemi" in plan
