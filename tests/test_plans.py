@@ -75,6 +75,17 @@ def test_jaccard_probe_prefix_filters_before_shuffle(spark, sf_dir):
         "probe-prefix condition evaluated inside the join instead"
 
 
+def test_simhash_pair_dedup_is_shuffle_free(spark, sf_dir):
+    """First-equal-band emission (r7) replaced the trailing .distinct():
+    the plan must carry the CASE WHEN band arbitration in the join/filter
+    and contain NO pair-keyed exchange or aggregate — a regression back
+    to distinct() re-adds a shuffle of every verified multi-band pair."""
+    plan = plan_of(spark, "simhash_dedup", sf_dir)
+    assert "CASE WHEN" in plan
+    assert "Exchange hashpartitioning(doc_a" not in plan
+    assert "HashAggregate(keys=[doc_a" not in plan
+
+
 def test_semi_join_stays_semi(spark, sf_dir):
     plan = plan_of(spark, "join_semi_big_spenders", sf_dir)
     assert "LeftSemi" in plan
