@@ -30,6 +30,13 @@ def test_no_row_at_a_time_python(spark, name):
     assert "BatchEvalPython" not in plan, (
         f"{name} uses a row-at-a-time Python UDF — use built-ins or an "
         f"Arrow-batched form:\n{plan[:600]}")
+    # registry-wide quadratic-join gate: a CartesianProduct shuffles
+    # |L|×|R| rows and is never acceptable at 100 TB. The legitimate
+    # scalar/crossJoin shapes compile to BroadcastNestedLoopJoin over a
+    # broadcast one-row/tiny aggregate, which stays allowed.
+    assert "CartesianProduct" not in plan, (
+        f"{name} plans a CartesianProduct — broadcast the small side or "
+        f"add a join key:\n{plan[:600]}")
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES), ids=str)
