@@ -54,6 +54,7 @@ def main() -> int:
     failures: list[str] = []
     t0 = time.perf_counter()
     for i, name in enumerate(qs, 1):
+        tq = time.perf_counter()
         try:
             got = qs[name](spark, sf_dir).toPandas()
             if name in oracles:
@@ -67,7 +68,10 @@ def main() -> int:
             failures.append(name)
             status = "FAIL"
             traceback.print_exc()
-        print(f"[{i:3d}/{len(qs)}] {status:15s} {name}", flush=True)
+        # per-query wall (Spark + DuckDB + compare) so round-over-round
+        # sweep logs expose drift, not just red/green
+        print(f"[{i:3d}/{len(qs)}] {status:15s} "
+              f"{time.perf_counter() - tq:6.2f}s {name}", flush=True)
     dt = time.perf_counter() - t0
 
     print(f"\nswept {len(qs)} queries in {dt:.0f} s at {sf_dir}: "
