@@ -103,11 +103,23 @@ def _transform(table: str, t: pa.Table, i: int,
 
 def main() -> None:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    out = (sys.argv[2] if len(sys.argv) > 2
+    args = sys.argv[1:]
+    # positional-only CLI: a flag-like arg means the caller expected
+    # option parsing — fail with usage instead of an obscure
+    # FileNotFoundError("--mult/customer.parquet") deep in pyarrow
+    if any(a.startswith("-") for a in args):
+        sys.exit(f"usage: {sys.argv[0]} [src_sf_dir] [out_dir] [copies]\n"
+                 f"(positional args only; got {args!r})")
+    src = args[0] if len(args) > 0 else "/root/testdata/sf0.1"
+    if not os.path.isdir(src):
+        sys.exit(f"src dir not found: {src!r} — pass an existing "
+                 f"testdata scale dir (e.g. /root/testdata/sf0.1)")
+    out = (args[1] if len(args) > 1
            else os.path.join(repo, ".benchdata",
                              os.path.basename(src.rstrip("/")) + "x10"))
-    copies = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    copies = int(args[2]) if len(args) > 2 else 10
+    if copies < 1:
+        sys.exit(f"copies must be >= 1, got {copies}")
     os.makedirs(out, exist_ok=True)
 
     units = _shift_units(src)
