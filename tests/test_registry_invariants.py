@@ -120,17 +120,35 @@ def test_memoized_persists_bounded_across_sweep(spark):
 
 
 def test_driver_checked_bookkeeping_names_exist():
-    """The LRU-rotation sets must reference real registry names — a typo
-    (or a renamed query) would silently misorder the driver budget."""
+    """The LRU-rotation bookkeeping must reference real registry names —
+    a typo (or a renamed query) would silently misorder the driver
+    budget. Covers both the in-code priority tuple and every round list
+    in checked_history.json."""
     from mapreduce_4sl08_spark.plans import registry
 
     known = set(registry.QUERIES)
-    for label, names in (
-        ("_ROUND_PRIORITY", set(registry._ROUND_PRIORITY)),
-        ("_R1_DRIVER_CHECKED", registry._R1_DRIVER_CHECKED),
-        ("_R2_DRIVER_CHECKED", registry._R2_DRIVER_CHECKED),
-        ("_R3_DRIVER_CHECKED", registry._R3_DRIVER_CHECKED),
-        ("_R4_DRIVER_CHECKED", registry._R4_DRIVER_CHECKED),
-    ):
-        unknown = names - known
-        assert not unknown, f"{label} references unknown queries: {unknown}"
+    unknown = set(registry._ROUND_PRIORITY) - known
+    assert not unknown, f"_ROUND_PRIORITY references unknown queries: {unknown}"
+    for round_str, names in registry._HISTORY_RAW.items():
+        assert round_str.isdigit(), f"non-numeric round key {round_str!r}"
+        assert len(names) == len(set(names)), f"duplicates in round {round_str}"
+        unknown = set(names) - known
+        assert not unknown, (
+            f"checked_history.json round {round_str} references unknown "
+            f"queries: {unknown}")
+
+
+def test_driver_checked_history_ordering():
+    """The registry must order: current-round priority first, then
+    never-checked, then strictly by last-proven round ascending — this
+    IS the treadmill that keeps the cumulative 126-green claim true."""
+    from mapreduce_4sl08_spark.plans import registry
+
+    names = list(registry.QUERIES)
+    n_prio = len(registry._ROUND_PRIORITY)
+    assert set(names[:n_prio]) == set(registry._ROUND_PRIORITY)
+    rest = names[n_prio:]
+    # every query is covered by the history (no never-checked rows today)
+    assert all(n in registry._LAST_PROVEN for n in rest)
+    rounds = [registry._LAST_PROVEN[n] for n in rest]
+    assert rounds == sorted(rounds), "history rotation out of LRU order"
