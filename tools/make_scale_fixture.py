@@ -106,8 +106,10 @@ def main() -> None:
     args = sys.argv[1:]
     # positional-only CLI: a flag-like arg means the caller expected
     # option parsing — fail with usage instead of an obscure
-    # FileNotFoundError("--mult/customer.parquet") deep in pyarrow
-    if any(a.startswith("-") for a in args):
+    # FileNotFoundError("--mult/customer.parquet") deep in pyarrow.
+    # Purely numeric negatives (e.g. copies=-3) are NOT flags — let them
+    # reach the dedicated copies validation below (ADVICE r7).
+    if any(a.startswith("-") and not a.lstrip("-").isdigit() for a in args):
         sys.exit(f"usage: {sys.argv[0]} [src_sf_dir] [out_dir] [copies]\n"
                  f"(positional args only; got {args!r})")
     src = args[0] if len(args) > 0 else "/root/testdata/sf0.1"
