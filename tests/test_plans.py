@@ -60,26 +60,34 @@ def test_jaccard_probe_prefix_filters_before_shuffle(spark, sf_dir):
     the whole point is that ~1/3 of one side's rows never enter the
     shingle exchange. Structural marker (ADVICE r7 — no literal pinning
     of float rendering): the probe prefix is the only ceil-bearing
-    FILTER predicate in the tree (the Chaudhuri prefix is burned into
-    the cached index's join, the positional α folds into the self-join
-    condition — neither prints as a Filter node), so below the join's
-    shingle Exchange (physical plans print children AFTER the parent)
-    there must be a Filter node carrying a CEIL over pos — proof the
-    a-side-only condition runs before the shuffle."""
+    FILTER predicate over `pos` in the outer tree (the Chaudhuri prefix
+    is burned into the cached index's build join, the positional α folds
+    into the self-join condition — neither prints as a Filter node), so
+    BELOW the self-join (physical plans print children AFTER the parent)
+    there must be a Filter node carrying a CEIL over pos; when the join
+    shuffles (SortMergeJoin — the shape at scale), the Filter must
+    additionally sit below the shingle Exchange. When cached-statistics
+    make the planner broadcast the tiny-SF self-join instead, there is
+    no exchange to beat — pushed-below-the-join is the invariant."""
     from mapreduce_4sl08_spark.plans import text
     cand, _ = text._jaccard_candidates(spark, sf_dir)
     plan = cand._jdf.queryExecution().executedPlan().toString()
     lines = plan.splitlines()
     join_idx = [i for i, ln in enumerate(lines)
-                if "SortMergeJoin" in ln or "ShuffledHashJoin" in ln]
+                if ("[shingle" in ln)
+                and ("SortMergeJoin" in ln or "ShuffledHashJoin" in ln
+                     or "BroadcastHashJoin" in ln)]
     assert join_idx, "candidate self-join missing from the plan"
-    exch_idx = [i for i in range(join_idx[0] + 1, len(lines))
+    start = join_idx[0]
+    exch_idx = [i for i in range(start + 1, len(lines))
                 if "Exchange hashpartitioning(shingle" in lines[i]]
-    assert exch_idx, "shingle exchange missing below the self-join"
-    below_shuffle = lines[exch_idx[0] + 1:]
+    if "SortMergeJoin" in lines[start] or "ShuffledHashJoin" in lines[start]:
+        assert exch_idx, "shingle exchange missing below the shuffled self-join"
+        start = exch_idx[0]
+    below = lines[start + 1:]
     assert any("Filter" in ln and "CEIL" in ln.upper() and "pos" in ln
-               for ln in below_shuffle), \
-        "probe-prefix condition no longer pushed below the shingle shuffle"
+               for ln in below), \
+        "probe-prefix condition no longer pushed below the self-join/shuffle"
 
 
 def test_simhash_pair_dedup_is_shuffle_free(spark, sf_dir):

@@ -438,3 +438,71 @@ def test_cc_propagation_warns_on_diameter_over_cap(spark):
                   for r in _min_label_propagation(path).collect()}
     assert len(labels) == 60
     assert labels[0] == 0 and labels[59] > 0  # truncation really happened
+
+
+def test_jaccard_candidate_cascade_lossless_across_thresholds(spark, tmp_path):
+    """The r8 exact-integer probe-prefix bound
+    (pos <= n - ceil(2t/(1+t)*n) + 1) is EQUIVALENT to the old float+eps
+    form at t=0.5 but strictly tighter elsewhere — so the t=0.5 cascade
+    test alone no longer pins the general lemma. Run the parametric
+    candidate stage + verify at t in {0.3, 0.7, 0.9} on a varied-size
+    seeded corpus and require exact equality with a pure-Python brute
+    force at each threshold."""
+    import itertools
+    import os
+    import random
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from mapreduce_4sl08_spark.plans.text import (
+        _jaccard_candidates, _verify_pairs)
+
+    rng = random.Random(20260814)
+    vocab = [f"v{i}" for i in range(80)]
+    docs, next_id = {}, 920000
+
+    def add(tokens):
+        nonlocal next_id
+        docs[next_id] = " ".join(tokens)
+        next_id += 1
+
+    for n in (3, 4, 5, 7, 9, 12, 16, 22, 30, 40):
+        toks = [rng.choice(vocab) for _ in range(n)]
+        add(toks)
+        mutated = list(toks)
+        for i in rng.sample(range(n), max(1, n // 6)):
+            mutated[i] = rng.choice(vocab)
+        add(mutated)
+        add(toks)  # exact duplicate
+        if n >= 6:
+            add(toks[:n // 2])       # truncation near length boundaries
+            add(toks[: (2 * n) // 3])
+
+    def shingle_set(text):
+        toks = text.strip().lower().split()
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    def round4(x):
+        return float(Decimal(repr(x)).quantize(Decimal("0.0001"),
+                                               rounding=ROUND_HALF_UP))
+
+    sets = {i: shingle_set(s) for i, s in docs.items()}
+    d = str(tmp_path)
+    spark.createDataFrame(sorted(docs.items()), ["doc_id", "text"]) \
+        .write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+
+    for threshold in (0.3, 0.7, 0.9):
+        expected = set()
+        for a, b in itertools.combinations(sorted(docs), 2):
+            sa, sb = sets[a], sets[b]
+            nc = len(sa & sb)
+            if nc and round4(nc / (len(sa) + len(sb) - nc)) >= threshold:
+                expected.add((a, b))
+        cand, sh_sets = _jaccard_candidates(spark, d, threshold)
+        got = {(r.doc_a, r.doc_b)
+               for r in _verify_pairs(cand, sh_sets, threshold).collect()}
+        missing, extra = expected - got, got - expected
+        assert not missing, \
+            f"t={threshold}: pruning dropped true pairs {sorted(missing)[:5]}"
+        assert not extra, \
+            f"t={threshold}: below-threshold pairs {sorted(extra)[:5]}"
+        assert expected, f"t={threshold}: degenerate oracle (no pairs)"

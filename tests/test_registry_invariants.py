@@ -152,3 +152,37 @@ def test_driver_checked_history_ordering():
     assert all(n in registry._LAST_PROVEN for n in rest)
     rounds = [registry._LAST_PROVEN[n] for n in rest]
     assert rounds == sorted(rounds), "history rotation out of LRU order"
+
+
+def test_update_checked_history_tool_merge_semantics():
+    """The end-of-round ritual tool (tools/update_checked_history.py)
+    must record only triple-green rows, extend-never-truncate a round's
+    list, and be idempotent — a bug here silently corrupts the LRU
+    treadmill that keeps the cumulative all-green claim true."""
+    import importlib.util
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "update_checked_history",
+        os.path.join(repo, "tools", "update_checked_history.py"))
+    tool = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(tool)
+
+    rows = {
+        "good": {"rows_match": True, "schema_match": True,
+                 "hash_match": True, "err": None},
+        "red_hash": {"rows_match": True, "schema_match": True,
+                     "hash_match": False, "err": None},
+        "errored": {"rows_match": True, "schema_match": True,
+                    "hash_match": True, "err": "boom"},
+    }
+    green, red = tool.split_green(rows)
+    assert green == ["good"] and red == ["errored", "red_hash"]
+
+    hist = {"2": ["a"], "1": ["b"], "10": ["c"]}
+    out = tool.merge_round(hist, 2, ["z", "a"])
+    assert out["2"] == ["a", "z"]                      # extend, dedup
+    assert list(out) == ["1", "2", "10"]               # numeric key order
+    assert tool.merge_round(out, 2, ["z", "a"]) == out  # idempotent
+    assert hist["2"] == ["a"]                          # input untouched
