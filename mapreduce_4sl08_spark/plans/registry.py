@@ -8,6 +8,7 @@ surface). ``__spark_entry__`` exposes exactly this.
 from __future__ import annotations
 
 import json
+import warnings
 from collections.abc import Callable
 from pathlib import Path
 
@@ -58,8 +59,25 @@ _ROUND_PRIORITY: tuple[str, ...] = (
 )
 
 _HISTORY_PATH = Path(__file__).with_name("checked_history.json")
-with _HISTORY_PATH.open(encoding="utf-8") as _fh:
-    _HISTORY_RAW: dict[str, list[str]] = json.load(_fh)
+
+
+def _load_history(path: Path) -> dict[str, list[str]]:
+    """The history only ORDERS the driver's correctness budget — it must
+    never take the whole query surface down with it. On an unreadable or
+    corrupt file, degrade to "nothing ever checked" (every row sorts
+    into the re-prove-first bucket) and say so loudly; the invariant
+    tests pin the committed file as present and well-formed."""
+    try:
+        with path.open(encoding="utf-8") as fh:
+            return json.load(fh)
+    except (OSError, ValueError) as e:
+        warnings.warn(
+            f"checked_history.json unreadable ({e}); treating every "
+            f"query as never driver-checked", RuntimeWarning)
+        return {}
+
+
+_HISTORY_RAW: dict[str, list[str]] = _load_history(_HISTORY_PATH)
 
 #: name -> most recent driver round in which it went triple-green
 _LAST_PROVEN: dict[str, int] = {}

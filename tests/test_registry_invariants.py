@@ -186,3 +186,29 @@ def test_update_checked_history_tool_merge_semantics():
     assert list(out) == ["1", "2", "10"]               # numeric key order
     assert tool.merge_round(out, 2, ["z", "a"]) == out  # idempotent
     assert hist["2"] == ["a"]                          # input untouched
+
+
+def test_history_load_degrades_loudly_not_fatally(tmp_path):
+    """An unreadable or corrupt checked_history.json must not take the
+    driver-facing query surface down — it only orders the correctness
+    budget. The loader warns and returns empty (= every query sorts
+    into the re-prove bucket)."""
+    from pathlib import Path
+
+    import pytest
+
+    from mapreduce_4sl08_spark.plans import registry
+
+    with pytest.warns(RuntimeWarning, match="never driver-checked"):
+        assert registry._load_history(Path(str(tmp_path / "missing.json"))) == {}
+
+    bad = tmp_path / "corrupt.json"
+    bad.write_text("{not json")
+    with pytest.warns(RuntimeWarning, match="never driver-checked"):
+        assert registry._load_history(Path(str(bad))) == {}
+
+    # and the committed file itself loads clean, without warnings
+    import warnings as w
+    with w.catch_warnings():
+        w.simplefilter("error")
+        assert registry._load_history(registry._HISTORY_PATH)
