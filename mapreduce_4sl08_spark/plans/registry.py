@@ -69,7 +69,20 @@ def _load_history(path: Path) -> dict[str, list[str]]:
     tests pin the committed file as present and well-formed."""
     try:
         with path.open(encoding="utf-8") as fh:
-            return json.load(fh)
+            raw = json.load(fh)
+        # shape-validate BEFORE anything downstream iterates: valid JSON
+        # of the wrong shape (typo'd round key, string instead of list)
+        # must degrade identically, not crash int()/.items() at import —
+        # or worse, silently iterate a string per-character
+        if not isinstance(raw, dict):
+            raise ValueError("top level must be an object of round->names")
+        for k, v in raw.items():
+            if not (isinstance(k, str) and k.isdigit()):
+                raise ValueError(f"round key {k!r} is not a digit string")
+            if not (isinstance(v, list)
+                    and all(isinstance(n, str) for n in v)):
+                raise ValueError(f"round {k}: names must be a list of strings")
+        return raw
     except (OSError, ValueError) as e:
         warnings.warn(
             f"checked_history.json unreadable ({e}); treating every "

@@ -10,6 +10,7 @@ implement it identically so every pipeline stays oracle-checkable.
 
 from __future__ import annotations
 
+import math
 import warnings
 
 from pyspark.sql import DataFrame, SparkSession
@@ -512,16 +513,19 @@ def _verify_pairs(cand: DataFrame, sets: DataFrame, threshold: float) -> DataFra
     """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs via
     array_intersect against per-doc shingle sets — O(candidates), never a
     second inverted-index join. The AllPairs length filter runs first:
-    J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so pairs with size ratio < t are
-    provably below threshold and skip the set intersection entirely."""
+    J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so pairs with size ratio below
+    the threshold floor are provably below the round-to-4-decimals
+    output filter and skip the set intersection entirely (exact BIGINT
+    form at p/q — see _threshold_floor_rational)."""
+    p, q = _threshold_floor_rational(threshold)
     sa = sets.select(F.col("doc_id").alias("doc_a"),
                      F.col("sh_set").alias("set_a"), F.col("n_sh").alias("n_sh_a"))
     sb = sets.select(F.col("doc_id").alias("doc_b"),
                      F.col("sh_set").alias("set_b"), F.col("n_sh").alias("n_sh_b"))
     return (
         cand.join(sa, "doc_a").join(sb, "doc_b")
-        .filter(F.least("n_sh_a", "n_sh_b")
-                >= F.lit(threshold) * F.greatest("n_sh_a", "n_sh_b"))
+        .filter(F.lit(q) * F.least("n_sh_a", "n_sh_b")
+                >= F.lit(p) * F.greatest("n_sh_a", "n_sh_b"))
         .withColumn("n_common", F.size(F.array_intersect("set_a", "set_b")).cast("long"))
         .withColumn("jaccard", F.round(
             F.col("n_common") / (F.col("n_sh_a") + F.col("n_sh_b") - F.col("n_common")), 4))
@@ -567,6 +571,25 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy("doc_a", "doc_b")
 
 
+def _threshold_floor_rational(threshold: float) -> tuple[int, int]:
+    """Exact rational ``(p, q)`` with ``p/q <= threshold - 5e-5``, used
+    to evaluate every AllPairs/PPJoin bound in EXACT BIGINT arithmetic
+    (r8 review finding): the earlier ``F.ceil(F.lit(c) * n)`` forms
+    could overshoot the true lemma ceiling whenever the double constant
+    ``c`` rounded UP (e.g. 2t/(1+t) at t=0.43), silently dropping true
+    pairs at non-default thresholds. A rational floor kills both float
+    hazards at once — no ceil amplification, and the 5e-5 slack covers
+    the verify stage's round-to-4-decimals semantics (every emitted
+    pair has exact J >= round4(J) - 5e-5 >= threshold - 5e-5 >= p/q),
+    so the cascade is a provable superset of the verify output.
+    Tightness cost: a threshold shift of <= 6e-5 — prefix lengths grow
+    by ~0.006%, unmeasurable (candidate counts at sf0.1/10x/30x are
+    unchanged). BIGINT-safe for n_sh up to ~9e12 (p <= 1e6)."""
+    q = 1_000_000
+    p = max(int(math.floor(threshold * q)) - 50, 0)
+    return p, q
+
+
 def _jaccard_candidates(spark: SparkSession, sf_dir: str,
                         threshold: float = 0.5):
     """The AllPairs/PPJoin candidate stage (steps 1-3 of
@@ -578,17 +601,21 @@ def _jaccard_candidates(spark: SparkSession, sf_dir: str,
     it during the single build) — the sole production caller memoizes
     the verified result, so this still registers one cache entry per
     dataset per session, same policy as _SHINGLE_MEMO."""
+    p, q = _threshold_floor_rational(threshold)
     sh, sets = _shingle_sets(spark, sf_dir, 3)
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("shingle").asc())
-    prefix_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    # Chaudhuri prefix pos <= n - ceil((p/q)·n) + 1, in the exact
+    # integer form p·n <= q·(n - pos + 1)   [ceil(x) <= m  <=>  x <= m]
+    in_prefix = (F.lit(p) * F.col("n_sh")
+                 <= F.lit(q) * (F.col("n_sh") - F.col("pos") + 1))
     # persisted: both sides of the self-join read this prefix index —
     # without persistence the doc-frequency join + rank window run twice
     pref = (
         sh.join(freq, "shingle")
         .withColumn("pos", F.row_number().over(w))
         .join(sets.select("doc_id", "n_sh"), "doc_id")
-        .filter(F.col("pos") <= prefix_len)
+        .filter(in_prefix)
         .select("doc_id", "shingle", "pos", "n_sh")
         .persist()
     )
@@ -605,14 +632,7 @@ def _jaccard_candidates(spark: SparkSession, sf_dir: str,
     #   the ~|A|/2 Chaudhuri prefix `pref` stores — a third of the
     #   self-join's `a`-side input rows never enter the join. (The
     #   mixed-α prefix lemma is sound because c1 lands inside BOTH
-    #   prefixes for ANY α ≤ k. The bound is evaluated in the exact
-    #   integer form of the lemma, pos ≤ n - ⌈2t/(1+t)·n⌉ + 1 — ADVICE
-    #   r7: the earlier float form needed an ad-hoc ε whose rounding
-    #   direction wasn't guaranteed at arbitrary t. The one float op
-    #   left, the ⌈c·n⌉ product, errs only toward a LOOSER bound when c
-    #   rounds down, because ceil then never overshoots the exact
-    #   rational — and the brute-force cascade-soundness test pins
-    #   losslessness against a pure-Python oracle either way.)
+    #   prefixes for ANY α ≤ k.)
     # - length filter: J ≥ t requires t·|B| ≤ |A| (one direction only —
     #   a is the smaller side by canonicalization);
     # - positional filter: a match at canonical positions (pa, pb)
@@ -623,15 +643,22 @@ def _jaccard_candidates(spark: SparkSession, sf_dir: str,
     #   prunes 0 of 124,979 candidates at sf0.1; survivors almost all
     #   match on exactly one prefix shingle, where it degenerates to
     #   the per-row bound. Not worth the wider shuffle row.)
-    alpha = F.ceil(F.lit(threshold / (1 + threshold))
-                   * (F.col("a.n_sh") + F.col("b.n_sh")))
-    ubound = 1 + F.least(F.col("a.n_sh") - F.col("a.pos"),
-                         F.col("b.n_sh") - F.col("b.pos"))
+    #
+    # Every bound is evaluated in EXACT BIGINT arithmetic at the
+    # rational threshold floor p/q (ceil(x) <= m  <=>  x <= m for
+    # integer m — see _threshold_floor_rational for why no float form
+    # survives: ADVICE r7 rejected the ad-hoc ε, and the r8 review
+    # showed ceil(lit(c)·n) overshoots when c rounds up):
+    #   positional:   (q+p)·ubound >= p·(|A|+|B|)   [ubound >= α]
+    #   probe prefix: 2p·|A| <= (q+p)·(|A| - pos_a + 1)
+    #   length:       q·|A| >= p·|B|
+    alpha_ok = (F.lit(q + p)
+                * (1 + F.least(F.col("a.n_sh") - F.col("a.pos"),
+                               F.col("b.n_sh") - F.col("b.pos")))
+                >= F.lit(p) * (F.col("a.n_sh") + F.col("b.n_sh")))
     a_probe_prefix = (
-        F.col("a.pos")
-        <= F.col("a.n_sh")
-        - F.ceil(F.lit(2.0 * threshold / (1 + threshold)) * F.col("a.n_sh"))
-        + F.lit(1))
+        F.lit(2 * p) * F.col("a.n_sh")
+        <= F.lit(q + p) * (F.col("a.n_sh") - F.col("a.pos") + 1))
     a_before_b = (
         (F.col("a.n_sh") < F.col("b.n_sh"))
         | ((F.col("a.n_sh") == F.col("b.n_sh"))
@@ -640,8 +667,8 @@ def _jaccard_candidates(spark: SparkSession, sf_dir: str,
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                & a_before_b
                & a_probe_prefix
-               & (F.col("a.n_sh") >= F.lit(threshold) * F.col("b.n_sh")))
-        .filter(ubound >= alpha)
+               & (F.lit(q) * F.col("a.n_sh") >= F.lit(p) * F.col("b.n_sh")))
+        .filter(alpha_ok)
         .select(F.least("a.doc_id", "b.doc_id").alias("doc_a"),
                 F.greatest("a.doc_id", "b.doc_id").alias("doc_b"))
         .distinct()
@@ -868,7 +895,11 @@ def _min_label_propagation(edges: DataFrame,
     )
     prev_sum = None
     converged = False
-    for _ in range(max_rounds):  # converges in O(diameter) rounds
+    # max_rounds caps PROPAGATION rounds; the +1 grants the free
+    # confirmation round (sum unchanged) so a graph whose last label
+    # change lands exactly on round max_rounds confirms instead of
+    # tripping a spurious warning (r8 review finding).
+    for _ in range(max_rounds + 1):  # converges in O(diameter) rounds
         neighbor_min = (
             edges.join(labels, edges.src == labels.doc_id)
             .groupBy(F.col("dst").alias("doc_id"))
@@ -889,10 +920,10 @@ def _min_label_propagation(edges: DataFrame,
         prev_sum = cur_sum
     if not converged:
         warnings.warn(
-            f"min-label propagation did not reach its fixpoint within "
-            f"{max_rounds} rounds — the graph's diameter exceeds the cap "
-            f"and the returned component labels may still merge further; "
-            f"raise max_rounds for this graph",
+            f"min-label propagation did not reach a confirmed fixpoint "
+            f"within {max_rounds} rounds — the graph's diameter exceeds "
+            f"the cap and the returned component labels may still merge "
+            f"further; raise max_rounds for this graph",
             RuntimeWarning, stacklevel=2)
     return labels
 

@@ -59,13 +59,13 @@ def test_jaccard_probe_prefix_filters_before_shuffle(spark, sf_dir):
     Filter on the self-join's a-side, not sink into the join condition:
     the whole point is that ~1/3 of one side's rows never enter the
     shingle exchange. Structural marker (ADVICE r7 — no literal pinning
-    of float rendering): the probe prefix is the only ceil-bearing
-    FILTER predicate over `pos` in the outer tree (the Chaudhuri prefix
-    is burned into the cached index's build join, the positional α folds
-    into the self-join condition — neither prints as a Filter node), so
-    BELOW the self-join (physical plans print children AFTER the parent)
-    there must be a Filter node carrying a CEIL over pos; when the join
-    shuffles (SortMergeJoin — the shape at scale), the Filter must
+    of float rendering): the probe prefix is the only FILTER node
+    comparing `pos` against `n_sh` in the outer tree (the Chaudhuri
+    prefix is burned into the cached index's build join, the positional
+    α folds into the self-join condition — neither prints as a Filter),
+    so BELOW the self-join (physical plans print children AFTER the
+    parent) there must be a Filter carrying that comparison; when the
+    join shuffles (SortMergeJoin — the shape at scale), the Filter must
     additionally sit below the shingle Exchange. When cached-statistics
     make the planner broadcast the tiny-SF self-join instead, there is
     no exchange to beat — pushed-below-the-join is the invariant."""
@@ -85,7 +85,8 @@ def test_jaccard_probe_prefix_filters_before_shuffle(spark, sf_dir):
         assert exch_idx, "shingle exchange missing below the shuffled self-join"
         start = exch_idx[0]
     below = lines[start + 1:]
-    assert any("Filter" in ln and "CEIL" in ln.upper() and "pos" in ln
+    assert any(ln.lstrip(" :+-").startswith("Filter")
+               and "pos" in ln and "n_sh" in ln and "<=" in ln
                for ln in below), \
         "probe-prefix condition no longer pushed below the self-join/shuffle"
 

@@ -433,11 +433,21 @@ def test_cc_propagation_warns_on_diameter_over_cap(spark):
     # 1-hop seed, so 20 rounds cannot reach the far end -> loud warning,
     # and the returned labels are the (partially merged) last round's
     path = sym_edges([(i, i + 1) for i in range(59)])
-    with pytest.warns(RuntimeWarning, match="did not reach its fixpoint"):
+    with pytest.warns(RuntimeWarning, match="did not reach a confirmed fixpoint"):
         labels = {r.doc_id: r.component
                   for r in _min_label_propagation(path).collect()}
     assert len(labels) == 60
     assert labels[0] == 0 and labels[59] > 0  # truncation really happened
+
+    # boundary (r8 review): a 22-node path's LAST label change lands
+    # exactly on propagation round 20 — the free confirmation round
+    # must confirm the fixpoint with NO spurious warning
+    exact = sym_edges([(i, i + 1) for i in range(21)])
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        labels = {r.doc_id: r.component
+                  for r in _min_label_propagation(exact).collect()}
+    assert labels == {i: 0 for i in range(22)}
 
 
 def test_jaccard_candidate_cascade_lossless_across_thresholds(spark, tmp_path):
@@ -490,7 +500,7 @@ def test_jaccard_candidate_cascade_lossless_across_thresholds(spark, tmp_path):
     spark.createDataFrame(sorted(docs.items()), ["doc_id", "text"]) \
         .write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
 
-    for threshold in (0.3, 0.7, 0.9):
+    for threshold in (0.3, 0.43, 0.7, 0.9):  # 0.43: r8 review repro threshold
         expected = set()
         for a, b in itertools.combinations(sorted(docs), 2):
             sa, sb = sets[a], sets[b]
@@ -506,3 +516,40 @@ def test_jaccard_candidate_cascade_lossless_across_thresholds(spark, tmp_path):
         assert not extra, \
             f"t={threshold}: below-threshold pairs {sorted(extra)[:5]}"
         assert expected, f"t={threshold}: degenerate oracle (no pairs)"
+
+
+def test_jaccard_integer_bounds_never_tighter_than_exact_lemma():
+    """r8 review finding: float forms like ceil(lit(2t/(1+t)) * n) can
+    overshoot the exact lemma ceiling when the double constant rounds
+    UP (measured at t=0.43, n=143 among ~200 other (t, n) combos),
+    silently dropping true pairs. The BIGINT forms at the rational
+    floor p/q must never prune tighter than the exact-real-t lemma.
+    Verify with exact Fraction arithmetic over a dense (t, n) grid
+    including the review's failing thresholds."""
+    from fractions import Fraction
+
+    from mapreduce_4sl08_spark.plans.text import _threshold_floor_rational
+
+    def ceil_frac(x: Fraction) -> int:
+        return -((-x.numerator) // x.denominator)
+
+    thresholds = [0.18, 0.3, 0.43, 0.5, 0.57, 0.7, 0.9]
+    thresholds += [i / 97 for i in range(5, 93)]  # dense non-dyadic grid
+    for t in thresholds:
+        T = Fraction(t)  # exact binary rational of the double
+        p, q = _threshold_floor_rational(t)
+        # the floor really is a floor (length filter soundness rests on it)
+        assert Fraction(p, q) <= T
+        for n in list(range(1, 500)) + [1000, 1999, 2000, 9999, 10**6]:
+            # probe prefix: pos <= n - ceil(2T/(1+T)*n) + 1
+            exact = n - ceil_frac(2 * T / (1 + T) * n) + 1
+            ours = n + 1 - ceil_frac(Fraction(2 * p * n, q + p))
+            assert ours >= exact, f"probe prefix tighter than lemma: {t}, {n}"
+            # Chaudhuri prefix: pos <= n - ceil(T*n) + 1
+            exact = n - ceil_frac(T * n) + 1
+            ours = n + 1 - ceil_frac(Fraction(p * n, q)) if p else n + 1
+            assert ours >= exact, f"index prefix tighter than lemma: {t}, {n}"
+            # positional alpha: smallest passing ubound
+            exact = ceil_frac(T / (1 + T) * n)
+            ours = ceil_frac(Fraction(p * n, q + p))
+            assert ours <= exact, f"alpha tighter than lemma: {t}, {n}"

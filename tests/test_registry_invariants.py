@@ -207,6 +207,16 @@ def test_history_load_degrades_loudly_not_fatally(tmp_path):
     with pytest.warns(RuntimeWarning, match="never driver-checked"):
         assert registry._load_history(Path(str(bad))) == {}
 
+    # valid JSON, wrong shape: typo'd round key, string-valued round
+    # (would otherwise iterate per-character), non-dict top level
+    for payload in ('{"r7": ["dedup_ngram_jaccard"]}',
+                    '{"7": "dedup_ngram_jaccard"}',
+                    '["dedup_ngram_jaccard"]', 'null'):
+        shaped = tmp_path / "shaped.json"
+        shaped.write_text(payload)
+        with pytest.warns(RuntimeWarning, match="never driver-checked"):
+            assert registry._load_history(Path(str(shaped))) == {}, payload
+
     # and the committed file itself loads clean, without warnings
     import warnings as w
     with w.catch_warnings():
