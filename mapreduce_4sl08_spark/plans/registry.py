@@ -77,13 +77,17 @@ def _load_history(path: Path) -> dict[str, list[str]]:
         if not isinstance(raw, dict):
             raise ValueError("top level must be an object of round->names")
         for k, v in raw.items():
-            if not (isinstance(k, str) and k.isdigit()):
+            # isdecimal + isascii, not isdigit: '²'.isdigit() is True
+            # but int('²') raises — the crash this guard exists to stop
+            if not (isinstance(k, str) and k.isascii() and k.isdecimal()):
                 raise ValueError(f"round key {k!r} is not a digit string")
             if not (isinstance(v, list)
                     and all(isinstance(n, str) for n in v)):
                 raise ValueError(f"round {k}: names must be a list of strings")
         return raw
-    except (OSError, ValueError) as e:
+    except (OSError, ValueError, RecursionError) as e:
+        # RecursionError: json.load on pathologically nested garbage
+        # ('[[[[…') — still just a corrupt file, still must degrade
         warnings.warn(
             f"checked_history.json unreadable ({e}); treating every "
             f"query as never driver-checked", RuntimeWarning)

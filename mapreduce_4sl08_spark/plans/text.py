@@ -584,7 +584,10 @@ def _threshold_floor_rational(threshold: float) -> tuple[int, int]:
     so the cascade is a provable superset of the verify output.
     Tightness cost: a threshold shift of <= 6e-5 — prefix lengths grow
     by ~0.006%, unmeasurable (candidate counts at sf0.1/10x/30x are
-    unchanged). BIGINT-safe for n_sh up to ~9e12 (p <= 1e6)."""
+    unchanged). BIGINT-safe for n_sh up to ~4.6e12: the widest
+    coefficient is q + p <= 2e6 (probe prefix / alpha), and a shingle
+    set that size would need a multi-TB single document — Spark's 2 GB
+    string cap bounds real n_sh ~1e8 lower."""
     q = 1_000_000
     p = max(int(math.floor(threshold * q)) - 50, 0)
     return p, q
@@ -895,10 +898,13 @@ def _min_label_propagation(edges: DataFrame,
     )
     prev_sum = None
     converged = False
-    # max_rounds caps PROPAGATION rounds; the +1 grants the free
-    # confirmation round (sum unchanged) so a graph whose last label
-    # change lands exactly on round max_rounds confirms instead of
-    # tripping a spurious warning (r8 review finding).
+    # Up to max_rounds + 1 propagation rounds run: confirming the
+    # fixpoint takes one propagation whose sum is unchanged, so the +1
+    # lets a graph whose LAST label change lands exactly on round
+    # max_rounds confirm instead of tripping a spurious warning (r8
+    # review). On a still-unconverged graph that final round is a real
+    # extra propagation — the returned labels are one round more merged
+    # (strictly closer to the fixpoint), and the warning counts it.
     for _ in range(max_rounds + 1):  # converges in O(diameter) rounds
         neighbor_min = (
             edges.join(labels, edges.src == labels.doc_id)
@@ -921,9 +927,9 @@ def _min_label_propagation(edges: DataFrame,
     if not converged:
         warnings.warn(
             f"min-label propagation did not reach a confirmed fixpoint "
-            f"within {max_rounds} rounds — the graph's diameter exceeds "
-            f"the cap and the returned component labels may still merge "
-            f"further; raise max_rounds for this graph",
+            f"within {max_rounds + 1} propagation rounds — the graph's "
+            f"diameter exceeds the cap and the returned component labels "
+            f"may still merge further; raise max_rounds for this graph",
             RuntimeWarning, stacklevel=2)
     return labels
 

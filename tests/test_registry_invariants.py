@@ -209,9 +209,11 @@ def test_history_load_degrades_loudly_not_fatally(tmp_path):
 
     # valid JSON, wrong shape: typo'd round key, string-valued round
     # (would otherwise iterate per-character), non-dict top level
+    deep = "[" * 3000 + "]" * 3000  # RecursionError inside json.load
     for payload in ('{"r7": ["dedup_ngram_jaccard"]}',
+                    '{"\u00b2": ["x"]}',  # isdigit()-true, int()-invalid
                     '{"7": "dedup_ngram_jaccard"}',
-                    '["dedup_ngram_jaccard"]', 'null'):
+                    '["dedup_ngram_jaccard"]', 'null', deep):
         shaped = tmp_path / "shaped.json"
         shaped.write_text(payload)
         with pytest.warns(RuntimeWarning, match="never driver-checked"):
