@@ -46,16 +46,19 @@ _MODULE_SPECS: list[QuerySpec] = [
 # End-of-round ritual: append the new round's names to the JSON, then
 # rewrite this tuple for the next round's changed plans.
 _ROUND_PRIORITY: tuple[str, ...] = (
-    # round 8: the jaccard probe-prefix bound moved from the float
-    # (1 - 2t/(1+t))·n + 1 + ε form to the exact integer lemma form
-    # n - ceil(2t/(1+t)·n) + 1 (ADVICE r7) — the candidate plan
-    # changed, so dedup_ngram_jaccard and every consumer of the
-    # verified pair set must be re-proven first. The CC loop also
-    # gained a loud non-convergence guard this round.
-    "dedup_ngram_jaccard",
+    # round 8: every jaccard cascade bound (index prefix, probe prefix,
+    # length, positional α, verify length) moved to exact BIGINT
+    # arithmetic at a rational threshold floor (ADVICE r7 + the r8
+    # review's float-ceil overshoot finding) — so dedup_ngram_jaccard,
+    # dedup_minhash_lsh (shares _verify_pairs, whose length filter
+    # changed — the exact r6-ADVICE policy hole, not repeated), and
+    # every consumer of the verified pair set must be re-proven first
+    # (near_dup_containment included: its plan embeds the cascade).
+    # The CC loop also gained a loud non-convergence guard.
+    "dedup_ngram_jaccard", "dedup_minhash_lsh",
     "dedup_connected_components", "corpus_curation_pipeline",
     "span_dedup_report", "dedup_cluster_stats", "cluster_best_survivor",
-    "decontamination_overlap",
+    "decontamination_overlap", "near_dup_containment",
 )
 
 _HISTORY_PATH = Path(__file__).with_name("checked_history.json")
