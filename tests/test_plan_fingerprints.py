@@ -1,0 +1,55 @@
+"""Plan-drift gate for the correctness treadmill (r8).
+
+Every registry query's analyzed-plan fingerprint is snapshotted in
+plan_fingerprints.json. A query whose live fingerprint drifts from the
+snapshot MUST be in ``registry._ROUND_PRIORITY`` — the driver's next
+correctness budget then re-proves it first. This mechanizes the policy
+that was violated by hand twice (r6 ADVICE: dedup_minhash_lsh missed
+after a shared-helper refactor; r8: minhash + near_dup_containment
+missed again after the _verify_pairs rewrite until a manual call-site
+audit caught it). Regenerate the snapshot with
+``python tools/gen_plan_fingerprints.py`` (it refuses to paper over a
+drifted query that is not in the priority tuple).
+"""
+
+import importlib.util
+import json
+import os
+
+import pytest
+
+from mapreduce_4sl08_spark.plans import QUERIES, registry
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SNAPSHOT_PATH = os.path.join(_HERE, "plan_fingerprints.json")
+
+_spec = importlib.util.spec_from_file_location(
+    "gen_plan_fingerprints",
+    os.path.join(os.path.dirname(_HERE), "tools", "gen_plan_fingerprints.py"))
+_tool = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(_tool)
+
+
+def _snapshot() -> dict:
+    with open(_SNAPSHOT_PATH) as f:
+        return json.load(f)
+
+
+def test_fingerprint_snapshot_covers_exactly_the_registry():
+    snap = _snapshot()
+    assert set(snap) == set(QUERIES), (
+        "plan_fingerprints.json out of sync with the registry — run "
+        "python tools/gen_plan_fingerprints.py")
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES), ids=str)
+def test_plan_drift_requires_priority_reproof(spark, name):
+    snap = _snapshot()
+    live = _tool.fingerprint(QUERIES[name].fn(spark, "/root/testdata/sf0.001"))
+    if live == snap[name]:
+        return
+    assert name in registry._ROUND_PRIORITY, (
+        f"{name}'s plan changed but it is not in _ROUND_PRIORITY — the "
+        f"driver would never re-prove it. Add it to the priority tuple "
+        f"in plans/registry.py, then regenerate the snapshot with "
+        f"python tools/gen_plan_fingerprints.py")

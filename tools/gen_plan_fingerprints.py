@@ -1,0 +1,85 @@
+"""Generate tests/plan_fingerprints.json — one md5 per registry query
+over its NORMALIZED analyzed logical plan at sf0.001.
+
+This mechanizes the correctness-treadmill policy that has been violated
+twice by hand (r6 ADVICE, r8 consumer audit): "any query whose plan
+changed this round must be in registry._ROUND_PRIORITY so the driver
+re-proves it first". tests/test_plan_fingerprints.py compares live
+fingerprints against this snapshot and FAILS any drifted query that is
+not in the priority tuple — a shared-helper edit can no longer silently
+skip its consumers' re-proof.
+
+The ANALYZED plan (pre-cache-substitution, pre-AQE) is used because it
+is deterministic across sessions and cache states; expression ids
+(#123) are normalized away. Verified stable across fresh processes.
+
+Regeneration ritual (end of round, or after an intentional plan
+change): run this tool. It refuses to overwrite a drifted fingerprint
+whose query is NOT in _ROUND_PRIORITY — add the query there first
+(that is the whole point); --force overrides for bulk resets.
+
+    python tools/gen_plan_fingerprints.py [--force]
+"""
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SNAPSHOT = os.path.join(REPO, "tests", "plan_fingerprints.json")
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def fingerprint(df) -> str:
+    """md5 of the analyzed logical plan with the two session-dependent
+    token families stripped: expression ids (#123) and higher-order
+    lambda variable suffixes (``lambda x_7`` — the counter is a
+    session-global atomic, so it depends on how many lambdas the
+    session allocated before this plan)."""
+    plan = df._jdf.queryExecution().analyzed().toString()
+    norm = re.sub(r"#\d+", "#", plan)
+    norm = re.sub(r"lambda ([a-z]+)_\d+#", r"lambda \1#", norm)
+    return hashlib.md5(norm.encode()).hexdigest()
+
+
+def main() -> None:
+    force = "--force" in sys.argv[1:]
+    from mapreduce_4sl08_spark.plans import QUERIES, registry
+    from mapreduce_4sl08_spark.session import get_session
+
+    spark = get_session()
+    prior = {}
+    if os.path.exists(SNAPSHOT):
+        with open(SNAPSHOT) as f:
+            prior = json.load(f)
+
+    fresh = {name: fingerprint(spec.fn(spark, SF_DIR))
+             for name, spec in QUERIES.items()}
+
+    changed = sorted(n for n in fresh
+                     if n in prior and prior[n] != fresh[n])
+    rogue = [n for n in changed if n not in registry._ROUND_PRIORITY]
+    if rogue and not force:
+        sys.exit(
+            f"REFUSING to overwrite drifted fingerprints for queries not "
+            f"in _ROUND_PRIORITY: {rogue}\nAdd them to the priority tuple "
+            f"(they must be driver-re-proven) and re-run, or --force.")
+    added = sorted(set(fresh) - set(prior))
+    removed = sorted(set(prior) - set(fresh))
+    with open(SNAPSHOT, "w") as f:
+        json.dump(dict(sorted(fresh.items())), f, indent=1)
+        f.write("\n")
+    print(f"wrote {SNAPSHOT}: {len(fresh)} queries "
+          f"({len(changed)} changed, {len(added)} added, "
+          f"{len(removed)} removed)")
+    if changed:
+        print("changed:", changed)
+
+
+if __name__ == "__main__":
+    main()
