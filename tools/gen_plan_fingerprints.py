@@ -44,6 +44,10 @@ def fingerprint(df) -> str:
     plan = df._jdf.queryExecution().analyzed().toString()
     norm = re.sub(r"#\d+", "#", plan)
     norm = re.sub(r"lambda ([a-z]+)_\d+#", r"lambda \1#", norm)
+    # CTE ids are a third session-global counter (recursive CTEs:
+    # CTERelationDef 7 / UnionLoop 7 / CTERelationRef 7)
+    norm = re.sub(r"\b(CTERelationDef|CTERelationRef|UnionLoop|"
+                  r"UnionLoopRef) \d+", r"\1 N", norm)
     return hashlib.md5(norm.encode()).hexdigest()
 
 
