@@ -29,24 +29,26 @@ _spec = importlib.util.spec_from_file_location(
 _tool = importlib.util.module_from_spec(_spec)
 _spec.loader.exec_module(_tool)
 
-
-def _snapshot() -> dict:
-    with open(_SNAPSHOT_PATH) as f:
-        return json.load(f)
+# loaded once — the snapshot file cannot change mid-run
+with open(_SNAPSHOT_PATH) as _f:
+    _SNAPSHOT = json.load(_f)
 
 
 def test_fingerprint_snapshot_covers_exactly_the_registry():
-    snap = _snapshot()
-    assert set(snap) == set(QUERIES), (
+    assert set(_SNAPSHOT) == set(QUERIES), (
         "plan_fingerprints.json out of sync with the registry — run "
         "python tools/gen_plan_fingerprints.py")
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES), ids=str)
 def test_plan_drift_requires_priority_reproof(spark, name):
-    snap = _snapshot()
-    live = _tool.fingerprint(QUERIES[name].fn(spark, "/root/testdata/sf0.001"))
-    if live == snap[name]:
+    assert name in _SNAPSHOT, (
+        f"{name} has no fingerprint — run "
+        f"python tools/gen_plan_fingerprints.py")
+    # same sf_dir as the generator BY CONSTRUCTION: paths are embedded
+    # in the plan's scan, so a divergence would drift all 126 at once
+    live = _tool.fingerprint(QUERIES[name].fn(spark, _tool.SF_DIR))
+    if live == _SNAPSHOT[name]:
         return
     assert name in registry._ROUND_PRIORITY, (
         f"{name}'s plan changed but it is not in _ROUND_PRIORITY — the "

@@ -36,23 +36,43 @@ SF_DIR = "/root/testdata/sf0.001"
 
 
 def fingerprint(df) -> str:
-    """md5 of the analyzed logical plan with the two session-dependent
-    token families stripped: expression ids (#123) and higher-order
-    lambda variable suffixes (``lambda x_7`` — the counter is a
-    session-global atomic, so it depends on how many lambdas the
-    session allocated before this plan)."""
+    """md5 of the analyzed logical plan with the three session-global
+    counter families CANONICALLY RENUMBERED by first occurrence:
+    expression ids (#123), higher-order lambda variable suffixes
+    (``lambda x_7``), and recursive-CTE ids (``CTERelationDef 7``).
+
+    Renumbering (not blanking) preserves attribute identity: blanking
+    every id to '#' made 'a.doc_id# < b.doc_id#' indistinguishable from
+    the side-swapped or same-side-typo'd variant — a semantic drift
+    class the gate exists to catch in this self-join-heavy registry.
+    First-occurrence order is a function of the plan tree alone, so the
+    canonical form is stable across sessions regardless of where each
+    session's global counters started."""
     plan = df._jdf.queryExecution().analyzed().toString()
-    norm = re.sub(r"#\d+", "#", plan)
-    norm = re.sub(r"lambda ([a-z]+)_\d+#", r"lambda \1#", norm)
-    # CTE ids are a third session-global counter (recursive CTEs:
-    # CTERelationDef 7 / UnionLoop 7 / CTERelationRef 7)
-    norm = re.sub(r"\b(CTERelationDef|CTERelationRef|UnionLoop|"
-                  r"UnionLoopRef) \d+", r"\1 N", norm)
+    ids: dict[str, int] = {}
+    norm = re.sub(r"#\d+",
+                  lambda m: f"#{ids.setdefault(m.group(), len(ids))}", plan)
+    lam: dict[str, int] = {}
+    norm = re.sub(
+        r"lambda ([a-z]+)_\d+",
+        lambda m: f"lambda {m.group(1)}_{lam.setdefault(m.group(0), len(lam))}",
+        norm)
+    cte: dict[str, int] = {}
+    norm = re.sub(
+        r"\b(CTERelationDef|CTERelationRef|UnionLoop|UnionLoopRef) (\d+)",
+        lambda m: f"{m.group(1)} {cte.setdefault(m.group(2), len(cte))}",
+        norm)
     return hashlib.md5(norm.encode()).hexdigest()
 
 
 def main() -> None:
-    force = "--force" in sys.argv[1:]
+    args = sys.argv[1:]
+    unknown = [a for a in args if a != "--force"]
+    if unknown:
+        # fail fast BEFORE the Spark session spin-up + full-registry
+        # plan build — same convention as tools/make_scale_fixture.py
+        sys.exit(f"usage: {sys.argv[0]} [--force]\n(got {unknown!r})")
+    force = "--force" in args
     from mapreduce_4sl08_spark.plans import QUERIES, registry
     from mapreduce_4sl08_spark.session import get_session
 
