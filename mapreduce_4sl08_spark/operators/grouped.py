@@ -15,11 +15,18 @@ from pyspark.sql.types import (
     DoubleType, LongType, StructField, StructType, TimestampType,
 )
 
+#: Spans are returned as EXACT INTEGER MICROSECONDS, not float seconds:
+#: the earlier float path (int64 ns / 1e9, subtract two ~1.7e9 doubles)
+#: carried ~1e-7 s of error AND left the 4-decimal rounding to each
+#: engine's tie semantics — at sf0.1 volume, 8 of ~2000 users landed
+#: exactly on a ...50 µs round4 tie where Spark (decimal HALF_UP) and
+#: DuckDB (binary) disagree (caught by the r8 sf0.1 sweep probe; green
+#: at the driver's sf0.01 only by data luck). Downstream converts to
+#: 4-decimal seconds in exact integer arithmetic; see plans/events.py.
 USER_FEATURES_SCHEMA = StructType([
     StructField("user_id", LongType()),
     StructField("n_events", LongType()),
-    StructField("span_seconds", DoubleType()),
-    StructField("mean_gap_seconds", DoubleType()),
+    StructField("span_us", LongType()),
     StructField("max_value_delta", DoubleType()),
 ])
 
@@ -31,17 +38,16 @@ def user_session_features(events: DataFrame) -> DataFrame:
     def features(pdf):
         import pandas as pd
         pdf = pdf.sort_values(["ts", "event_id"])
-        ts = pdf["ts"].astype("int64") / 1e9
+        # explicit µs unit: Arrow may hand pandas datetime64[ns] or [us]
+        # depending on version — pin the unit before taking int64
+        ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
         n = len(pdf)
-        span = float(ts.iloc[-1] - ts.iloc[0]) if n > 1 else 0.0
+        span_us = int(ts_us.iloc[-1] - ts_us.iloc[0]) if n > 1 else 0
         deltas = pdf["value"].diff().abs().dropna()
         return pd.DataFrame({
             "user_id": [pdf["user_id"].iloc[0]],
             "n_events": [n],
-            "span_seconds": [span],
-            # closed form (== mean of consecutive gaps) — deterministic
-            # across engines, no order-dependent float summation
-            "mean_gap_seconds": [span / (n - 1) if n > 1 else 0.0],
+            "span_us": [span_us],
             "max_value_delta": [float(deltas.max()) if len(deltas) else 0.0],
         })
 
@@ -74,19 +80,17 @@ def user_session_features_fast(events: DataFrame) -> DataFrame:
             # (diff/abs/max are element-wise), so output is bit-equal —
             # pinned by test_grouped_map_fast_equals_canonical.
             pdf = pdf.sort_values(["user_id", "ts", "event_id"])
-            ts = pdf["ts"].astype("int64") / 1e9
+            ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
             uid = pdf["user_id"].values
             g = pdf.groupby("user_id", sort=False)
             n = g.size()
-            gts = ts.groupby(uid, sort=False)
-            span = (gts.max() - gts.min()).where(n > 1, 0.0)
+            gts = ts_us.groupby(uid, sort=False)
+            span_us = (gts.max() - gts.min()).where(n > 1, 0)
             max_delta = g["value"].diff().abs().groupby(uid, sort=False).max()
             return pd.DataFrame({
                 "user_id": n.index.astype("int64"),
                 "n_events": n.values.astype("int64"),
-                "span_seconds": span.values.astype("float64"),
-                "mean_gap_seconds": (span / (n - 1).clip(lower=1))
-                .where(n > 1, 0.0).values.astype("float64"),
+                "span_us": span_us.values.astype("int64"),
                 "max_value_delta": max_delta.fillna(0.0).values.astype("float64"),
             })
 
