@@ -394,17 +394,31 @@ ORDER BY day
 
 
 def events_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user sequence features via applyInPandas (grouped-map Arrow
-    path) — custom per-entity logic the built-ins can't express. The
-    oracle recomputes the same closed-form features in SQL."""
+    """Per-user sequence features via the grouped-map Arrow path —
+    custom per-entity logic the built-ins can't express. The oracle
+    recomputes the same closed-form features in SQL.
+
+    ``span_us`` arrives as EXACT integer microseconds (see
+    operators/grouped.py — the float-seconds path hit Spark-HALF_UP vs
+    DuckDB-binary rounding ties at sf0.1). The 4-decimal seconds
+    columns are derived here in exact BIGINT arithmetic: half-up at
+    100 µs granularity is ``(a + b/2) div b`` on non-negative ints, so
+    both engines compute the identical integer before the one final
+    exact-by-construction ``/ 10000.0``."""
     from ..operators.grouped import user_session_features_fast
     e = t(spark, sf_dir, "events")
     feats = user_session_features_fast(e)
+    # greatest(n-1, 1) guards the n_events==1 row (span_us is 0 there,
+    # so the guarded quotient is 0 — no CASE needed, no ANSI div-by-0)
+    span_e4 = F.expr("(span_us + 50) div 100")
+    gap_e4 = F.expr(
+        "(2 * span_us + greatest(n_events - 1, 1L) * 100) "
+        "div (greatest(n_events - 1, 1L) * 200)")
     return (
         feats.select(
             "user_id", "n_events",
-            F.round("span_seconds", 4).alias("span_seconds"),
-            F.round("mean_gap_seconds", 4).alias("mean_gap_seconds"),
+            (span_e4 / F.lit(10000.0)).alias("span_seconds"),
+            (gap_e4 / F.lit(10000.0)).alias("mean_gap_seconds"),
             F.round("max_value_delta", 4).alias("max_value_delta"),
         )
         .orderBy("user_id")
@@ -420,14 +434,15 @@ WITH ordered AS (
 ),
 agg AS (
   SELECT user_id, COUNT(*) AS n_events,
-         epoch(MAX(ts)) - epoch(MIN(ts)) AS span,
+         epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS span_us,
          MAX(vdelta) AS max_delta
   FROM ordered
   GROUP BY user_id
 )
 SELECT user_id, n_events,
-       ROUND(span, 4) AS span_seconds,
-       ROUND(CASE WHEN n_events > 1 THEN span / (n_events - 1) ELSE 0.0 END, 4) AS mean_gap_seconds,
+       ((span_us + 50) // 100) / 10000.0 AS span_seconds,
+       ((2 * span_us + GREATEST(n_events - 1, 1) * 100)
+        // (GREATEST(n_events - 1, 1) * 200)) / 10000.0 AS mean_gap_seconds,
        ROUND(COALESCE(max_delta, 0.0), 4) AS max_value_delta
 FROM agg
 ORDER BY user_id

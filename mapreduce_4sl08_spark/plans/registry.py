@@ -46,19 +46,15 @@ _MODULE_SPECS: list[QuerySpec] = [
 # End-of-round ritual: append the new round's names to the JSON, then
 # rewrite this tuple for the next round's changed plans.
 _ROUND_PRIORITY: tuple[str, ...] = (
-    # round 8: every jaccard cascade bound (index prefix, probe prefix,
-    # length, positional α, verify length) moved to exact BIGINT
-    # arithmetic at a rational threshold floor (ADVICE r7 + the r8
-    # review's float-ceil overshoot finding) — so dedup_ngram_jaccard,
-    # dedup_minhash_lsh (shares _verify_pairs, whose length filter
-    # changed — the exact r6-ADVICE policy hole, not repeated), and
-    # every consumer of the verified pair set must be re-proven first
-    # (near_dup_containment included: its plan embeds the cascade).
-    # The CC loop also gained a loud non-convergence guard.
-    "dedup_ngram_jaccard", "dedup_minhash_lsh",
-    "dedup_connected_components", "corpus_curation_pipeline",
-    "span_dedup_report", "dedup_cluster_stats", "cluster_best_survivor",
-    "decontamination_overlap", "near_dup_containment",
+    # round 9: events_user_features' consumer half of the r8 µs-schema
+    # migration lands here (VERDICT r8 item 1 — the snapshot commit
+    # captured only operators/grouped.py, leaving the plan selecting
+    # dropped columns). Both seconds columns are now derived from
+    # integer span_us in exact BIGINT half-up arithmetic, and the
+    # DuckDB oracle mirrors the identical integer expression — so the
+    # query must be re-proven first, at sf0.1 locally as well (the tie
+    # class that motivated the µs schema only appears at sf0.1 volume).
+    "events_user_features",
 )
 
 _HISTORY_PATH = Path(__file__).with_name("checked_history.json")
@@ -111,10 +107,9 @@ def _order_key(s: QuerySpec) -> tuple[int, int]:
         return (0, 0)  # changed this round — must be re-proven first
     if s.name not in _LAST_PROVEN:
         return (1, 0)  # never driver-checked (new this round)
-    # Remaining: least-recently-proven first (LRU rotation). After the
-    # r7 sweep the stalest block is the 29 rows last proven in r5, then
-    # the r6-proven block — round 8's ~50-row budget covers the 7
-    # priority rows + all 29 r5 rows + the head of the r6 block.
+    # Remaining: least-recently-proven first (LRU rotation) — each
+    # round's ~50-row driver budget covers the priority rows plus the
+    # stalest block (after r8 that is the 34 rows last proven in r6).
     return (2, _LAST_PROVEN[s.name])
 
 
