@@ -59,6 +59,25 @@ def run_query(spark, name: str, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
+def run_suite(spark, names, sf_dir: str, n_runs: int, runner=run_query):
+    """Per-query fault isolation (VERDICT r8 item 3): one broken query
+    must never zero the whole round's perf signal. A query that raises
+    is recorded in ``errors`` (first line of the exception), skipped on
+    later passes, and every other query still reports its timings."""
+    samples: dict[str, list[float]] = {name: [] for name in names}
+    errors: dict[str, str] = {}
+    for _ in range(n_runs):
+        _reset_memos(spark)
+        for name in names:
+            if name in errors:
+                continue
+            try:
+                samples[name].append(runner(spark, name, sf_dir))
+            except Exception as e:  # noqa: BLE001 — isolation is the point
+                errors[name] = f"{type(e).__name__}: {e}".splitlines()[0][:300]
+    return samples, errors
+
+
 def _reset_memos(spark) -> None:
     """Restore first-invocation semantics between suite passes: several
     heavy queries memoize shared persisted indexes per (applicationId,
@@ -90,16 +109,14 @@ def main() -> None:
     # e.g. connected components reusing the jaccard pair set — matches
     # the single-pass semantics of rounds 1-4 and per-query medians stay
     # comparable across rounds.
-    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
-    for _ in range(n_runs):
-        _reset_memos(spark)
-        for name in HEADLINE:
-            samples[name].append(run_query(spark, name, sf_dir))
+    samples, errors = run_suite(spark, HEADLINE, sf_dir, n_runs)
 
     import statistics
     medians: dict[str, float] = {}
     mins: dict[str, float] = {}
     for name, runs in samples.items():
+        if not runs:
+            continue  # errored before completing a single pass
         # statistics.median averages the two middles for even run counts
         # (runs[n//2] would pick the slower one — with runs=2 that is the
         # cold pass, inflating every number)
@@ -107,7 +124,7 @@ def main() -> None:
         mins[name] = round(min(runs), 3)
 
     total = round(sum(medians.values()), 3)
-    print(json.dumps({
+    out = {
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
@@ -115,8 +132,16 @@ def main() -> None:
         "queries_min": mins,
         "runs": n_runs,
         "sf": sf,
-    }))
+    }
+    if errors:
+        # partial total: "value" covers only the queries that ran, so a
+        # round with an error is flagged loudly rather than looking fast
+        out["errors"] = errors
+        out["n_err"] = len(errors)
+    print(json.dumps(out))
     spark.stop()
+    if errors:
+        sys.exit(1)
 
 
 if __name__ == "__main__":
