@@ -102,6 +102,53 @@ def test_grouped_map_fast_equals_canonical(spark, sf_smoke_dir):
     assert a == b
 
 
+def test_user_features_round4_tie_semantics(spark, tmp_path):
+    """Pin the integer-µs half-up derivation on data crafted to land
+    EXACTLY on 4-decimal rounding ties — the class where the old float
+    path diverged between Spark (decimal HALF_UP) and DuckDB (binary)
+    at sf0.1 volume. Asserts cross-engine equality AND the absolute
+    half-up values, so the semantics can't silently drift to either
+    engine's native float rounding."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = pd.Timestamp("2024-01-01")
+    us = lambda n: base + pd.Timedelta(microseconds=n)  # noqa: E731
+    rows = [
+        # user 1: span_us = 1_234_550 → 1.23455 s, a round-4 tie → 1.2346
+        (1, 1, base, 10.0), (2, 1, us(1_234_550), 11.0),
+        # user 2: span_us = 2_000_100 over 2 gaps → mean 1.00005 s,
+        # a round-4 tie → 1.0001 (span itself is NOT a tie: 2.0001)
+        (3, 2, base, 1.0), (4, 2, us(1_000_000), 2.0),
+        (5, 2, us(2_000_100), 3.0),
+        # user 3: single event → both seconds features exactly 0
+        (6, 3, base, 5.0),
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "ts", "value"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pq.write_table(pa.Table.from_pandas(pdf),
+                   str(tmp_path / "events.parquet"))
+
+    from mapreduce_4sl08_spark.plans.events import (
+        EVENTS_USER_FEATURES_SQL, events_user_features)
+    got = (events_user_features(spark, str(tmp_path))
+           .toPandas().reset_index(drop=True))
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/events.parquet')")
+    want = con.execute(EVENTS_USER_FEATURES_SQL).fetchdf()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    by_user = got.set_index("user_id")
+    assert by_user.loc[1, "span_seconds"] == 1.2346      # half-up, not 1.2345
+    assert by_user.loc[2, "mean_gap_seconds"] == 1.0001  # half-up, not 1.0
+    assert by_user.loc[3, "span_seconds"] == 0.0
+    assert by_user.loc[3, "mean_gap_seconds"] == 0.0
+
+
 def test_approx_distinct_within_tolerance(spark, sf_dir):
     """HLL++ at rsd=2% (and percentile_approx at 10000) must land within
     5% of exact — the query carries the comparison as ``within_tol``, and
