@@ -3,7 +3,10 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_median_sec, "unit": "sec",
 "queries": {name: median_sec}, "queries_min": {name: min_sec},
-"runs": 3, "sf": ...}.
+"runs": 3, "sf": ...}. A query that raises is isolated: it appears
+under "errors" (with "n_err") instead of "queries", every other query
+still reports, and the exit code is nonzero — "value" then covers only
+the queries that ran.
 
 Each query runs $SPARK_GRAFT_BENCH_RUNS times (default 3) and reports the
 per-query MEDIAN (and min) — single-run timings sit inside a ±30%
