@@ -149,6 +149,59 @@ def test_user_features_round4_tie_semantics(spark, tmp_path):
     assert by_user.loc[3, "mean_gap_seconds"] == 0.0
 
 
+def test_user_features_halfup_matches_decimal_reference(spark, tmp_path):
+    """Randomized pin of the integer-µs derivation against an
+    INDEPENDENT spec: Decimal quantize(4, ROUND_HALF_UP) on the exact
+    rational span. Non-circular (the query uses the `(a + b/2) div b`
+    integer trick; the reference uses decimal arithmetic), so an
+    off-by-one in the trick — the float-ceil class the r8 review caught
+    in the jaccard bounds — fails here. 25% of offsets are forced to
+    50 µs multiples so round-4 ties are guaranteed in the sample."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(42)
+    rows, eid = [], 0
+    for uid in range(1, 301):
+        n = int(rng.randint(1, 9))
+        offs = rng.randint(0, 10**10, size=n)
+        tie_mask = rng.rand(n) < 0.25
+        offs[tie_mask] -= offs[tie_mask] % 50  # land on 50 µs multiples
+        if n >= 3 and uid % 7 == 0:
+            offs[1] = offs[0]  # duplicate timestamp within a user
+        for o in offs:
+            rows.append((eid, uid, int(o), float(rng.rand())))
+            eid += 1
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "off", "value"])
+    base = pd.Timestamp("2024-01-01")
+    pdf["ts"] = (base + pd.to_timedelta(pdf.pop("off"), unit="us")
+                 ).astype("datetime64[us]")
+    pq.write_table(pa.Table.from_pandas(pdf),
+                   str(tmp_path / "events.parquet"))
+
+    from mapreduce_4sl08_spark.plans.events import events_user_features
+    got = events_user_features(spark, str(tmp_path)).toPandas()
+
+    q4 = Decimal("0.0001")
+    spans = (pdf.groupby("user_id")["ts"]
+             .agg(lambda s: int((s.max() - s.min()).value // 1000)
+                  if len(s) > 1 else 0))
+    counts = pdf.groupby("user_id").size()
+    for _, r in got.iterrows():
+        span_us, n = int(spans[r.user_id]), int(counts[r.user_id])
+        assert r.n_events == n
+        want_span = float((Decimal(span_us) / Decimal(10**6))
+                          .quantize(q4, ROUND_HALF_UP))
+        assert r.span_seconds == want_span, (r.user_id, span_us)
+        want_gap = (float((Decimal(span_us) / (Decimal(n - 1) * 10**6))
+                          .quantize(q4, ROUND_HALF_UP)) if n > 1 else 0.0)
+        assert r.mean_gap_seconds == want_gap, (r.user_id, span_us, n)
+
+
 def test_approx_distinct_within_tolerance(spark, sf_dir):
     """HLL++ at rsd=2% (and percentile_approx at 10000) must land within
     5% of exact — the query carries the comparison as ``within_tol``, and
