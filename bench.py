@@ -118,8 +118,11 @@ def main() -> None:
     medians: dict[str, float] = {}
     mins: dict[str, float] = {}
     for name, runs in samples.items():
-        if not runs:
-            continue  # errored before completing a single pass
+        if not runs or name in errors:
+            # an errored query reports ONLY under "errors", even if an
+            # earlier pass timed it — a half-timed query in "queries"
+            # would skew round-over-round medians comparisons
+            continue
         # statistics.median averages the two middles for even run counts
         # (runs[n//2] would pick the slower one — with runs=2 that is the
         # cold pass, inflating every number)
