@@ -55,6 +55,12 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     # query must be re-proven first, at sf0.1 locally as well (the tie
     # class that motivated the µs schema only appears at sf0.1 volume).
     "events_user_features",
+    # round 9 late: q1's money SUMs moved from double to exact decimal
+    # after the FIRST 10×-fixture correctness sweep caught sum_charge
+    # straddling a .005 rounding boundary (order-dependent double
+    # summation at 2.8e10 magnitude). Re-proven locally at sf0.001/
+    # 0.01/0.1/10×; the driver must re-prove it too.
+    "q1_pricing_summary",
 )
 
 _HISTORY_PATH = Path(__file__).with_name("checked_history.json")

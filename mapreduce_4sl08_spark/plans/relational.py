@@ -24,15 +24,34 @@ from .base import QuerySpec, t
 
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1. The money SUMs run in EXACT DECIMAL, not double: the
+    source measures are exactly 2-decimal (verified over the fixture),
+    so decimal casts are lossless and the per-group sums are exact
+    6-decimal rationals in BOTH engines — double summation is
+    order-dependent (~1 ulp ≈ 4e-6 at the 2.8e10 magnitudes a 10×
+    fixture reaches), and exact-decimal sums land ON .005 boundaries
+    often enough that the r9 10× sweep caught sum_charge rounding to
+    .35 in Spark and .34 in DuckDB. Decimal sum → half-up ROUND →
+    cast double is deterministic at any scale. The AVGs stay double:
+    their quotients are not decimal-round numbers, so the tie class
+    doesn't apply, and 1/n shrinks the accumulation error. Scales:
+    (12,2)×(5,2)→(18,4)→×(5,2)→(24,6); Spark's SUM adds 10 digits of
+    headroom (34,6) — no precision loss at any realistic row count."""
     l = t(spark, sf_dir, "lineitem")
+    p = F.col("l_extendedprice").cast("decimal(12,2)")
+    one_minus_d = F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    one_plus_t = F.lit(1) + F.col("l_tax").cast("decimal(4,2)")
     return (
         l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(12,2)")), 2)
+            .cast("double").alias("sum_qty"),
+            F.round(F.sum(p), 2).cast("double").alias("sum_base_price"),
+            F.round(F.sum(p * one_minus_d), 2)
+            .cast("double").alias("sum_disc_price"),
+            F.round(F.sum(p * one_minus_d * one_plus_t), 2)
+            .cast("double").alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -44,10 +63,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       ROUND(SUM(l_quantity), 2) AS sum_qty,
-       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_base_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                      * (1 + CAST(l_tax AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_charge,
        ROUND(AVG(l_quantity), 4) AS avg_qty,
        ROUND(AVG(l_extendedprice), 4) AS avg_price,
        ROUND(AVG(l_discount), 4) AS avg_disc,
