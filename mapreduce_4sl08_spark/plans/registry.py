@@ -55,12 +55,19 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     # query must be re-proven first, at sf0.1 locally as well (the tie
     # class that motivated the µs schema only appears at sf0.1 volume).
     "events_user_features",
-    # round 9 late: q1's money SUMs moved from double to exact decimal
-    # after the FIRST 10×-fixture correctness sweep caught sum_charge
-    # straddling a .005 rounding boundary (order-dependent double
-    # summation at 2.8e10 magnitude). Re-proven locally at sf0.001/
-    # 0.01/0.1/10×; the driver must re-prove it too.
-    "q1_pricing_summary",
+    # round 9 late: the money SUMs moved from double to exact decimal
+    # after the FIRST 10×-fixture correctness sweep caught q1's
+    # sum_charge straddling a .005 rounding boundary (order-dependent
+    # double summation at 2.8e10 magnitude). The whole exposed class —
+    # every SUM of a 4-decimal product rounded to 2 decimals — was
+    # audited and converted (q9/q17 already used exact integer units).
+    # Each re-proven locally at sf0.001/0.01/0.1/10×; the driver must
+    # re-prove them too. 11 priority rows + the 34 r6-stale rows still
+    # fit the ~50-row budget, so the LRU rotation is preserved.
+    "q1_pricing_summary", "q3_shipping_priority",
+    "q5_local_supplier_volume", "q6_forecast_revenue",
+    "q7_nation_volume", "q8_market_share", "q10_returned_items",
+    "q14_promo_share", "q15_top_supplier", "q19_disjunctive_revenue",
 )
 
 _HISTORY_PATH = Path(__file__).with_name("checked_history.json")

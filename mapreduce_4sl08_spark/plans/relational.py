@@ -17,6 +17,27 @@ from pyspark.sql.functions import broadcast
 
 from .base import QuerySpec, t
 
+
+def _rev_dec() -> F.Column:
+    """Per-row revenue ``l_extendedprice * (1 - l_discount)`` as an
+    EXACT DECIMAL(18,4): the source measures are exactly 2-decimal
+    (verified over the fixtures), so the (12,2) x (5,2) product is
+    exact in both engines and its SUM is order-independent. Double
+    sums carry ~1 ulp of order-dependent error (4e-6 at the 2.8e10
+    magnitudes a 10x fixture reaches) and exact-decimal sums land ON
+    .005 rounding boundaries often enough that the r9 10x sweep caught
+    q1's sum_charge rounding to .35 in Spark and .34 in DuckDB. Every
+    money SUM in this module aggregates this (or its q1/q6 variants)
+    and casts the rounded result back to double, so output schemas are
+    unchanged while the value is deterministic at any scale. Oracle
+    twin fragment:
+    ``CAST(l_extendedprice AS DECIMAL(12,2))
+      * (1 - CAST(l_discount AS DECIMAL(4,2)))``.
+    q9/q17 apply the same discipline in integer 1e-4/cent units."""
+    return (F.col("l_extendedprice").cast("decimal(12,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)")))
+
+
 # ---------------------------------------------------------------- q1
 # TPC-H Q1 shape: the reference's A1 hash-agg generalized to multi-measure.
 # Map-side partial agg + single hash shuffle on a 6-value key; at 100 TB
@@ -92,7 +113,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(F.round(F.sum(_rev_dec()), 2).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
         .limit(10)
     )
@@ -100,7 +121,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q3_SQL = """
 SELECT l_orderkey, o_orderdate, o_orderpriority,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -134,13 +156,14 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(F.round(F.sum(_rev_dec()), 2).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
     )
 
 
 Q5_SQL = """
-SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT n_name, CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                              * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -167,13 +190,16 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount") >= 0.03) & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+        .agg(F.round(F.sum(F.col("l_extendedprice").cast("decimal(12,2)")
+                           * F.col("l_discount").cast("decimal(4,2)")), 2)
+             .cast("double").alias("revenue"),
              F.count(F.lit(1)).alias("n_items"))
     )
 
 
 Q6_SQL = """
-SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST(l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue,
        COUNT(*) AS n_items
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -526,7 +552,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .join(broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(F.round(F.sum(_rev_dec()), 2).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
     )
@@ -534,7 +560,8 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q10_SQL = """
 SELECT c_custkey, c_name, n_name,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -699,13 +726,14 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(broadcast(p), l.l_partkey == p.p_partkey)
         .filter(cond)
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        .agg(F.round(F.sum(_rev_dec()), 2).cast("double").alias("revenue"),
              F.count(F.lit(1)).alias("n_items"))
     )
 
 
 Q19_SQL = """
-SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue,
        COUNT(*) AS n_items
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
@@ -891,7 +919,13 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_s = t(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
     r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    vol = _rev_dec()
+    # the conditional sum skips the ELSE 0 (SUM ignores nulls) so the
+    # decimal type is preserved; both exact sums are cast to double
+    # BEFORE the ratio — decimal division scale rules differ between
+    # engines, double division of identical operands does not
+    nation3 = F.coalesce(
+        F.sum(F.when(F.col("supp_nation") == "NATION_3", vol)), F.lit(0))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
@@ -902,9 +936,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("o_year", F.year("o_orderdate"))
         .groupBy("o_year")
         .agg(
-            F.round(F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0.0))
-                    / F.sum(vol), 6).alias("mkt_share"),
-            F.round(F.sum(vol), 2).alias("total_volume"),
+            F.round(nation3.cast("double") / F.sum(vol).cast("double"), 6)
+            .alias("mkt_share"),
+            F.round(F.sum(vol), 2).cast("double").alias("total_volume"),
         )
         .orderBy("o_year")
     )
@@ -912,10 +946,13 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q8_SQL = """
 SELECT EXTRACT(year FROM o_orderdate)::INT AS o_year,
-       ROUND(SUM(CASE WHEN ns.n_name = 'NATION_3'
-                      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
-             / SUM(l_extendedprice * (1 - l_discount)), 6) AS mkt_share,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_volume
+       ROUND(CAST(COALESCE(SUM(CASE WHEN ns.n_name = 'NATION_3'
+                                    THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                                         * (1 - CAST(l_discount AS DECIMAL(4,2))) END), 0) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 6) AS mkt_share,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS total_volume
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -1010,7 +1047,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = t(spark, sf_dir, "supplier")
     revenue = (
         l.groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .agg(F.round(F.sum(_rev_dec()), 2).cast("double")
              .alias("total_revenue"))
     )
     # MAX as a broadcast cross join keeps the revenue agg in one lazy plan
@@ -1028,7 +1065,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q15_SQL = """
 WITH revenue AS (
   SELECT l_suppkey AS supplier_no,
-         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+         CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1997-01-01'
     AND l_shipdate < TIMESTAMP '1997-04-01'
@@ -1143,7 +1181,7 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(pair)
         .withColumn("l_year", F.year("l_shipdate"))
         .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(F.round(F.sum(_rev_dec()), 2).cast("double").alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -1151,7 +1189,8 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q7_SQL = """
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        EXTRACT(year FROM l_shipdate)::INT AS l_year,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -1221,25 +1260,31 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1997-06-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp")))
     p = t(spark, sf_dir, "part")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = _rev_dec()
+    promo = F.coalesce(
+        F.sum(F.when(F.col("p_type") == "PROMO", rev)), F.lit(0))
     return (
         l.join(broadcast(p), l.l_partkey == p.p_partkey)
         .agg(
-            F.round(F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)), 2).alias("promo_revenue"),
-            F.round(F.sum(rev), 2).alias("total_revenue"),
-            F.round(F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)) * 100.0
-                    / F.sum(rev), 2).alias("promo_pct"),
+            F.round(promo, 2).cast("double").alias("promo_revenue"),
+            F.round(F.sum(rev), 2).cast("double").alias("total_revenue"),
+            F.round(promo.cast("double") * 100.0
+                    / F.sum(rev).cast("double"), 2).alias("promo_pct"),
         )
     )
 
 
 Q14_SQL = """
-SELECT ROUND(SUM(CASE WHEN p_type = 'PROMO'
-                      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END), 2) AS promo_revenue,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue,
-       ROUND(SUM(CASE WHEN p_type = 'PROMO'
-                      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) * 100.0
-             / SUM(l_extendedprice * (1 - l_discount)), 2) AS promo_pct
+SELECT CAST(ROUND(COALESCE(SUM(CASE WHEN p_type = 'PROMO'
+                      THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                           * (1 - CAST(l_discount AS DECIMAL(4,2))) END), 0), 2) AS DOUBLE) AS promo_revenue,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS total_revenue,
+       ROUND(CAST(COALESCE(SUM(CASE WHEN p_type = 'PROMO'
+                      THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                           * (1 - CAST(l_discount AS DECIMAL(4,2))) END), 0) AS DOUBLE) * 100.0
+             / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 2) AS promo_pct
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1997-06-01'
