@@ -46,28 +46,24 @@ _MODULE_SPECS: list[QuerySpec] = [
 # End-of-round ritual: append the new round's names to the JSON, then
 # rewrite this tuple for the next round's changed plans.
 _ROUND_PRIORITY: tuple[str, ...] = (
-    # round 9: events_user_features' consumer half of the r8 µs-schema
-    # migration lands here (VERDICT r8 item 1 — the snapshot commit
-    # captured only operators/grouped.py, leaving the plan selecting
-    # dropped columns). Both seconds columns are now derived from
-    # integer span_us in exact BIGINT half-up arithmetic, and the
-    # DuckDB oracle mirrors the identical integer expression — so the
-    # query must be re-proven first, at sf0.1 locally as well (the tie
-    # class that motivated the µs schema only appears at sf0.1 volume).
-    "events_user_features",
-    # round 9 late: the money SUMs moved from double to exact decimal
-    # after the FIRST 10×-fixture correctness sweep caught q1's
-    # sum_charge straddling a .005 rounding boundary (order-dependent
-    # double summation at 2.8e10 magnitude). The whole exposed class —
-    # every SUM of a 4-decimal product rounded to 2 decimals — was
-    # audited and converted (q9/q17 already used exact integer units).
-    # Each re-proven locally at sf0.001/0.01/0.1/10×; the driver must
-    # re-prove them too. 11 priority rows + the 34 r6-stale rows still
-    # fit the ~50-row budget, so the LRU rotation is preserved.
+    # round 10: the r9 exact-DECIMAL money sums converted to exact
+    # INTEGER-UNIT BIGINT hi/lo-split sums (VERDICT r9 item 1) — same
+    # bit-identical deterministic values (verified value-equal to the
+    # decimal form at sf0.1), but plain-LongType hash-agg partials
+    # reclaim the decimal-agg tax (q1 ~1.09 s → ~0.66 s measured).
+    # q17's avg_yearly additionally moved off its order-dependent
+    # double SUM (ADVICE r9 medium — it was the one money sum the r9
+    # audit missed; q9's profit was the only true integer-units query)
+    # and q11's 1.05%-of-global-total HAVING threshold now compares
+    # exact integers instead of double sums (ADVICE r9 low). All
+    # twelve re-proven locally at sf0.001/0.01/0.1/10×; the driver
+    # must re-prove them too. 12 priority rows + the 32 r7-stale rows
+    # land within the ~50-row budget, preserving the LRU rotation.
     "q1_pricing_summary", "q3_shipping_priority",
     "q5_local_supplier_volume", "q6_forecast_revenue",
     "q7_nation_volume", "q8_market_share", "q10_returned_items",
-    "q14_promo_share", "q15_top_supplier", "q19_disjunctive_revenue",
+    "q11_important_stock", "q14_promo_share", "q15_top_supplier",
+    "q17_small_quantity_revenue", "q19_disjunctive_revenue",
 )
 
 _HISTORY_PATH = Path(__file__).with_name("checked_history.json")

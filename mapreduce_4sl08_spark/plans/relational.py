@@ -18,24 +18,89 @@ from pyspark.sql.functions import broadcast
 from .base import QuerySpec, t
 
 
-def _rev_dec() -> F.Column:
-    """Per-row revenue ``l_extendedprice * (1 - l_discount)`` as an
-    EXACT DECIMAL(18,4): the source measures are exactly 2-decimal
-    (verified over the fixtures), so the (12,2) x (5,2) product is
-    exact in both engines and its SUM is order-independent. Double
-    sums carry ~1 ulp of order-dependent error (4e-6 at the 2.8e10
-    magnitudes a 10x fixture reaches) and exact-decimal sums land ON
-    .005 rounding boundaries often enough that the r9 10x sweep caught
-    q1's sum_charge rounding to .35 in Spark and .34 in DuckDB. Every
-    money SUM in this module aggregates this (or its q1/q6 variants)
-    and casts the rounded result back to double, so output schemas are
-    unchanged while the value is deterministic at any scale. Oracle
-    twin fragment:
-    ``CAST(l_extendedprice AS DECIMAL(12,2))
-      * (1 - CAST(l_discount AS DECIMAL(4,2)))``.
-    q9/q17 apply the same discipline in integer 1e-4/cent units."""
-    return (F.col("l_extendedprice").cast("decimal(12,2)")
-            * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)")))
+# ------------------------------------------------- exact money arithmetic
+# Every money SUM in this module runs in EXACT INTEGER UNITS, not double
+# and not decimal. Why not double: order-dependent summation (~1 ulp =
+# 4e-6 at the 2.8e10 magnitudes a 10x fixture reaches) lands on .005
+# rounding boundaries often enough that the r9 10x sweep caught q1's
+# sum_charge rounding to .35 in Spark and .34 in DuckDB. Why not decimal:
+# exact, but Spark's decimal hash-agg is markedly slower than BIGINT
+# (q1 paid 2.25x in r9; the integer form below measures ~0.66 s vs
+# ~1.09 s decimal at sf0.1, bit-identical values).
+#
+# The scheme: source measures are exactly 2-decimal (verified over the
+# fixtures), so ``round(x*100)`` is a lossless "cents" integer and the
+# per-row products below are exact e4/e6-unit integers far below 2^63.
+# Each money SUM is carried as TWO plain-LongType partial sums — the
+# cents part and the sub-cent remainder:
+#
+#     SUM(units) = 100..10000 * SUM(units div U) + SUM(units % U)
+#
+# which keeps per-group accumulators < 2^63 up to ~1e12 rows PER GROUP
+# (petabyte-class lineitem; a single e6-unit sum would overflow a global
+# group near SF 50). Post-agg, half-up rounding to cents is the integer
+# identity ``(U*a + b + 50') div U = a + (b + 50') div U`` (50' = U/2),
+# then ONE cast to double — the same exact integer converts to the same
+# IEEE double in Spark and DuckDB, so results are deterministic and
+# engine-identical at any scale. Oracle twins mirror the expressions
+# verbatim (DuckDB sums into HUGEINT — same identity, more slack; its
+# ``//`` truncates toward zero exactly like Spark's ``div``, and all
+# money units here are non-negative).
+
+#: per-row exact integer-unit SQL fragments (shared Spark/DuckDB syntax)
+_QTY_E2 = "CAST(ROUND(l_quantity * 100) AS BIGINT)"
+_PRICE_C = "CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+_DISC_PTS = "CAST(ROUND(l_discount * 100) AS BIGINT)"
+_TAX_PTS = "CAST(ROUND(l_tax * 100) AS BIGINT)"
+#: revenue  extprice*(1-disc)            e4 units, <= ~1.1e9 / row
+_REV_E4 = f"({_PRICE_C} * (100 - {_DISC_PTS}))"
+#: charge   extprice*(1-disc)*(1+tax)    e6 units, <= ~1.2e11 / row
+_CHARGE_E6 = f"({_REV_E4} * (100 + {_TAX_PTS}))"
+#: q6 forecast  extprice*disc            e4 units
+_FORECAST_E4 = f"({_PRICE_C} * {_DISC_PTS})"
+#: q11 stock    extprice*quantity        e4 units, <= ~5.3e10 / row
+_STOCK_E4 = f"({_PRICE_C} * {_QTY_E2})"
+
+
+def _part_sums(units_sql: str, unit: int, name: str) -> tuple:
+    """The two BIGINT partial sums (cents part, sub-cent remainder) for
+    an exact integer-unit money measure; ``unit`` = units per cent."""
+    return (F.sum(F.expr(f"{units_sql} div {unit}")).alias(f"_{name}_c"),
+            F.sum(F.expr(f"{units_sql} % {unit}")).alias(f"_{name}_s"))
+
+
+def _money(name: str, unit: int, alias: str | None = None) -> F.Column:
+    """Recombine the partial sums, round half-up to exact cents, cast
+    once to double (2-decimal dollars, engine-identical)."""
+    return F.expr(
+        f"CAST(_{name}_c + (_{name}_s + {unit // 2}) div {unit} AS DOUBLE)"
+        " / 100.0").alias(alias or name)
+
+
+def _part_sums_sql(units_sql: str, unit: int, name: str) -> str:
+    """Oracle-side twin of :func:`_part_sums` (one SELECT fragment)."""
+    return (f"SUM(({units_sql}) // {unit}) AS _{name}_c, "
+            f"SUM(({units_sql}) % {unit}) AS _{name}_s")
+
+
+def _money_sql(name: str, unit: int) -> str:
+    """Oracle-side twin of :func:`_money` (DuckDB ``//`` = Spark ``div``
+    for these non-negative operands)."""
+    return (f"CAST(_{name}_c + (_{name}_s + {unit // 2}) // {unit}"
+            f" AS DOUBLE) / 100.0")
+
+
+def _rev_sums() -> tuple:
+    """Partial sums for the ubiquitous revenue measure."""
+    return _part_sums(_REV_E4, 100, "rev")
+
+
+def _rev_money(alias: str = "revenue") -> F.Column:
+    return _money("rev", 100, alias)
+
+
+_REV_SUMS_SQL = _part_sums_sql(_REV_E4, 100, "rev")
+_REV_MONEY_SQL = _money_sql("rev", 100)
 
 
 # ---------------------------------------------------------------- q1
@@ -45,59 +110,63 @@ def _rev_dec() -> F.Column:
 
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1. The money SUMs run in EXACT DECIMAL, not double: the
-    source measures are exactly 2-decimal (verified over the fixture),
-    so decimal casts are lossless and the per-group sums are exact
-    6-decimal rationals in BOTH engines — double summation is
-    order-dependent (~1 ulp ≈ 4e-6 at the 2.8e10 magnitudes a 10×
-    fixture reaches), and exact-decimal sums land ON .005 boundaries
-    often enough that the r9 10× sweep caught sum_charge rounding to
-    .35 in Spark and .34 in DuckDB. Decimal sum → half-up ROUND →
-    cast double is deterministic at any scale. The AVGs stay double:
-    their quotients are not decimal-round numbers, so the tie class
-    doesn't apply, and 1/n shrinks the accumulation error. Scales:
-    (12,2)×(5,2)→(18,4)→×(5,2)→(24,6); Spark's SUM adds 10 digits of
-    headroom (34,6) — no precision loss at any realistic row count."""
+    """TPC-H Q1. Money SUMs run in exact integer units (see the module
+    helper block): plain-LongType hash-agg partials, half-up-rounded to
+    exact cents post-agg, one cast to double — deterministic and
+    engine-identical at any scale (the r9 10× sweep caught sum_charge's
+    double form straddling a .005 boundary; the r9 decimal form was
+    exact but 2.25× slower). sum_qty/sum_base_price are single e2
+    sums (≤5e3 / ≤1.1e7 per row — no remainder split needed below
+    ~1e12 rows/group); the e4/e6 products carry the hi/lo split. The
+    AVGs stay double: their quotients are not decimal-round numbers,
+    so the tie class doesn't apply, and 1/n shrinks the error."""
     l = t(spark, sf_dir, "lineitem")
-    p = F.col("l_extendedprice").cast("decimal(12,2)")
-    one_minus_d = F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
-    one_plus_t = F.lit(1) + F.col("l_tax").cast("decimal(4,2)")
     return (
         l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum(F.col("l_quantity").cast("decimal(12,2)")), 2)
-            .cast("double").alias("sum_qty"),
-            F.round(F.sum(p), 2).cast("double").alias("sum_base_price"),
-            F.round(F.sum(p * one_minus_d), 2)
-            .cast("double").alias("sum_disc_price"),
-            F.round(F.sum(p * one_minus_d * one_plus_t), 2)
-            .cast("double").alias("sum_charge"),
+            F.sum(F.expr(_QTY_E2)).alias("_qty_e2"),
+            F.sum(F.expr(_PRICE_C)).alias("_bp_c"),
+            *_part_sums(_REV_E4, 100, "dp"),
+            *_part_sums(_CHARGE_E6, 10000, "ch"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
+        .select(
+            "l_returnflag", "l_linestatus",
+            F.expr("CAST(_qty_e2 AS DOUBLE) / 100.0").alias("sum_qty"),
+            F.expr("CAST(_bp_c AS DOUBLE) / 100.0").alias("sum_base_price"),
+            _money("dp", 100, "sum_disc_price"),
+            _money("ch", 10000, "sum_charge"),
+            "avg_qty", "avg_price", "avg_disc", "count_order",
+        )
         .orderBy("l_returnflag", "l_linestatus")
     )
 
 
-Q1_SQL = """
+Q1_SQL = f"""
 SELECT l_returnflag, l_linestatus,
-       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty,
-       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_base_price,
-       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                      * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_disc_price,
-       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                      * (1 - CAST(l_discount AS DECIMAL(4,2)))
-                      * (1 + CAST(l_tax AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_charge,
-       ROUND(AVG(l_quantity), 4) AS avg_qty,
-       ROUND(AVG(l_extendedprice), 4) AS avg_price,
-       ROUND(AVG(l_discount), 4) AS avg_disc,
-       COUNT(*) AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-GROUP BY l_returnflag, l_linestatus
+       CAST(_qty_e2 AS DOUBLE) / 100.0 AS sum_qty,
+       CAST(_bp_c AS DOUBLE) / 100.0 AS sum_base_price,
+       {_money_sql('dp', 100)} AS sum_disc_price,
+       {_money_sql('ch', 10000)} AS sum_charge,
+       avg_qty, avg_price, avg_disc, count_order
+FROM (
+  SELECT l_returnflag, l_linestatus,
+         SUM({_QTY_E2}) AS _qty_e2,
+         SUM({_PRICE_C}) AS _bp_c,
+         {_part_sums_sql(_REV_E4, 100, 'dp')},
+         {_part_sums_sql(_CHARGE_E6, 10000, 'ch')},
+         ROUND(AVG(l_quantity), 4) AS avg_qty,
+         ROUND(AVG(l_extendedprice), 4) AS avg_price,
+         ROUND(AVG(l_discount), 4) AS avg_disc,
+         COUNT(*) AS count_order
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+  GROUP BY l_returnflag, l_linestatus
+)
 ORDER BY l_returnflag, l_linestatus
 """
 
@@ -113,23 +182,26 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(_rev_dec()), 2).cast("double").alias("revenue"))
+        .agg(*_rev_sums())
+        .select("l_orderkey", "o_orderdate", "o_orderpriority", _rev_money())
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
         .limit(10)
     )
 
 
-Q3_SQL = """
+Q3_SQL = f"""
 SELECT l_orderkey, o_orderdate, o_orderpriority,
-       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                      * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
-FROM lineitem
-JOIN orders ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-WHERE c_mktsegment = 'BUILDING'
-  AND o_orderdate < TIMESTAMP '1998-01-01'
-  AND l_shipdate > TIMESTAMP '1997-01-01'
-GROUP BY l_orderkey, o_orderdate, o_orderpriority
+       {_REV_MONEY_SQL} AS revenue
+FROM (
+  SELECT l_orderkey, o_orderdate, o_orderpriority, {_REV_SUMS_SQL}
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < TIMESTAMP '1998-01-01'
+    AND l_shipdate > TIMESTAMP '1997-01-01'
+  GROUP BY l_orderkey, o_orderdate, o_orderpriority
+)
 ORDER BY revenue DESC, l_orderkey ASC
 LIMIT 10
 """
@@ -156,24 +228,27 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(F.round(F.sum(_rev_dec()), 2).cast("double").alias("revenue"))
+        .agg(*_rev_sums())
+        .select("n_name", _rev_money())
         .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
     )
 
 
-Q5_SQL = """
-SELECT n_name, CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                              * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
-FROM lineitem
-JOIN orders ON l_orderkey = o_orderkey
-JOIN supplier ON l_suppkey = s_suppkey
-JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
-JOIN nation ON s_nationkey = n_nationkey
-JOIN region ON n_regionkey = r_regionkey
-WHERE r_name = 'ASIA'
-  AND o_orderdate >= TIMESTAMP '1996-01-01'
-  AND o_orderdate < TIMESTAMP '1998-01-01'
-GROUP BY n_name
+Q5_SQL = f"""
+SELECT n_name, {_REV_MONEY_SQL} AS revenue
+FROM (
+  SELECT n_name, {_REV_SUMS_SQL}
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1998-01-01'
+  GROUP BY n_name
+)
 ORDER BY revenue DESC, n_name ASC
 """
 
@@ -190,22 +265,23 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount") >= 0.03) & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.round(F.sum(F.col("l_extendedprice").cast("decimal(12,2)")
-                           * F.col("l_discount").cast("decimal(4,2)")), 2)
-             .cast("double").alias("revenue"),
+        .agg(*_part_sums(_FORECAST_E4, 100, "fc"),
              F.count(F.lit(1)).alias("n_items"))
+        .select(_money("fc", 100, "revenue"), "n_items")
     )
 
 
-Q6_SQL = """
-SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                      * CAST(l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue,
-       COUNT(*) AS n_items
-FROM lineitem
-WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-  AND l_shipdate < TIMESTAMP '1997-01-01'
-  AND l_discount BETWEEN 0.03 AND 0.07
-  AND l_quantity < 24
+Q6_SQL = f"""
+SELECT {_money_sql('fc', 100)} AS revenue, n_items
+FROM (
+  SELECT {_part_sums_sql(_FORECAST_E4, 100, 'fc')},
+         COUNT(*) AS n_items
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+    AND l_discount BETWEEN 0.03 AND 0.07
+    AND l_quantity < 24
+)
 """
 
 # ---------------------------------------------------------------- joins
@@ -552,24 +628,26 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .join(broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.round(F.sum(_rev_dec()), 2).cast("double").alias("revenue"))
+        .agg(*_rev_sums())
+        .select("c_custkey", "c_name", "n_name", _rev_money())
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
     )
 
 
-Q10_SQL = """
-SELECT c_custkey, c_name, n_name,
-       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                      * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
-FROM lineitem
-JOIN orders ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-JOIN nation ON c_nationkey = n_nationkey
-WHERE l_returnflag = 'R'
-  AND o_orderdate >= TIMESTAMP '1997-01-01'
-  AND o_orderdate < TIMESTAMP '1997-07-01'
-GROUP BY c_custkey, c_name, n_name
+Q10_SQL = f"""
+SELECT c_custkey, c_name, n_name, {_REV_MONEY_SQL} AS revenue
+FROM (
+  SELECT c_custkey, c_name, n_name, {_REV_SUMS_SQL}
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1997-01-01'
+    AND o_orderdate < TIMESTAMP '1997-07-01'
+  GROUP BY c_custkey, c_name, n_name
+)
 ORDER BY revenue DESC, c_custkey ASC
 LIMIT 20
 """
@@ -726,21 +804,22 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(broadcast(p), l.l_partkey == p.p_partkey)
         .filter(cond)
-        .agg(F.round(F.sum(_rev_dec()), 2).cast("double").alias("revenue"),
-             F.count(F.lit(1)).alias("n_items"))
+        .agg(*_rev_sums(), F.count(F.lit(1)).alias("n_items"))
+        .select(_rev_money(), "n_items")
     )
 
 
-Q19_SQL = """
-SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                      * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue,
-       COUNT(*) AS n_items
-FROM lineitem
-JOIN part ON l_partkey = p_partkey
-WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
-       AND l_quantity BETWEEN 1 AND 30)
-   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
-       AND l_quantity BETWEEN 5 AND 40)
+Q19_SQL = f"""
+SELECT {_REV_MONEY_SQL} AS revenue, n_items
+FROM (
+  SELECT {_REV_SUMS_SQL}, COUNT(*) AS n_items
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+         AND l_quantity BETWEEN 1 AND 30)
+     OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+         AND l_quantity BETWEEN 5 AND 40)
+)
 """
 
 
@@ -843,40 +922,56 @@ ORDER BY n_customers DESC, c_count DESC
 
 def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: group aggregate kept only if it exceeds a
-    fraction of the GLOBAL total (HAVING vs scalar subquery)."""
+    fraction of the GLOBAL total (HAVING vs scalar subquery). The
+    threshold comparison is EXACT INTEGER, not double: a supplier
+    sitting at the 1.05% cutoff must not flip membership between
+    engines on an order-dependent double sum (same class as the money
+    sums; ``sv > 0.0105·total ⇔ 10000·sv_e4 > 105·total_e4``). The
+    per-supplier e4 sum recombines to ONE BIGINT (safe to ~1e12 rows
+    per supplier); only the global total — which can pass 2^63 at
+    extreme SF — widens to DECIMAL(38,0), a per-supplier scalar op on
+    the tiny second-level agg, not a per-row cost."""
     l = t(spark, sf_dir, "lineitem")
     s = t(spark, sf_dir, "supplier")
-    value = F.sum(F.col("l_extendedprice") * F.col("l_quantity"))
     per_supp = (
         l.join(s, l.l_suppkey == s.s_suppkey)
         .groupBy("s_suppkey", "s_name")
-        .agg(value.alias("stock_value"))
+        .agg(*_part_sums(_STOCK_E4, 100, "sv"))
+        .select("s_suppkey", "s_name",
+                F.expr("_sv_c * 100 + _sv_s").alias("_sv_e4"))
     )
     # Global total via broadcast cross join, not a driver .collect():
     # the shared per_supp subplan is computed once (ReusedExchange) instead
     # of two full lineitem⋈supplier scans.
-    total = per_supp.agg(F.sum("stock_value").alias("_total"))
+    total = per_supp.agg(
+        F.sum(F.expr("CAST(_sv_e4 AS DECIMAL(38,0))")).alias("_total_e4"))
     return (
         per_supp.crossJoin(broadcast(total))
-        .filter(F.col("stock_value") > 0.0105 * F.col("_total"))
+        .filter(F.expr("CAST(_sv_e4 AS DECIMAL(38,0)) * 10000"
+                       " > 105 * _total_e4"))
         .select("s_suppkey", "s_name",
-                F.round("stock_value", 2).alias("stock_value"))
+                F.expr("CAST((_sv_e4 + 50) div 100 AS DOUBLE) / 100.0")
+                .alias("stock_value"))
         .orderBy(F.col("stock_value").desc(), F.col("s_suppkey").asc())
     )
 
 
-Q11_SQL = """
+Q11_SQL = f"""
 WITH per_supp AS (
-  SELECT s_suppkey, s_name,
-         SUM(l_extendedprice * l_quantity) AS stock_value
-  FROM lineitem
-  JOIN supplier ON l_suppkey = s_suppkey
-  GROUP BY s_suppkey, s_name
+  SELECT s_suppkey, s_name, _sv_c * 100 + _sv_s AS _sv_e4
+  FROM (
+    SELECT s_suppkey, s_name, {_part_sums_sql(_STOCK_E4, 100, 'sv')}
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_suppkey, s_name
+  )
 )
-SELECT s_suppkey, s_name, ROUND(stock_value, 2) AS stock_value
+SELECT s_suppkey, s_name,
+       CAST((_sv_e4 + 50) // 100 AS DOUBLE) / 100.0 AS stock_value
 FROM per_supp
-WHERE stock_value > 0.0105 * (SELECT SUM(stock_value) FROM per_supp)
-ORDER BY ROUND(stock_value, 2) DESC, s_suppkey ASC
+WHERE CAST(_sv_e4 AS HUGEINT) * 10000
+      > 105 * (SELECT SUM(_sv_e4) FROM per_supp)
+ORDER BY stock_value DESC, s_suppkey ASC
 """
 
 
@@ -919,13 +1014,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_s = t(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
     r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    vol = _rev_dec()
-    # the conditional sum skips the ELSE 0 (SUM ignores nulls) so the
-    # decimal type is preserved; both exact sums are cast to double
-    # BEFORE the ratio — decimal division scale rules differ between
-    # engines, double division of identical operands does not
-    nation3 = F.coalesce(
-        F.sum(F.when(F.col("supp_nation") == "NATION_3", vol)), F.lit(0))
+    # both the share's numerator and denominator are exact integer e4
+    # sums (hi/lo split); the ratio is then double-of-the-same-integers
+    # in both engines, so ROUND(...,6) cannot diverge
+    is_n3 = F.col("supp_nation") == "NATION_3"
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
@@ -934,34 +1026,52 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(broadcast(n_s), s.s_nationkey == F.col("sn_key"))
         .join(broadcast(r), F.col("c_region") == r.r_regionkey)
         .withColumn("o_year", F.year("o_orderdate"))
+        .withColumn("_rc", F.expr(f"{_REV_E4} div 100"))
+        .withColumn("_rs", F.expr(f"{_REV_E4} % 100"))
         .groupBy("o_year")
         .agg(
-            F.round(nation3.cast("double") / F.sum(vol).cast("double"), 6)
-            .alias("mkt_share"),
-            F.round(F.sum(vol), 2).cast("double").alias("total_volume"),
+            F.coalesce(F.sum(F.when(is_n3, F.col("_rc"))), F.lit(0))
+            .alias("_n3_c"),
+            F.coalesce(F.sum(F.when(is_n3, F.col("_rs"))), F.lit(0))
+            .alias("_n3_s"),
+            F.sum("_rc").alias("_rev_c"),
+            F.sum("_rs").alias("_rev_s"),
+        )
+        .select(
+            "o_year",
+            F.expr("ROUND((CAST(_n3_c AS DOUBLE) * 100.0"
+                   " + CAST(_n3_s AS DOUBLE))"
+                   " / (CAST(_rev_c AS DOUBLE) * 100.0"
+                   " + CAST(_rev_s AS DOUBLE)), 6)").alias("mkt_share"),
+            _rev_money("total_volume"),
         )
         .orderBy("o_year")
     )
 
 
-Q8_SQL = """
-SELECT EXTRACT(year FROM o_orderdate)::INT AS o_year,
-       ROUND(CAST(COALESCE(SUM(CASE WHEN ns.n_name = 'NATION_3'
-                                    THEN CAST(l_extendedprice AS DECIMAL(12,2))
-                                         * (1 - CAST(l_discount AS DECIMAL(4,2))) END), 0) AS DOUBLE)
-             / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                        * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 6) AS mkt_share,
-       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                      * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS total_volume
-FROM lineitem
-JOIN orders ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-JOIN supplier ON l_suppkey = s_suppkey
-JOIN nation nc ON c_nationkey = nc.n_nationkey
-JOIN nation ns ON s_nationkey = ns.n_nationkey
-JOIN region ON nc.n_regionkey = r_regionkey
-WHERE r_name = 'ASIA'
-GROUP BY 1
+Q8_SQL = f"""
+SELECT o_year,
+       ROUND((CAST(_n3_c AS DOUBLE) * 100.0 + CAST(_n3_s AS DOUBLE))
+             / (CAST(_rev_c AS DOUBLE) * 100.0 + CAST(_rev_s AS DOUBLE)),
+             6) AS mkt_share,
+       {_REV_MONEY_SQL} AS total_volume
+FROM (
+  SELECT EXTRACT(year FROM o_orderdate)::INT AS o_year,
+         COALESCE(SUM(CASE WHEN ns.n_name = 'NATION_3'
+                           THEN ({_REV_E4}) // 100 END), 0) AS _n3_c,
+         COALESCE(SUM(CASE WHEN ns.n_name = 'NATION_3'
+                           THEN ({_REV_E4}) % 100 END), 0) AS _n3_s,
+         {_REV_SUMS_SQL}
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation nc ON c_nationkey = nc.n_nationkey
+  JOIN nation ns ON s_nationkey = ns.n_nationkey
+  JOIN region ON nc.n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+  GROUP BY 1
+)
 ORDER BY o_year
 """
 
@@ -1047,8 +1157,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = t(spark, sf_dir, "supplier")
     revenue = (
         l.groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(F.round(F.sum(_rev_dec()), 2).cast("double")
-             .alias("total_revenue"))
+        .agg(*_rev_sums())
+        .select("supplier_no", _rev_money("total_revenue"))
     )
     # MAX as a broadcast cross join keeps the revenue agg in one lazy plan
     # (ReusedExchange) instead of a driver .collect() + second lineitem scan.
@@ -1062,15 +1172,16 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q15_SQL = """
+Q15_SQL = f"""
 WITH revenue AS (
-  SELECT l_suppkey AS supplier_no,
-         CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                        * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS total_revenue
-  FROM lineitem
-  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
-    AND l_shipdate < TIMESTAMP '1997-04-01'
-  GROUP BY l_suppkey
+  SELECT supplier_no, {_REV_MONEY_SQL} AS total_revenue
+  FROM (
+    SELECT l_suppkey AS supplier_no, {_REV_SUMS_SQL}
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1997-04-01'
+    GROUP BY l_suppkey
+  )
 )
 SELECT s_suppkey, s_name, total_revenue
 FROM revenue
@@ -1092,28 +1203,38 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.sum(F.round(F.col("l_quantity") * 100).cast("long"))
               / (F.count(F.lit(1)) * 100.0)).alias("avg_qty"))
     )
+    # avg_yearly from an exact integer-cents sum: SUM(double) is
+    # order-dependent and was the one remaining money sum in the .005
+    # tie class (ADVICE r9). sum_cents/700 can never land exactly on a
+    # half-cent boundary (2·sum_cents = 7·odd has no integer solution),
+    # so the same exact BIGINT → same double → same ROUND in both
+    # engines, at any scale.
     return (
         l.join(broadcast(p), l.l_partkey == p.p_partkey)
         .join(broadcast(per_part), l.l_partkey == F.col("pk"))
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+        .agg(F.sum(F.expr(_PRICE_C)).alias("_ep_c"),
              F.count(F.lit(1)).alias("n_items"))
+        .select(F.expr("ROUND(CAST(_ep_c AS DOUBLE) / 700.0, 2)")
+                .alias("avg_yearly"), "n_items")
     )
 
 
-Q17_SQL = """
+Q17_SQL = f"""
 WITH per_part AS (
   SELECT l_partkey AS pk,
          SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) / (COUNT(*) * 100.0) AS avg_qty
   FROM lineitem GROUP BY l_partkey
 )
-SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly,
-       COUNT(*) AS n_items
-FROM lineitem
-JOIN part ON l_partkey = p_partkey
-JOIN per_part ON l_partkey = pk
-WHERE p_brand = 'Brand#3'
-  AND l_quantity < 0.2 * avg_qty
+SELECT ROUND(CAST(_ep_c AS DOUBLE) / 700.0, 2) AS avg_yearly, n_items
+FROM (
+  SELECT SUM({_PRICE_C}) AS _ep_c, COUNT(*) AS n_items
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN per_part ON l_partkey = pk
+  WHERE p_brand = 'Brand#3'
+    AND l_quantity < 0.2 * avg_qty
+)
 """
 
 
@@ -1181,25 +1302,28 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(pair)
         .withColumn("l_year", F.year("l_shipdate"))
         .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(F.round(F.sum(_rev_dec()), 2).cast("double").alias("revenue"))
+        .agg(*_rev_sums())
+        .select("supp_nation", "cust_nation", "l_year", _rev_money())
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
 
-Q7_SQL = """
-SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-       EXTRACT(year FROM l_shipdate)::INT AS l_year,
-       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                      * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
-FROM lineitem
-JOIN orders ON l_orderkey = o_orderkey
-JOIN supplier ON l_suppkey = s_suppkey
-JOIN customer ON o_custkey = c_custkey
-JOIN nation n1 ON s_nationkey = n1.n_nationkey
-JOIN nation n2 ON c_nationkey = n2.n_nationkey
-WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
-GROUP BY 1, 2, 3
+Q7_SQL = f"""
+SELECT supp_nation, cust_nation, l_year, {_REV_MONEY_SQL} AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         EXTRACT(year FROM l_shipdate)::INT AS l_year,
+         {_REV_SUMS_SQL}
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+  GROUP BY 1, 2, 3
+)
 ORDER BY supp_nation, cust_nation, l_year
 """
 
@@ -1260,35 +1384,49 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1997-06-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp")))
     p = t(spark, sf_dir, "part")
-    rev = _rev_dec()
-    promo = F.coalesce(
-        F.sum(F.when(F.col("p_type") == "PROMO", rev)), F.lit(0))
+    # numerator, denominator, and their ratio are all derived from the
+    # same exact integer e4 sums — engine-identical at any scale
+    is_promo = F.col("p_type") == "PROMO"
     return (
         l.join(broadcast(p), l.l_partkey == p.p_partkey)
+        .withColumn("_rc", F.expr(f"{_REV_E4} div 100"))
+        .withColumn("_rs", F.expr(f"{_REV_E4} % 100"))
         .agg(
-            F.round(promo, 2).cast("double").alias("promo_revenue"),
-            F.round(F.sum(rev), 2).cast("double").alias("total_revenue"),
-            F.round(promo.cast("double") * 100.0
-                    / F.sum(rev).cast("double"), 2).alias("promo_pct"),
+            F.coalesce(F.sum(F.when(is_promo, F.col("_rc"))), F.lit(0))
+            .alias("_pr_c"),
+            F.coalesce(F.sum(F.when(is_promo, F.col("_rs"))), F.lit(0))
+            .alias("_pr_s"),
+            F.sum("_rc").alias("_rev_c"),
+            F.sum("_rs").alias("_rev_s"),
+        )
+        .select(
+            _money("pr", 100, "promo_revenue"),
+            _rev_money("total_revenue"),
+            F.expr("ROUND((CAST(_pr_c AS DOUBLE) * 100.0"
+                   " + CAST(_pr_s AS DOUBLE)) * 100.0"
+                   " / (CAST(_rev_c AS DOUBLE) * 100.0"
+                   " + CAST(_rev_s AS DOUBLE)), 2)").alias("promo_pct"),
         )
     )
 
 
-Q14_SQL = """
-SELECT CAST(ROUND(COALESCE(SUM(CASE WHEN p_type = 'PROMO'
-                      THEN CAST(l_extendedprice AS DECIMAL(12,2))
-                           * (1 - CAST(l_discount AS DECIMAL(4,2))) END), 0), 2) AS DOUBLE) AS promo_revenue,
-       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                      * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS total_revenue,
-       ROUND(CAST(COALESCE(SUM(CASE WHEN p_type = 'PROMO'
-                      THEN CAST(l_extendedprice AS DECIMAL(12,2))
-                           * (1 - CAST(l_discount AS DECIMAL(4,2))) END), 0) AS DOUBLE) * 100.0
-             / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                        * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 2) AS promo_pct
-FROM lineitem
-JOIN part ON l_partkey = p_partkey
-WHERE l_shipdate >= TIMESTAMP '1997-06-01'
-  AND l_shipdate < TIMESTAMP '1997-07-01'
+Q14_SQL = f"""
+SELECT {_money_sql('pr', 100)} AS promo_revenue,
+       {_REV_MONEY_SQL} AS total_revenue,
+       ROUND((CAST(_pr_c AS DOUBLE) * 100.0 + CAST(_pr_s AS DOUBLE)) * 100.0
+             / (CAST(_rev_c AS DOUBLE) * 100.0 + CAST(_rev_s AS DOUBLE)),
+             2) AS promo_pct
+FROM (
+  SELECT COALESCE(SUM(CASE WHEN p_type = 'PROMO'
+                           THEN ({_REV_E4}) // 100 END), 0) AS _pr_c,
+         COALESCE(SUM(CASE WHEN p_type = 'PROMO'
+                           THEN ({_REV_E4}) % 100 END), 0) AS _pr_s,
+         {_REV_SUMS_SQL}
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-06-01'
+    AND l_shipdate < TIMESTAMP '1997-07-01'
+)
 """
 
 

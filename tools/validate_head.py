@@ -55,11 +55,17 @@ def main() -> int:
 
     gates = FAST_GATES + sys.argv[1:]
     with tempfile.TemporaryDirectory(prefix="validate_head_") as tmp:
-        # archive|tar, not worktree: no .git metadata needed by tests,
-        # nothing registered in the repo to clean up on a crash
+        # archive→tar as two checked steps, not a shell pipeline: a
+        # `a | b` pipeline returns only b's status, so a git-archive
+        # failure would surface as a confusing empty-dir pytest error
+        # instead of failing here (ADVICE r9). No worktree: no .git
+        # metadata needed by tests, nothing registered in the repo to
+        # clean up on a crash.
+        archive = subprocess.run(
+            ["git", "archive", head], cwd=REPO,
+            capture_output=True, check=True)
         subprocess.run(
-            f"git archive {head} | tar -x -C {tmp}",
-            shell=True, cwd=REPO, check=True)
+            ["tar", "-x", "-C", tmp], input=archive.stdout, check=True)
         rc = subprocess.run(
             [sys.executable, "-m", "pytest", "-q", *gates], cwd=tmp,
         ).returncode
