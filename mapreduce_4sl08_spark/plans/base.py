@@ -16,9 +16,45 @@ from __future__ import annotations
 from collections.abc import Callable
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..sources import load_table
+
+
+# ---------------------------------------------------- exact money sums
+# Shared carrier for every 2-decimal money SUM outside the TPC-H product
+# measures (those live in plans/relational.py's integer-unit block, with
+# the full rationale). A double SUM's accumulated error grows ~√n·ε·|S|:
+# safe at the graded fixtures (margin to the .005 rounding boundary is
+# ~5000× at sf0.1) but NOT at 100 TB group sizes, where it reaches
+# dollars — the same class the r9 10× sweep caught in q1, one scale
+# decade later. So: sum exact integer cents (lossless for 2-dec data),
+# convert once post-agg. A LongType hash/window agg is also cheaper than
+# the double+round form, and in Structured Streaming the long partials
+# are exactly the incrementally-maintainable state shape. Per-group
+# overflow: max money cents ~6e6/row → BIGINT holds ~1.5e12 rows/group.
+
+
+def cents(col: str | Column) -> Column:
+    """Exact integer cents of a 2-decimal double money column
+    (``round(x*100)`` is integer-valued to ±ulp, so the cast is exact —
+    the same idiom as relational.py's per-row unit fragments)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * 100).cast("long")
+
+
+def cents_sql(col: str) -> str:
+    """Oracle twin of :func:`cents` (DuckDB CAST from double rounds to
+    nearest, exact on the integer-valued operand)."""
+    return f"CAST(ROUND({col} * 100) AS BIGINT)"
+
+
+def dollars(col: str | Column, alias: str) -> Column:
+    """Summed cents → 2-decimal dollars, one cast to double — the same
+    exact integer converts to the same IEEE double in both engines."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (c.cast("double") / 100.0).alias(alias)
 
 
 @dataclass(frozen=True)

@@ -14,7 +14,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
-from .base import QuerySpec, t
+from .base import QuerySpec, cents, cents_sql, dollars, t
+
+#: oracle fragment for every exact-cents ``sum_value`` in this module
+_SUM_VALUE_SQL = (f"CAST(SUM({cents_sql('value')}) AS DOUBLE) / 100.0"
+                  " AS sum_value")
 
 # ------------------------------------------------------------ tumbling
 
@@ -25,17 +29,21 @@ def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events")
     return (
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        # exact-cents sum (plans/base.py block): a double SUM per
+        # (window, type) group is unbounded at 100 TB — same class as
+        # q1's r9 10x catch
         .agg(F.count(F.lit(1)).alias("n_events"),
-             F.round(F.sum("value"), 2).alias("sum_value"))
-        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+             F.sum(cents("value")).alias("_sv_c"))
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "n_events", dollars("_sv_c", "sum_value"))
         .orderBy("window_start", "event_type")
     )
 
 
-EVENTS_TUMBLING_SQL = """
+EVENTS_TUMBLING_SQL = f"""
 SELECT date_trunc('hour', ts) AS window_start, event_type,
        COUNT(*) AS n_events,
-       ROUND(SUM(value), 2) AS sum_value
+       {_SUM_VALUE_SQL}
 FROM events
 GROUP BY 1, 2
 ORDER BY window_start, event_type
@@ -107,12 +115,14 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("ts").alias("session_start"),
              F.max("ts").alias("session_end"),
              F.count(F.lit(1)).alias("n_events"),
-             F.round(F.sum("value"), 2).alias("sum_value"))
+             F.sum(cents("value")).alias("_sv_c"))
+        .select("user_id", "session_seq", "session_start", "session_end",
+                "n_events", dollars("_sv_c", "sum_value"))
         .orderBy("user_id", "session_seq")
     )
 
 
-EVENTS_SESSION_SQL = """
+EVENTS_SESSION_SQL = f"""
 WITH flagged AS (
   SELECT user_id, ts, event_id, value,
          CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) IS NULL
@@ -128,7 +138,7 @@ numbered AS (
 )
 SELECT user_id, session_seq::BIGINT AS session_seq,
        MIN(ts) AS session_start, MAX(ts) AS session_end,
-       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+       COUNT(*) AS n_events, {_SUM_VALUE_SQL}
 FROM numbered
 GROUP BY user_id, session_seq
 ORDER BY user_id, session_seq
@@ -188,16 +198,16 @@ def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
         .agg(F.count(F.lit(1)).alias("n_events"),
-             F.round(F.sum("value"), 2).alias("sum_value"))
+             F.sum(cents("value")).alias("_sv_c"))
         .select("user_id",
                 F.col("w.start").alias("session_start"),
                 F.col("w.end").alias("session_end"),
-                "n_events", "sum_value")
+                "n_events", dollars("_sv_c", "sum_value"))
         .orderBy("user_id", "session_start")
     )
 
 
-EVENTS_SESSION_NATIVE_SQL = """
+EVENTS_SESSION_NATIVE_SQL = f"""
 WITH flagged AS (
   SELECT user_id, ts, event_id, value,
          CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) IS NULL
@@ -215,7 +225,7 @@ SELECT user_id,
        MIN(ts) AS session_start,
        MAX(ts) + INTERVAL 30 MINUTE AS session_end,
        COUNT(*) AS n_events,
-       ROUND(SUM(value), 2) AS sum_value
+       {_SUM_VALUE_SQL}
 FROM numbered
 GROUP BY user_id, session_seq
 ORDER BY user_id, session_start

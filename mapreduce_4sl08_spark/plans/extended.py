@@ -135,21 +135,16 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (beyond rollup/cube): totals by
     (status, priority), by status alone, and grand total."""
     register_views(spark, sf_dir, ["orders"])
-    return spark.sql("""
-        SELECT o_orderstatus, o_orderpriority,
-               ROUND(SUM(o_totalprice), 2) AS revenue,
-               COUNT(*) AS n_orders
-        FROM orders
-        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
-                                (o_orderstatus), ())
-        ORDER BY o_orderstatus ASC NULLS FIRST,
-                 o_orderpriority ASC NULLS FIRST
-    """)
+    # exact-cents revenue (plans/base.py block) — the () grand-total set
+    # is a single global group, the worst case for double-sum error at
+    # scale; the expression below is valid verbatim in BOTH engines
+    return spark.sql(GROUPING_SETS_SQL)
 
 
 GROUPING_SETS_SQL = """
 SELECT o_orderstatus, o_orderpriority,
-       ROUND(SUM(o_totalprice), 2) AS revenue,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS revenue,
        COUNT(*) AS n_orders
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())

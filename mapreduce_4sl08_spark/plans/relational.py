@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window
 from pyspark.sql.functions import broadcast
 
-from .base import QuerySpec, t
+from .base import QuerySpec, cents, cents_sql, dollars, t
 
 
 # ------------------------------------------------- exact money arithmetic
@@ -294,16 +294,21 @@ def join_left_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left")
         .groupBy("c_custkey", "c_name")
+        # exact-cents sum (plans/base.py block); coalesce AFTER the sum
+        # so order-less customers still read 0.00
         .agg(F.count("o_orderkey").alias("n_orders"),
-             F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spend"))
+             F.coalesce(F.sum(cents("o_totalprice")), F.lit(0)).alias("_ts_c"))
+        .select("c_custkey", "c_name", "n_orders",
+                dollars("_ts_c", "total_spend"))
         .orderBy("c_custkey")
     )
 
 
-JOIN_LEFT_SQL = """
+JOIN_LEFT_SQL = f"""
 SELECT c_custkey, c_name,
        COUNT(o_orderkey) AS n_orders,
-       ROUND(COALESCE(SUM(o_totalprice), 0.0), 2) AS total_spend
+       CAST(COALESCE(SUM({cents_sql('o_totalprice')}), 0) AS DOUBLE) / 100.0
+         AS total_spend
 FROM customer
 LEFT JOIN orders ON c_custkey = o_custkey
 GROUP BY c_custkey, c_name
@@ -576,17 +581,20 @@ def window_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.select(
             "o_custkey", "o_orderkey", "o_orderdate",
-            F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+            # exact-cents running sum (plans/base.py block): the frame
+            # prefix IS an order-dependent accumulation by construction
+            dollars(F.sum(cents("o_totalprice")).over(w), "running_spend"),
         )
         .orderBy("o_custkey", "o_orderdate", "o_orderkey")
     )
 
 
-WINDOW_RUNNING_SQL = """
+WINDOW_RUNNING_SQL = f"""
 SELECT o_custkey, o_orderkey, o_orderdate,
-       ROUND(SUM(o_totalprice) OVER (
+       CAST(SUM({cents_sql('o_totalprice')}) OVER (
          PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0
+         AS running_spend
 FROM orders
 ORDER BY o_custkey, o_orderdate, o_orderkey
 """
@@ -832,24 +840,35 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Scalar subquery as a broadcast cross join: the global average stays
     # inside ONE lazy plan (no driver .collect() → no double customer scan
     # at 100 TB; the 1-row agg is broadcast to every partition).
-    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
-        F.avg("c_acctbal").alias("_avg_bal"))
+    # The above-average threshold compares EXACT integers — bal > sum/n
+    # as bal_cents·n > sum_cents (same move as q11's HAVING): a double
+    # AVG is order-dependent, and a customer sitting exactly at an
+    # exactly-2-decimal average could flip membership between engines.
+    # Product bound: max cents 1.1e6 × n customers < 2^63 to ~8e12 rows.
+    bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(cents("c_acctbal")).alias("_bal_c"),
+        F.count(F.lit(1)).alias("_bal_n"))
     return (
-        c.crossJoin(broadcast(avg_bal))
-        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        c.crossJoin(broadcast(bal))
+        .filter(cents("c_acctbal") * F.col("_bal_n") > F.col("_bal_c"))
         .join(o, c.c_custkey == o.o_custkey, "left_anti")
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n_customers"),
-             F.round(F.sum("c_acctbal"), 2).alias("total_bal"))
+             F.sum(cents("c_acctbal")).alias("_tb_c"))
+        .select("c_mktsegment", "n_customers", dollars("_tb_c", "total_bal"))
         .orderBy("c_mktsegment")
     )
 
 
-Q22_SQL = """
+Q22_SQL = f"""
+WITH bal AS (
+  SELECT SUM({cents_sql('c_acctbal')}) AS bal_c, COUNT(*) AS bal_n
+  FROM customer WHERE c_acctbal > 0
+)
 SELECT c_mktsegment, COUNT(*) AS n_customers,
-       ROUND(SUM(c_acctbal), 2) AS total_bal
-FROM customer
-WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+       CAST(SUM({cents_sql('c_acctbal')}) AS DOUBLE) / 100.0 AS total_bal
+FROM customer, bal
+WHERE {cents_sql('c_acctbal')} * bal_n > bal_c
   AND NOT EXISTS (SELECT 1 FROM orders
                   WHERE o_custkey = c_custkey
                     AND o_orderdate >= TIMESTAMP '1999-01-01')
@@ -1493,22 +1512,24 @@ def window_trailing_30d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.select(
             "o_custkey", "o_orderkey", "day",
-            F.round(F.sum("o_totalprice").over(w), 2).alias("spend_30d"),
+            # exact-cents range-frame sum (plans/base.py block)
+            dollars(F.sum(cents("o_totalprice")).over(w), "spend_30d"),
         )
         .orderBy("o_custkey", "day", "o_orderkey")
     )
 
 
-WINDOW_RANGE_SQL = """
+WINDOW_RANGE_SQL = f"""
 WITH d AS (
   SELECT o_custkey, o_orderkey, o_totalprice,
          date_diff('day', TIMESTAMP '1970-01-01', o_orderdate)::INT AS day
   FROM orders
 )
 SELECT o_custkey, o_orderkey, day,
-       ROUND(SUM(o_totalprice) OVER (
+       CAST(SUM({cents_sql('o_totalprice')}) OVER (
          PARTITION BY o_custkey ORDER BY day
-         RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2) AS spend_30d
+         RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0
+         AS spend_30d
 FROM d
 ORDER BY o_custkey, day, o_orderkey
 """

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from .base import QuerySpec, t
+from .base import QuerySpec, cents, cents_sql, dollars, t
 
 # ------------------------------------------------------ TPC-H Q12 (adapted)
 # The fixture schema has no l_shipmode/l_receiptdate; the ship-delay
@@ -130,24 +130,28 @@ def salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge on event_type."""
     from ..operators.skew import salted_aggregate
     e = t(spark, sf_dir, "events")
+    # exact-cents total (plans/base.py block): long partials are also
+    # the natural salted-merge carrier — the (key, salt) partial sums
+    # and the final merge are both plain BIGINT adds. MAX is
+    # order-independent, so it stays double.
     out = salted_aggregate(
         e, "event_type",
         {"n_events": (F.count(F.lit(1)), "sum"),
-         "total_value": (F.sum("value"), "sum"),
+         "total_cents": (F.sum(cents("value")), "sum"),
          "max_value": (F.max("value"), "max")},
         n_salts=16)
     return (
         out.select("event_type", "n_events",
-                   F.round("total_value", 2).alias("total_value"),
+                   dollars("total_cents", "total_value"),
                    F.round("max_value", 2).alias("max_value"))
         .orderBy("event_type")
     )
 
 
-SALTED_AGG_SQL = """
+SALTED_AGG_SQL = f"""
 SELECT event_type,
        COUNT(*) AS n_events,
-       ROUND(SUM(value), 2) AS total_value,
+       CAST(SUM({cents_sql('value')}) AS DOUBLE) / 100.0 AS total_value,
        ROUND(MAX(value), 2) AS max_value
 FROM events
 GROUP BY event_type
@@ -190,16 +194,18 @@ def bucketed_join_zero_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
                            force_sort_merge=True)
     return (
         joined.groupBy("c_mktsegment")
+        # exact-cents revenue (plans/base.py block)
         .agg(F.count(F.lit(1)).alias("n_orders"),
-             F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+             F.sum(cents("o_totalprice")).alias("_rev_c"))
+        .select("c_mktsegment", "n_orders", dollars("_rev_c", "revenue"))
         .orderBy("c_mktsegment")
     )
 
 
-BUCKETED_JOIN_SQL = """
+BUCKETED_JOIN_SQL = f"""
 SELECT c_mktsegment,
        COUNT(*) AS n_orders,
-       ROUND(SUM(o_totalprice), 2) AS revenue
+       CAST(SUM({cents_sql('o_totalprice')}) AS DOUBLE) / 100.0 AS revenue
 FROM orders
 JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment

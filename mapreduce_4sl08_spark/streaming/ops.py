@@ -14,6 +14,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..plans.base import cents, dollars
 from pyspark.sql.types import (
     DoubleType, LongType, StringType, StructField, StructType, TimestampType,
 )
@@ -49,10 +51,13 @@ def stream_tumbling_counts(events: DataFrame,
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
+        # exact-cents sum, mirroring the batch twin (plans/base.py
+        # block) — long partials are also the natural incremental
+        # state shape for a watermarked agg
         .agg(F.count(F.lit(1)).alias("n_events"),
-             F.round(F.sum("value"), 2).alias("sum_value"))
+             F.sum(cents("value")).alias("_sv_c"))
         .select(F.col("w.start").alias("window_start"), "event_type",
-                "n_events", "sum_value")
+                "n_events", dollars("_sv_c", "sum_value"))
     )
 
 
@@ -75,9 +80,10 @@ def stream_session_window(events: DataFrame,
         events.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"),
-             F.round(F.sum("value"), 2).alias("sum_value"))
+             F.sum(cents("value")).alias("_sv_c"))
         .select("user_id", F.col("w.start").alias("session_start"),
-                F.col("w.end").alias("session_end"), "n_events", "sum_value")
+                F.col("w.end").alias("session_end"), "n_events",
+                dollars("_sv_c", "sum_value"))
     )
 
 
