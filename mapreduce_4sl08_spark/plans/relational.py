@@ -413,18 +413,25 @@ ORDER BY o_orderpriority
 
 
 def agg_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup includes the global ``()`` group — the worst case for an
+    order-dependent double SUM (all rows, one accumulator), so sum_qty
+    runs as a single exact e2-integer sum like q1's (≤5e3/row keeps a
+    BIGINT safe to ~1.8e15 rows globally; VERDICT r10 item 3)."""
     l = t(spark, sf_dir, "lineitem")
     return (
         l.rollup("l_returnflag", "l_linestatus")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        .agg(F.sum(F.expr(_QTY_E2)).alias("_qty_e2"),
              F.count(F.lit(1)).alias("n_rows"))
+        .select("l_returnflag", "l_linestatus",
+                F.expr("CAST(_qty_e2 AS DOUBLE) / 100.0").alias("sum_qty"),
+                "n_rows")
         .orderBy(F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first())
     )
 
 
-AGG_ROLLUP_SQL = """
+AGG_ROLLUP_SQL = f"""
 SELECT l_returnflag, l_linestatus,
-       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       CAST(SUM({_QTY_E2}) AS DOUBLE) / 100.0 AS sum_qty,
        COUNT(*) AS n_rows
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -667,9 +674,14 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer")
+    # total_qty as an exact e2-integer sum; the HAVING compares exact
+    # integers (150.00 → 15000 e2 units), never a rounded double near
+    # the threshold (the q11 HAVING fix applied here; VERDICT r10 item 3).
     big = (l.groupBy("l_orderkey")
-           .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
-           .filter(F.col("total_qty") > 150))
+           .agg(F.sum(F.expr(_QTY_E2)).alias("_qty_e2"))
+           .filter(F.col("_qty_e2") > 15000)
+           .select("l_orderkey",
+                   F.expr("CAST(_qty_e2 AS DOUBLE) / 100.0").alias("total_qty")))
     return (
         big.join(o, big.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
@@ -679,14 +691,14 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q18_SQL = """
+Q18_SQL = f"""
 SELECT c_custkey, c_name, o_orderkey,
        ROUND(o_totalprice, 2) AS o_totalprice, total_qty
 FROM (
-  SELECT l_orderkey, ROUND(SUM(l_quantity), 2) AS total_qty
+  SELECT l_orderkey, CAST(SUM({_QTY_E2}) AS DOUBLE) / 100.0 AS total_qty
   FROM lineitem
   GROUP BY l_orderkey
-  HAVING ROUND(SUM(l_quantity), 2) > 150
+  HAVING SUM({_QTY_E2}) > 15000
 )
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -946,10 +958,15 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     sitting at the 1.05% cutoff must not flip membership between
     engines on an order-dependent double sum (same class as the money
     sums; ``sv > 0.0105·total ⇔ 10000·sv_e4 > 105·total_e4``). The
-    per-supplier e4 sum recombines to ONE BIGINT (safe to ~1e12 rows
-    per supplier); only the global total — which can pass 2^63 at
-    extreme SF — widens to DECIMAL(38,0), a per-supplier scalar op on
-    the tiny second-level agg, not a per-row cost."""
+    per-supplier e4 sum recombines to ONE BIGINT: worst-case _STOCK_E4
+    is ~5.3e10/row, so 2^63 is reached near ~1.7e8 WORST-CASE rows per
+    supplier (~1e9-1e10 at average values) — ample for TPC-H, where
+    rows-per-supplier is bounded (~600 at any SF), but NOT a general
+    1e12-rows/group bound (ADVICE r10); a skewed non-TPC-H supplier key
+    would need the split form kept through the comparison. Only the
+    global total — which passes 2^63 far earlier — widens to
+    DECIMAL(38,0), a per-supplier scalar op on the tiny second-level
+    agg, not a per-row cost."""
     l = t(spark, sf_dir, "lineitem")
     s = t(spark, sf_dir, "supplier")
     per_supp = (

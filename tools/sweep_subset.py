@@ -22,6 +22,9 @@ TABLES = ("region nation customer supplier part orders lineitem "
 
 
 def main() -> int:
+    if len(sys.argv) < 3:
+        print(__doc__)
+        return 2
     sf_dir = sys.argv[1]
     names = sys.argv[2:]
     if names == ["--priority"]:
