@@ -46,24 +46,23 @@ _MODULE_SPECS: list[QuerySpec] = [
 # End-of-round ritual: append the new round's names to the JSON, then
 # rewrite this tuple for the next round's changed plans.
 _ROUND_PRIORITY: tuple[str, ...] = (
-    # round 10: the r9 exact-DECIMAL money sums converted to exact
-    # INTEGER-UNIT BIGINT hi/lo-split sums (VERDICT r9 item 1) — same
-    # bit-identical deterministic values (verified value-equal to the
-    # decimal form at sf0.1), but plain-LongType hash-agg partials
-    # reclaim the decimal-agg tax (q1 ~1.09 s → ~0.66 s measured).
-    # q17's avg_yearly additionally moved off its order-dependent
-    # double SUM (ADVICE r9 medium — it was the one money sum the r9
-    # audit missed; q9's profit was the only true integer-units query)
-    # and q11's 1.05%-of-global-total HAVING threshold now compares
-    # exact integers instead of double sums (ADVICE r9 low). All
-    # twelve re-proven locally at sf0.001/0.01/0.1/10×; the driver
-    # must re-prove them too. 12 priority rows + the 32 r7-stale rows
-    # land within the ~50-row budget, preserving the LRU rotation.
-    "q1_pricing_summary", "q3_shipping_priority",
-    "q5_local_supplier_volume", "q6_forecast_revenue",
-    "q7_nation_volume", "q8_market_share", "q10_returned_items",
-    "q11_important_stock", "q14_promo_share", "q15_top_supplier",
-    "q17_small_quantity_revenue", "q19_disjunctive_revenue",
+    # round 12 gate repair (VERDICT r11 items 1-2): the 12 plans whose
+    # shapes changed in the r10 snapshot sweep / r11 conversions without
+    # the mandatory fingerprint regen, ordered so the 5 with NO driver
+    # proof after their change lead the driver's ~50-row budget:
+    #   - events_session_window_native, join_left_order_counts,
+    #     window_running_spend — changed in the r10 sweep, last proven r9;
+    #   - agg_rollup_lineitem, q18_large_orders — converted to exact
+    #     e2-integer quantity sums in r11 (relational.py:415-436,674-706),
+    #     never driver-proven in that form.
+    # The remaining 7 changed in the same sweeps but were value-proven
+    # post-change (3 in r10, 4 in r11) — process-weak only; they follow.
+    "events_session_window_native", "join_left_order_counts",
+    "window_running_spend", "agg_rollup_lineitem", "q18_large_orders",
+    "bucketed_join_zero_shuffle", "events_sessionize",
+    "events_tumbling_hourly", "grouping_sets_revenue",
+    "q22_idle_rich_customers", "salted_hot_key_agg",
+    "window_trailing_30d_spend",
 )
 
 _HISTORY_PATH = Path(__file__).with_name("checked_history.json")
