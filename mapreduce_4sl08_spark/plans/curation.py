@@ -570,3 +570,59 @@ ORDER BY lang
 SPECS.append(
     QuerySpec("mixture_weighted_sample", mixture_weighted_sample, MIXTURE_SAMPLE_SQL,
               "deterministic hash-threshold sampling at temperature-mixture rates"))
+
+# ------------------------------------------------------------ train/val/test split
+# Deterministic hash-based split assignment — the reproducibility
+# primitive every training pipeline needs: membership is a pure
+# function of the stable key (doc_id:source), so re-runs, incremental
+# ingest, and different engines all agree on which split a document
+# lands in (no stored split table, no RNG seed to lose). Buckets come
+# from the first 8 hex chars of md5 mod 1000: <900 train, <950 val,
+# else test (~90/5/5). Scale: a map-side expression plus ONE hash-agg
+# shuffle on (source, split) — nothing else; at 100 TB the split column
+# is typically materialized at ingest and this report is a free rollup.
+
+
+def hash_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"),
+                           F.lit(":"), F.col("source"))), 1, 8), 16, 10)
+        .cast("long") % 1000)
+    split = (F.when(bucket < 900, "train")
+             .when(bucket < 950, "val")
+             .otherwise("test"))
+    return (
+        d.select("source", split.alias("split"),
+                 F.col("n_chars").alias("nc"))
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("nc").alias("total_chars"))
+        .orderBy("source", "split")
+    )
+
+
+HASH_SPLIT_SQL = """
+WITH assigned AS (
+  SELECT source,
+         CASE WHEN b < 900 THEN 'train'
+              WHEN b < 950 THEN 'val'
+              ELSE 'test' END AS split,
+         n_chars
+  FROM (
+    SELECT source, n_chars,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || source), 1, 8))::BIGINT
+             % 1000 AS b
+    FROM documents
+  )
+)
+SELECT source, split, COUNT(*) AS n_docs, SUM(n_chars)::BIGINT AS total_chars
+FROM assigned
+GROUP BY source, split
+ORDER BY source, split
+"""
+
+SPECS.append(
+    QuerySpec("hash_split_assignment", hash_split_assignment, HASH_SPLIT_SQL,
+              "deterministic md5-bucket train/val/test split report (~90/5/5)"))

@@ -403,3 +403,71 @@ SPECS: list[QuerySpec] = [
         "events_value_histogram", events_value_histogram, VALUE_HISTOGRAM_SQL,
         "equi-width per-type value histogram with degenerate-range guard"),
 ]
+
+
+# ------------------------------------------------------- watchlist scan
+# Content-safety / compliance scan: count regex-watchlist hits per
+# source — the blocklist-filtering and PII-detection pass a training
+# corpus runs before release. Patterns are limited to syntax with
+# identical semantics in Java regex (Spark) and RE2 (DuckDB): literal
+# alternation, \b word boundaries, bounded repetition — no lookaround.
+# Scale: regexp_count is a map-side JVM expression inside whole-stage
+# codegen (one corpus scan, no UDF); the only shuffle is the per-source
+# hash-agg. Adding a pattern costs zero extra I/O. The flagged rate is
+# kept as an exact integer per-mille (div), never a float ratio.
+
+#: blocked-term demo list (stands in for a real toxicity/compliance list)
+_WATCH_BLOCKTERMS = r"\b(vector|stream|window)\b"
+#: PII detectors — zero hits on the synthetic corpus, by construction
+_WATCH_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_WATCH_IPV4 = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+
+
+def watchlist_term_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    n_block = F.regexp_count("text", F.lit(_WATCH_BLOCKTERMS))
+    per_doc = d.select(
+        "source",
+        n_block.alias("n_block"),
+        F.regexp_count("text", F.lit(_WATCH_EMAIL)).alias("n_email"),
+        F.regexp_count("text", F.lit(_WATCH_IPV4)).alias("n_ipv4"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum(F.when(F.col("n_block") > 0, 1).otherwise(0))
+             .alias("flagged_docs"),
+             F.sum("n_block").cast("long").alias("blockterm_hits"),
+             F.sum("n_email").cast("long").alias("email_hits"),
+             F.sum("n_ipv4").cast("long").alias("ipv4_hits"))
+        .select("source", "n_docs", "flagged_docs", "blockterm_hits",
+                "email_hits", "ipv4_hits",
+                F.expr("(flagged_docs * 1000) div n_docs")
+                .alias("flagged_permille"))
+        .orderBy("source")
+    )
+
+
+WATCHLIST_SCAN_SQL = r"""
+WITH per_doc AS (
+  SELECT source,
+         len(regexp_extract_all(text, '\b(vector|stream|window)\b')) AS n_block,
+         len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+         len(regexp_extract_all(text, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS n_ipv4
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_docs,
+       SUM(CASE WHEN n_block > 0 THEN 1 ELSE 0 END)::BIGINT AS flagged_docs,
+       SUM(n_block)::BIGINT AS blockterm_hits,
+       SUM(n_email)::BIGINT AS email_hits,
+       SUM(n_ipv4)::BIGINT AS ipv4_hits,
+       ((SUM(CASE WHEN n_block > 0 THEN 1 ELSE 0 END) * 1000) // COUNT(*))::BIGINT
+         AS flagged_permille
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+SPECS.append(
+    QuerySpec("watchlist_term_scan", watchlist_term_scan, WATCHLIST_SCAN_SQL,
+              "regex watchlist / PII scan per source, exact per-mille rates"))

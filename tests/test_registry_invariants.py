@@ -57,6 +57,24 @@ def test_registry_metadata():
         assert spec.doc, f"{name} has no description"
 
 
+@pytest.mark.parametrize("name", sorted(QUERIES), ids=str)
+def test_oracle_has_no_control_chars(name):
+    """Oracle SQL must be pure printable text. The failure this pins:
+    writing a module through a NON-raw outer Python string turns the
+    regex escape \\b into a literal backspace (0x08) inside the SQL —
+    valid SQL, silently matching nothing, caught only as a value
+    mismatch three layers later (happened for real with
+    watchlist_term_scan's word-boundary patterns)."""
+    spec = QUERIES[name]
+    if spec.oracle is None:
+        return
+    bad = sorted({c for c in spec.oracle if ord(c) < 32 and c not in "\n\t"})
+    assert not bad, (
+        f"{name}: oracle SQL contains control characters {bad!r} — "
+        f"almost certainly a mangled regex escape (\\b/\\f) from a "
+        f"non-raw string literal")
+
+
 def test_no_driver_collect_in_plan_builders():
     """No registry plan builder may materialize data on the driver.
 
@@ -148,9 +166,14 @@ def test_driver_checked_history_ordering():
     n_prio = len(registry._ROUND_PRIORITY)
     assert set(names[:n_prio]) == set(registry._ROUND_PRIORITY)
     rest = names[n_prio:]
-    # every query is covered by the history (no never-checked rows today)
-    assert all(n in registry._LAST_PROVEN for n in rest)
-    rounds = [registry._LAST_PROVEN[n] for n in rest]
+    # never-driver-checked rows (new this round) sort directly after the
+    # priority block, before every history-proven row
+    never = [n for n in rest if n not in registry._LAST_PROVEN]
+    assert never == rest[:len(never)], (
+        f"never-checked rows must lead the non-priority block: {never}")
+    proven = rest[len(never):]
+    assert all(n in registry._LAST_PROVEN for n in proven)
+    rounds = [registry._LAST_PROVEN[n] for n in proven]
     assert rounds == sorted(rounds), "history rotation out of LRU order"
 
 
