@@ -653,3 +653,38 @@ def test_jaccard_integer_bounds_never_tighter_than_exact_lemma():
             exact = ceil_frac(T / (1 + T) * n)
             ours = ceil_frac(Fraction(p * n, q + p))
             assert ours <= exact, f"alpha tighter than lemma: {t}, {n}"
+
+
+def test_hash_split_partitions_corpus_and_is_stable(spark, sf_smoke_dir):
+    """The split report must (a) partition the corpus exactly — per-source
+    doc counts across splits sum to the source's total — and (b) be a pure
+    function of the data: identical under a different physical
+    partitioning (the reproducibility property the operator exists for)."""
+    docs = load_table(spark, sf_smoke_dir, "documents")
+    totals = {r.source: r.n for r in
+              docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    out = QUERIES["hash_split_assignment"].fn(spark, sf_smoke_dir).collect()
+    per_source: dict[str, int] = {}
+    for r in out:
+        assert r.split in ("train", "val", "test")
+        per_source[r.source] = per_source.get(r.source, 0) + r.n_docs
+    assert per_source == totals
+    rows1 = {(r.source, r.split, r.n_docs, r.total_chars) for r in out}
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try:
+        rows2 = {(r.source, r.split, r.n_docs, r.total_chars)
+                 for r in QUERIES["hash_split_assignment"]
+                 .fn(spark, sf_smoke_dir).collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+    assert rows1 == rows2
+
+
+def test_watchlist_flag_bounds(spark, sf_smoke_dir):
+    """flagged_docs <= n_docs, hits are non-negative, and the per-mille
+    rate is exactly (flagged*1000) div n_docs — the integer-rate contract."""
+    for r in QUERIES["watchlist_term_scan"].fn(spark, sf_smoke_dir).collect():
+        assert 0 <= r.flagged_docs <= r.n_docs
+        assert r.blockterm_hits >= r.flagged_docs  # each flagged doc has >=1 hit
+        assert r.email_hits >= 0 and r.ipv4_hits >= 0
+        assert r.flagged_permille == (r.flagged_docs * 1000) // r.n_docs
