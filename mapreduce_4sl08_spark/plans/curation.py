@@ -626,3 +626,65 @@ ORDER BY source, split
 SPECS.append(
     QuerySpec("hash_split_assignment", hash_split_assignment, HASH_SPLIT_SQL,
               "deterministic md5-bucket train/val/test split report (~90/5/5)"))
+
+
+# ------------------------------------------------------ per-domain frequency cap
+# Common Crawl-style per-domain document cap: within each (source, lang)
+# keep at most CAP docs, chosen by a deterministic content-independent
+# hash order (md5 of doc_id) so re-runs, incremental ingests, and
+# different engines agree on the SAME survivors without coordination —
+# the same determinism argument as hash_split_assignment above. The
+# fixture's (source, lang) cardinality (~100) is the degenerate case; in
+# production the partition key is (domain, lang) at 1e7+ cardinality, so
+# the rank window's hash shuffle is well spread — and the cap itself is
+# what bounds any one domain's contribution to the corpus, which is why
+# the op exists. One pruned 4-column scan, one hash shuffle.
+
+_DOMAIN_CAP = 8
+
+
+def source_frequency_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source", "lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id")
+    ranked = d.select(
+        "source", "lang", "n_chars",
+        F.row_number().over(w).alias("rn"))
+    kept = F.col("rn") <= _DOMAIN_CAP
+    return (
+        ranked.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+             F.sum(F.when(kept, F.col("n_chars")).otherwise(0))
+             .alias("kept_chars"))
+        .withColumn("n_dropped", F.col("n_docs") - F.col("n_kept"))
+        .select("source", "lang", "n_docs", "n_kept", "n_dropped",
+                "kept_chars")
+        .orderBy("source", "lang")
+    )
+
+
+SOURCE_CAP_SQL = f"""
+WITH ranked AS (
+  SELECT source, lang, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY source, lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+)
+SELECT source, lang,
+       COUNT(*) AS n_docs,
+       SUM(CASE WHEN rn <= {_DOMAIN_CAP} THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       (COUNT(*)
+        - SUM(CASE WHEN rn <= {_DOMAIN_CAP} THEN 1 ELSE 0 END))::BIGINT
+         AS n_dropped,
+       SUM(CASE WHEN rn <= {_DOMAIN_CAP} THEN n_chars ELSE 0 END)::BIGINT
+         AS kept_chars
+FROM ranked
+GROUP BY source, lang
+ORDER BY source, lang
+"""
+
+SPECS.append(
+    QuerySpec("source_frequency_cap", source_frequency_cap, SOURCE_CAP_SQL,
+              "per-(source,lang) doc cap with deterministic hash-order survivors"))

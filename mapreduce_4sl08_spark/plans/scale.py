@@ -338,3 +338,69 @@ ZORDER_SQL = _zorder_sql()
 SPECS.append(
     QuerySpec("zorder_layout_stats", zorder_layout_stats, ZORDER_SQL,
               "Morton/Z-order layout keys: per-Z-bucket extents on (user, hour)"))
+
+
+# ------------------------------------------------------------ key-skew profile
+# The diagnostic you run BEFORE choosing a skew strategy: per-key
+# frequency distribution of a join/agg key, reduced to the numbers that
+# decide between plain hash, AQE skew-join, and salting (see
+# salted_hot_key_agg above). Exact: key counts are integers; the
+# interpolated percentiles use the Spark `percentile` / DuckDB
+# `quantile_cont` shared definition proven by agg_percentiles; the
+# top-1 share is an exact integer per-million (floor of int arithmetic,
+# identical in both engines). Plan: one map-side-combined count per key
+# (the only data-sized shuffle), then a scalar reduce over the ~|keys|
+# count relation — at 100 TB the profile costs one pass and shuffles
+# only the distinct keys.
+
+
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = t(spark, sf_dir, "lineitem").select("l_partkey")
+    counts = l.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    prof = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_cnt"),
+        F.percentile("cnt", 0.5).alias("p50"),
+        F.percentile("cnt", 0.99).alias("p99"),
+    )
+    return prof.select(F.expr(
+        "stack(6,"
+        " 'n_keys', cast(n_keys as double),"
+        " 'n_rows', cast(n_rows as double),"
+        " 'max_cnt', cast(max_cnt as double),"
+        " 'p50_cnt', round(p50, 4),"
+        " 'p99_cnt', round(p99, 4),"
+        " 'top1_share_e6',"
+        "   cast(floor(cast(max_cnt as double) * 1e6 / n_rows) as double)"
+        ") as (stat, value)"
+    )).orderBy("stat")
+
+
+KEY_SKEW_SQL = """
+WITH counts AS (
+  SELECT l_partkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_partkey
+),
+prof AS (
+  SELECT COUNT(*) AS n_keys,
+         SUM(cnt)::BIGINT AS n_rows,
+         MAX(cnt) AS max_cnt,
+         quantile_cont(cnt, 0.5) AS p50,
+         quantile_cont(cnt, 0.99) AS p99
+  FROM counts
+)
+SELECT stat, value FROM (
+  SELECT 'n_keys' AS stat, n_keys::DOUBLE AS value FROM prof
+  UNION ALL SELECT 'n_rows', n_rows::DOUBLE FROM prof
+  UNION ALL SELECT 'max_cnt', max_cnt::DOUBLE FROM prof
+  UNION ALL SELECT 'p50_cnt', ROUND(p50, 4) FROM prof
+  UNION ALL SELECT 'p99_cnt', ROUND(p99, 4) FROM prof
+  UNION ALL SELECT 'top1_share_e6',
+    FLOOR(max_cnt::DOUBLE * 1e6 / n_rows) FROM prof
+)
+ORDER BY stat
+"""
+
+SPECS.append(
+    QuerySpec("key_skew_profile", key_skew_profile, KEY_SKEW_SQL,
+              "per-key frequency skew diagnostic (counts, percentiles, top-1 share)"))

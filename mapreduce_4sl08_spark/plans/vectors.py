@@ -525,3 +525,57 @@ SPECS: list[QuerySpec] = [
     QuerySpec("multimodal_decode_stub", multimodal_decode_stub, MULTIMODAL_SQL,
               "binary payload + metadata + Arrow mapInPandas decode (stub codec)"),
 ]
+
+
+# ------------------------------------------------------------ label centroids
+# Per-label centroid in e6 fixed point — the building block IVF training
+# and embedding-drift audits share. Floats are quantized per element
+# with FLOOR(x * 1e6) (floor, not round: no tie semantics to disagree
+# on) and summed as BIGINT, so the per-(label, dim) sums are exact and
+# order-independent — a double SUM over a 100 TB shuffle is neither.
+# Plan: posexplode is row-local (no shuffle); the hash agg's map-side
+# combine reduces each partition to |labels|*64 partial rows, so the
+# only exchange carries partials, not elements. Overflow bound:
+# |x| <= ~16 -> |x_e6| <= 1.6e7/element -> BIGINT holds ~5.7e11
+# vectors per (label, dim) group.
+
+
+def embedding_centroid_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    x = e.select("label", F.posexplode("embedding").alias("dim", "x"))
+    g = (
+        x.groupBy("label", F.col("dim").cast("long").alias("dim"))
+        .agg(F.count(F.lit(1)).alias("n_vecs"),
+             F.sum(F.floor(F.col("x").cast("double") * 1e6)).alias("sum_e6"))
+    )
+    # Derived mean stays in e6 fixed point via FLOOR: sum/n can land
+    # exactly on a decimal tie (e.g. -713702/44 = -16220.5), where Spark
+    # HALF_UP and DuckDB half-even disagree — floor of the identical
+    # IEEE quotient never does.
+    return (
+        g.select(
+            "label", "dim", "n_vecs", "sum_e6",
+            F.floor(F.col("sum_e6").cast("double") / F.col("n_vecs"))
+            .alias("centroid_e6"))
+        .orderBy("label", "dim")
+    )
+
+
+CENTROID_SQL = """
+WITH e AS (SELECT label, embedding::DOUBLE[] AS emb FROM embeddings),
+g AS (
+  SELECT label, i AS dim, COUNT(*) AS n_vecs,
+         SUM(CAST(FLOOR(emb[i + 1] * 1e6) AS BIGINT))::BIGINT AS sum_e6
+  FROM e, UNNEST(range(64)) AS u(i)
+  GROUP BY label, i
+)
+SELECT label, dim, n_vecs, sum_e6,
+       CAST(FLOOR(CAST(sum_e6 AS DOUBLE) / n_vecs) AS BIGINT) AS centroid_e6
+FROM g
+ORDER BY label, dim
+"""
+
+SPECS.append(
+    QuerySpec("embedding_centroid_fixedpoint", embedding_centroid_fixedpoint,
+              CENTROID_SQL,
+              "per-label e6 fixed-point centroids (exact integer sums)"))
