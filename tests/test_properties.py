@@ -688,3 +688,75 @@ def test_watchlist_flag_bounds(spark, sf_smoke_dir):
         assert r.blockterm_hits >= r.flagged_docs  # each flagged doc has >=1 hit
         assert r.email_hits >= 0 and r.ipv4_hits >= 0
         assert r.flagged_permille == (r.flagged_docs * 1000) // r.n_docs
+
+
+def test_source_cap_conserves_and_respects_cap(spark, sf_smoke_dir):
+    """kept + dropped == total per (source, lang); kept never exceeds the
+    cap; a group at-or-under the cap keeps everything; and the survivor
+    choice is a pure function of the data (stable under a different
+    shuffle partitioning)."""
+    from mapreduce_4sl08_spark.plans.curation import _DOMAIN_CAP
+    docs = load_table(spark, sf_smoke_dir, "documents")
+    totals = {(r.source, r.lang): r.n for r in
+              docs.groupBy("source", "lang")
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    out = QUERIES["source_frequency_cap"].fn(spark, sf_smoke_dir).collect()
+    assert {(r.source, r.lang) for r in out} == set(totals)
+    for r in out:
+        assert r.n_kept + r.n_dropped == r.n_docs == totals[(r.source, r.lang)]
+        assert r.n_kept <= _DOMAIN_CAP
+        if r.n_docs <= _DOMAIN_CAP:
+            assert r.n_dropped == 0
+        assert r.kept_chars >= 0
+    rows1 = {tuple(r) for r in out}
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try:
+        rows2 = {tuple(r) for r in
+                 QUERIES["source_frequency_cap"].fn(spark, sf_smoke_dir).collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+    assert rows1 == rows2
+
+
+def test_key_skew_profile_consistency(spark, sf_smoke_dir):
+    """The profile's stats must agree with a directly-computed key-count
+    relation: exact n_keys/n_rows/max, percentile ordering
+    p50 <= p99 <= max, and the floor-exact top-1 share."""
+    l = load_table(spark, sf_smoke_dir, "lineitem")
+    counts = [r.n for r in l.groupBy("l_partkey")
+              .agg(F.count(F.lit(1)).alias("n")).collect()]
+    stats = {r.stat: r.value for r in
+             QUERIES["key_skew_profile"].fn(spark, sf_smoke_dir).collect()}
+    assert stats["n_keys"] == len(counts)
+    assert stats["n_rows"] == sum(counts)
+    assert stats["max_cnt"] == max(counts)
+    assert stats["p50_cnt"] <= stats["p99_cnt"] <= stats["max_cnt"]
+    import math
+    assert stats["top1_share_e6"] == math.floor(
+        max(counts) * 1e6 / sum(counts))
+
+
+def test_centroid_fixedpoint_conserves_elements(spark, sf_smoke_dir):
+    """Every (label, dim) cell counts exactly the label's vectors; dims
+    cover 0..63; the e6 sums are invariant under repartitioning (the
+    order-independence integer sums buy); centroid_e6 = floor(sum/n)."""
+    import math
+    e = load_table(spark, sf_smoke_dir, "embeddings")
+    label_counts = {r.label: r.n for r in
+                    e.groupBy("label").agg(F.count(F.lit(1)).alias("n")).collect()}
+    out = QUERIES["embedding_centroid_fixedpoint"].fn(spark, sf_smoke_dir).collect()
+    dims_per_label: dict[int, set[int]] = {}
+    for r in out:
+        assert r.n_vecs == label_counts[r.label]
+        dims_per_label.setdefault(r.label, set()).add(r.dim)
+        assert r.centroid_e6 == math.floor(r.sum_e6 / r.n_vecs)
+    assert all(d == set(range(64)) for d in dims_per_label.values())
+    rows1 = {(r.label, r.dim, r.sum_e6) for r in out}
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try:
+        rows2 = {(r.label, r.dim, r.sum_e6) for r in
+                 QUERIES["embedding_centroid_fixedpoint"]
+                 .fn(spark, sf_smoke_dir).collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+    assert rows1 == rows2
