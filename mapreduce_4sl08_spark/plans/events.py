@@ -575,3 +575,73 @@ SPECS: list[QuerySpec] = [
     QuerySpec("events_funnel_conversion", events_funnel_conversion, FUNNEL_SQL,
               "ordered view→click→purchase funnel counts"),
 ]
+
+
+# ------------------------------------------------------ rolling active users
+# DAU / trailing-7-day WAU / stickiness — the product-analytics rollup
+# every event warehouse serves. Rolling DISTINCT does not decompose into
+# per-day partials, so the scalable form is bounded expansion, not a
+# range join: each distinct (day, user) row is exploded to the <= 7
+# window anchors it can serve (a constant 7x of the already-deduped
+# relation), then an equi-shuffled distinct count per anchor — no
+# nested-loop join, no per-window re-scan, and the calendar (distinct
+# days) is a broadcast-sized side everywhere. Day arithmetic stays in
+# exact integer epoch-days (micros div 86.4e9, the zorder idiom);
+# stickiness is an exact integer per-million. Anchors are reported only
+# for days that exist in the data (join with the day list), so leading
+# days cover partial windows, matching the oracle by construction.
+
+
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    du = (e.select(F.expr("unix_micros(ts) div 86400000000").alias("d"),
+                   "user_id")
+          .distinct())
+    days = du.select("d").distinct()
+    expanded = du.select(
+        F.explode(F.sequence(F.col("d"), F.col("d") + F.lit(6)))
+        .alias("anchor"),
+        "user_id")
+    wau = (expanded.join(F.broadcast(days),
+                         expanded.anchor == days.d)
+           .groupBy("anchor")
+           .agg(F.countDistinct("user_id").alias("wau_users")))
+    # du is already distinct on (d, user): DAU is a plain count
+    dau = du.groupBy("d").agg(F.count(F.lit(1)).alias("dau_users"))
+    return (
+        dau.join(wau, dau.d == wau.anchor)
+        .select(
+            F.timestamp_micros(F.col("d") * F.lit(86400000000)).alias("day"),
+            "dau_users", "wau_users",
+            F.expr("dau_users * 1000000L div wau_users")
+            .alias("stickiness_e6"))
+        .orderBy("day")
+    )
+
+
+ROLLING_ACTIVE_SQL = """
+WITH du AS (
+  SELECT DISTINCT epoch_us(ts) // 86400000000 AS d, user_id FROM events
+),
+days AS (SELECT DISTINCT d FROM du),
+expanded AS (
+  SELECT du.d + u.i AS anchor, du.user_id
+  FROM du, UNNEST(range(7)) AS u(i)
+),
+wau AS (
+  SELECT anchor, COUNT(DISTINCT user_id) AS wau_users
+  FROM expanded JOIN days ON anchor = days.d
+  GROUP BY anchor
+),
+dau AS (SELECT d, COUNT(*) AS dau_users FROM du GROUP BY d)
+SELECT TIMESTAMP '1970-01-01'
+         + CAST(dau.d * 86400 AS BIGINT) * INTERVAL 1 SECOND AS day,
+       dau_users, wau_users,
+       dau_users * 1000000 // wau_users AS stickiness_e6
+FROM dau JOIN wau ON dau.d = wau.anchor
+ORDER BY day
+"""
+
+SPECS.append(
+    QuerySpec("rolling_active_users", rolling_active_users, ROLLING_ACTIVE_SQL,
+              "DAU / trailing-7d WAU / stickiness via bounded day expansion"))

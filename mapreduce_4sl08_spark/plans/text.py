@@ -1453,3 +1453,66 @@ SPECS: list[QuerySpec] = [
     QuerySpec("dedup_cluster_stats", dedup_cluster_stats, CLUSTER_STATS_SQL,
               "near-dup cluster size histogram (dedup savings report)"),
 ]
+
+
+# ------------------------------------------------------ lexical diversity
+# Type-token ratio and Gini-Simpson diversity per document — the
+# standard lexical-diversity quality filters — computed entirely in
+# rational arithmetic: TTR = types/tokens and Simpson = 1 - Σc²/N² are
+# ratios of exact integers, so both land in e6 fixed point via integer
+# floor-division with zero cross-engine float risk (log-based entropy is
+# deliberately avoided: ln/log2 are not correctly-rounded and differ
+# between JVM and libm — same rationale as unigram_rarity_score above).
+# Plan: the (doc_id, token) count is wordcount-shaped (the engine's
+# flagship aggregation) with map-side combine; the per-doc reduction
+# shuffles only (docs × types) pairs. Overflow: (N² − Σc²)·1e6 ≤ N²·1e6
+# → BIGINT-safe for docs up to ~3e6 tokens.
+
+
+def lexical_diversity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim("text")), TOKEN_SPLIT_RE)
+    ex = (d.select("doc_id", F.explode(toks).alias("tok"))
+          .filter(F.col("tok") != ""))
+    cnt = ex.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    stats = cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.col("c") * F.col("c")).alias("sum_sq"))
+    return (
+        stats.select(
+            "doc_id", "n_tokens", "n_types",
+            F.expr("n_types * 1000000L div n_tokens").alias("ttr_e6"),
+            F.expr("(n_tokens * n_tokens - sum_sq) * 1000000L"
+                   " div (n_tokens * n_tokens)").alias("simpson_e6"))
+        .orderBy("doc_id")
+    )
+
+
+LEXICAL_DIVERSITY_SQL = r"""
+WITH ex AS (
+  SELECT doc_id, t.tok
+  FROM (SELECT doc_id,
+               regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        FROM documents),
+       UNNEST(toks) AS t(tok)
+  WHERE t.tok <> ''
+),
+cnt AS (SELECT doc_id, tok, COUNT(*) AS c FROM ex GROUP BY doc_id, tok),
+stats AS (
+  SELECT doc_id, SUM(c)::BIGINT AS n_tokens, COUNT(*) AS n_types,
+         SUM(c * c)::BIGINT AS sum_sq
+  FROM cnt GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_types,
+       n_types * 1000000 // n_tokens AS ttr_e6,
+       (n_tokens * n_tokens - sum_sq) * 1000000
+         // (n_tokens * n_tokens) AS simpson_e6
+FROM stats
+ORDER BY doc_id
+"""
+
+SPECS.append(
+    QuerySpec("lexical_diversity_stats", lexical_diversity_stats,
+              LEXICAL_DIVERSITY_SQL,
+              "per-doc type-token ratio + Gini-Simpson diversity (e6 fixed point)"))
