@@ -760,3 +760,49 @@ def test_centroid_fixedpoint_conserves_elements(spark, sf_smoke_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", "32")
     assert rows1 == rows2
+
+
+def test_lexical_diversity_bounds_and_conservation(spark, sf_smoke_dir):
+    """1 <= types <= tokens, both fixed-point ratios live in [0, 1e6],
+    simpson_e6 == 0 exactly for single-type docs, and token totals
+    conserve against a direct count of non-empty whitespace tokens."""
+    from mapreduce_4sl08_spark.functions import TOKEN_SPLIT_RE
+    docs = load_table(spark, sf_smoke_dir, "documents")
+    direct_tokens = (
+        docs.select(F.explode(F.split(F.lower(F.trim("text")),
+                                      TOKEN_SPLIT_RE)).alias("tok"))
+        .filter(F.col("tok") != "").count())
+    out = QUERIES["lexical_diversity_stats"].fn(spark, sf_smoke_dir).collect()
+    assert sum(r.n_tokens for r in out) == direct_tokens
+    for r in out:
+        assert 1 <= r.n_types <= r.n_tokens
+        assert 0 < r.ttr_e6 <= 1_000_000
+        assert 0 <= r.simpson_e6 < 1_000_000
+        if r.n_types == 1:
+            assert r.simpson_e6 == 0
+
+
+def test_rolling_active_users_window_semantics(spark, sf_smoke_dir):
+    """WAU >= DAU per day, WAU on the earliest day equals its DAU (the
+    trailing window has nothing before it), stickiness is the exact
+    integer per-million, and every WAU agrees with a directly computed
+    distinct count over the trailing 7 epoch-days."""
+    e = load_table(spark, sf_smoke_dir, "events")
+    du = {(r.d, r.u) for r in e.select(
+        F.expr("unix_micros(ts) div 86400000000").alias("d"),
+        F.col("user_id").alias("u")).distinct().collect()}
+    import datetime
+    epoch = datetime.datetime(1970, 1, 1)
+    out = QUERIES["rolling_active_users"].fn(spark, sf_smoke_dir).collect()
+    # day is a naive UTC timestamp: diff against the naive epoch, never
+    # .timestamp() (which would interpret it in the box-local zone)
+    assert {(r.day - epoch).days for r in out} == {d for d, _ in du}
+    min_day = min(r.day for r in out)
+    for r in out:
+        d = (r.day - epoch).days
+        expect_wau = len({u for (dd, u) in du if d - 6 <= dd <= d})
+        assert r.wau_users == expect_wau
+        assert r.dau_users <= r.wau_users
+        assert r.stickiness_e6 == (r.dau_users * 1_000_000) // r.wau_users
+        if r.day == min_day:
+            assert r.wau_users == r.dau_users
