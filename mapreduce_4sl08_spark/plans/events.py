@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
+from pyspark.sql.functions import broadcast
 
 from .base import QuerySpec, cents, cents_sql, dollars, t
 
@@ -645,3 +646,61 @@ ORDER BY day
 SPECS.append(
     QuerySpec("rolling_active_users", rolling_active_users, ROLLING_ACTIVE_SQL,
               "DAU / trailing-7d WAU / stickiness via bounded day expansion"))
+
+
+# ------------------------------------------------------ event transitions
+# First-order Markov transition counts over each user's event stream —
+# the sequence-modeling rollup (next-action prediction, anomaly
+# baselines) — with exact per-from-state probabilities in e6 fixed
+# point. Ordering within a user is (ts, event_id): event_id breaks
+# same-microsecond ties deterministically, so the lag is a pure function
+# of the data. One window shuffle on user_id (the natural key, high
+# cardinality), then a tiny (from, to) agg — at 100 TB the state after
+# the window never exceeds |event_types|² rows per partition thanks to
+# map-side combine.
+
+
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"))
+    trans = (seq.filter(F.col("from_type").isNotNull())
+             .groupBy("from_type", "to_type")
+             .agg(F.count(F.lit(1)).alias("n")))
+    from_n = (trans.groupBy("from_type")
+              .agg(F.sum("n").alias("n_from")))
+    return (
+        trans.join(broadcast(from_n), "from_type")
+        .select("from_type", "to_type", "n", "n_from",
+                F.expr("n * 1000000L div n_from").alias("prob_e6"))
+        .orderBy("from_type", "to_type")
+    )
+
+
+TRANSITION_SQL = """
+WITH seq AS (
+  SELECT user_id,
+         LAG(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS from_type,
+         event_type AS to_type
+  FROM events
+),
+trans AS (
+  SELECT from_type, to_type, COUNT(*) AS n
+  FROM seq WHERE from_type IS NOT NULL
+  GROUP BY from_type, to_type
+),
+from_n AS (SELECT from_type, SUM(n)::BIGINT AS n_from FROM trans GROUP BY from_type)
+SELECT t.from_type, t.to_type, t.n, f.n_from,
+       t.n * 1000000 // f.n_from AS prob_e6
+FROM trans t JOIN from_n f ON t.from_type = f.from_type
+ORDER BY t.from_type, t.to_type
+"""
+
+SPECS.append(
+    QuerySpec("events_transition_matrix", events_transition_matrix,
+              TRANSITION_SQL,
+              "per-user Markov transition counts + e6 transition probabilities"))

@@ -809,3 +809,82 @@ SPECS: list[QuerySpec] = [
     QuerySpec("pandas_udf_norms", pandas_udf_norms, PANDAS_NORMS_SQL,
               "Pandas-UDF (Arrow) execution path"),
 ]
+
+
+# ------------------------------------------------------ brand co-purchase rules
+# Association-rule mining over orders: for every pair of part brands
+# bought together, exact support and directional confidence. The outputs
+# are support/confidence (not lift): n_ab*1e6 and the divisors all fit
+# BIGINT at any order count (lift's N·n_ab·1e6 numerator overflows past
+# ~3e6 orders), and lift stays derivable from the reported counts.
+# Plan shape: the basket relation (order, brand) is deduped with one
+# hash shuffle; pair emission is a within-order self-join AFTER dedup,
+# bounded by C(25,2) pairs per order (brand cardinality is fixed), so
+# candidates grow linearly in orders — the same bounded-candidates
+# argument as the dedup stack. The brand marginals are a 25-row
+# broadcast.
+
+_MIN_PAIR_SUPPORT = 2
+
+
+def brand_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (l.join(p, l.l_partkey == p.p_partkey)
+          .select("l_orderkey", F.col("p_brand").alias("brand"))
+          .distinct())
+    n_orders = ob.select("l_orderkey").distinct() \
+                 .agg(F.count(F.lit(1)).alias("n_orders"))
+    brand_n = ob.groupBy("brand").agg(F.count(F.lit(1)).alias("n_brand"))
+    a, b = ob.alias("a"), ob.alias("b")
+    pairs = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                    & (F.col("a.brand") < F.col("b.brand")))
+             .groupBy(F.col("a.brand").alias("brand_a"),
+                      F.col("b.brand").alias("brand_b"))
+             .agg(F.count(F.lit(1)).alias("n_ab"))
+             .filter(F.col("n_ab") >= _MIN_PAIR_SUPPORT))
+    na = broadcast(brand_n.select(F.col("brand").alias("brand_a"),
+                                  F.col("n_brand").alias("n_a")))
+    nb = broadcast(brand_n.select(F.col("brand").alias("brand_b"),
+                                  F.col("n_brand").alias("n_b")))
+    return (
+        pairs.join(na, "brand_a").join(nb, "brand_b")
+        .crossJoin(broadcast(n_orders))
+        .select(
+            "brand_a", "brand_b", "n_ab", "n_a", "n_b", "n_orders",
+            F.expr("n_ab * 1000000L div n_orders").alias("support_e6"),
+            F.expr("n_ab * 1000000L div n_a").alias("conf_a_to_b_e6"),
+            F.expr("n_ab * 1000000L div n_b").alias("conf_b_to_a_e6"))
+        .orderBy("brand_a", "brand_b")
+    )
+
+
+BRAND_RULES_SQL = f"""
+WITH ob AS (
+  SELECT DISTINCT l_orderkey, p_brand AS brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+n_orders AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM ob),
+brand_n AS (SELECT brand, COUNT(*) AS n_brand FROM ob GROUP BY brand),
+pairs AS (
+  SELECT a.brand AS brand_a, b.brand AS brand_b, COUNT(*) AS n_ab
+  FROM ob a JOIN ob b
+    ON a.l_orderkey = b.l_orderkey AND a.brand < b.brand
+  GROUP BY a.brand, b.brand
+  HAVING COUNT(*) >= {_MIN_PAIR_SUPPORT}
+)
+SELECT brand_a, brand_b, n_ab,
+       na.n_brand AS n_a, nb.n_brand AS n_b, n_orders.n_orders,
+       n_ab * 1000000 // n_orders.n_orders AS support_e6,
+       n_ab * 1000000 // na.n_brand AS conf_a_to_b_e6,
+       n_ab * 1000000 // nb.n_brand AS conf_b_to_a_e6
+FROM pairs
+JOIN brand_n na ON na.brand = brand_a
+JOIN brand_n nb ON nb.brand = brand_b
+CROSS JOIN n_orders
+ORDER BY brand_a, brand_b
+"""
+
+SPECS.append(
+    QuerySpec("brand_basket_rules", brand_basket_rules, BRAND_RULES_SQL,
+              "co-purchase association rules: exact support + confidence per brand pair"))
