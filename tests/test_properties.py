@@ -806,3 +806,38 @@ def test_rolling_active_users_window_semantics(spark, sf_smoke_dir):
         assert r.stickiness_e6 == (r.dau_users * 1_000_000) // r.wau_users
         if r.day == min_day:
             assert r.wau_users == r.dau_users
+
+
+def test_brand_rules_symmetry_and_bounds(spark, sf_smoke_dir):
+    """Pairs are canonical (a < b), counts obey n_ab <= min(n_a, n_b)
+    <= n_orders, and every e6 ratio is the exact integer floor of its
+    defining fraction."""
+    out = QUERIES["brand_basket_rules"].fn(spark, sf_smoke_dir).collect()
+    assert out, "fixture should produce co-purchase pairs"
+    for r in out:
+        assert r.brand_a < r.brand_b
+        assert 2 <= r.n_ab <= min(r.n_a, r.n_b) <= r.n_orders
+        assert r.support_e6 == (r.n_ab * 1_000_000) // r.n_orders
+        assert r.conf_a_to_b_e6 == (r.n_ab * 1_000_000) // r.n_a
+        assert r.conf_b_to_a_e6 == (r.n_ab * 1_000_000) // r.n_b
+
+
+def test_transition_matrix_conserves_and_normalizes(spark, sf_smoke_dir):
+    """Transitions total (events - users with >=1 event): each user
+    contributes len(stream)-1 transitions; per-from probabilities are
+    exact floors and sum to ~1e6 (within the floor loss bound of
+    |to-states| - 1 per from-state)."""
+    e = load_table(spark, sf_smoke_dir, "events")
+    n_events = e.count()
+    n_users = e.select("user_id").distinct().count()
+    out = QUERIES["events_transition_matrix"].fn(spark, sf_smoke_dir).collect()
+    assert sum(r.n for r in out) == n_events - n_users
+    by_from: dict[str, list] = {}
+    for r in out:
+        assert r.prob_e6 == (r.n * 1_000_000) // r.n_from
+        by_from.setdefault(r.from_type, []).append(r)
+    for from_type, rows in by_from.items():
+        assert all(r.n_from == rows[0].n_from for r in rows)
+        assert sum(r.n for r in rows) == rows[0].n_from
+        total_p = sum(r.prob_e6 for r in rows)
+        assert 1_000_000 - (len(rows) - 1) <= total_p <= 1_000_000
