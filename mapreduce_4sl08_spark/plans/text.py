@@ -1516,3 +1516,94 @@ SPECS.append(
     QuerySpec("lexical_diversity_stats", lexical_diversity_stats,
               LEXICAL_DIVERSITY_SQL,
               "per-doc type-token ratio + Gini-Simpson diversity (e6 fixed point)"))
+
+
+# ------------------------------------------------------ vocabulary growth
+# Heaps-law curve: distinct-vocabulary size as the corpus is consumed in
+# doc_id order, reported at 20 corpus buckets — the dataset-level
+# statistic that sizes tokenizer vocabularies and predicts novelty decay
+# as a training corpus grows. Scale design: "cumulative distinct" is NOT
+# computed with a global ordered window over tokens (a single-partition
+# scan at 100 TB). Instead each token's FIRST document (min doc_id — a
+# plain hash agg) is bucketed by exact integer id-range arithmetic
+# ((id-mn)*20 div span, broadcast scalar bounds, no global sort), so
+# new-type counts per bucket distribute fully; the only ordered window
+# runs over the <= 20 bucket rows. All counts exact BIGINT.
+
+
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    bounds = d.agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+    bucket = F.expr("(doc_id - mn) * 20 div (mx - mn + 1)")
+    docs = (d.crossJoin(F.broadcast(bounds))
+            .select("doc_id", "mn", "mx", bucket.alias("bucket"),
+                    F.lower(F.trim("text")).alias("txt")))
+    toks = (docs.select("doc_id", "bucket", "mn", "mx",
+                        F.explode(F.split("txt", TOKEN_SPLIT_RE)).alias("tok"))
+            .filter(F.col("tok") != ""))
+    firsts = (toks.groupBy("tok")
+              .agg(F.min("doc_id").alias("first_doc"),
+                   F.first("mn").alias("mn"), F.first("mx").alias("mx")))
+    newt = (firsts
+            .select(F.expr("(first_doc - mn) * 20 div (mx - mn + 1)")
+                    .alias("bucket"))
+            .groupBy("bucket").agg(F.count(F.lit(1)).alias("new_types")))
+    tokcnt = toks.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_tokens"))
+    doccnt = docs.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        doccnt
+        .join(tokcnt, "bucket", "left")
+        .join(newt, "bucket", "left")
+        .select(
+            "bucket", "n_docs",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("new_types", F.lit(0)).alias("new_types"))
+        .withColumn("cum_types", F.sum("new_types").over(w))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .orderBy("bucket")
+    )
+
+
+VOCAB_GROWTH_SQL = r"""
+WITH bounds AS (SELECT MIN(doc_id) AS mn, MAX(doc_id) AS mx FROM documents),
+docs AS (
+  SELECT doc_id, (doc_id - mn) * 20 // (mx - mn + 1) AS bucket,
+         lower(trim(text)) AS txt
+  FROM documents, bounds
+),
+toks AS (
+  SELECT doc_id, bucket, t.tok
+  FROM (SELECT doc_id, bucket,
+               regexp_split_to_array(txt, '\s+') AS toks FROM docs),
+       UNNEST(toks) AS t(tok)
+  WHERE t.tok <> ''
+),
+firsts AS (SELECT tok, MIN(doc_id) AS first_doc FROM toks GROUP BY tok),
+newt AS (
+  SELECT (first_doc - mn) * 20 // (mx - mn + 1) AS bucket,
+         COUNT(*) AS new_types
+  FROM firsts, bounds GROUP BY 1
+),
+tokcnt AS (SELECT bucket, COUNT(*) AS n_tokens FROM toks GROUP BY bucket),
+doccnt AS (SELECT bucket, COUNT(*) AS n_docs FROM docs GROUP BY bucket)
+SELECT d.bucket, d.n_docs,
+       COALESCE(t.n_tokens, 0)::BIGINT AS n_tokens,
+       COALESCE(nw.new_types, 0)::BIGINT AS new_types,
+       CAST(SUM(COALESCE(nw.new_types, 0))
+            OVER (ORDER BY d.bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_types,
+       CAST(SUM(COALESCE(t.n_tokens, 0))
+            OVER (ORDER BY d.bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_tokens
+FROM doccnt d
+LEFT JOIN tokcnt t ON d.bucket = t.bucket
+LEFT JOIN newt nw ON d.bucket = nw.bucket
+ORDER BY d.bucket
+"""
+
+SPECS.append(
+    QuerySpec("vocab_growth_curve", vocab_growth_curve, VOCAB_GROWTH_SQL,
+              "Heaps-law vocabulary growth at 20 corpus buckets (no global sort)"))
