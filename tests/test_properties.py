@@ -841,3 +841,29 @@ def test_transition_matrix_conserves_and_normalizes(spark, sf_smoke_dir):
         assert sum(r.n for r in rows) == rows[0].n_from
         total_p = sum(r.prob_e6 for r in rows)
         assert 1_000_000 - (len(rows) - 1) <= total_p <= 1_000_000
+
+
+def test_vocab_growth_monotone_and_conserves(spark, sf_smoke_dir):
+    """Cumulative series are the exact running sums and are monotone;
+    final cum_types equals the corpus's distinct-token count and final
+    cum_tokens its total token count; doc counts conserve."""
+    from mapreduce_4sl08_spark.functions import TOKEN_SPLIT_RE
+    docs = load_table(spark, sf_smoke_dir, "documents")
+    toks = (docs.select(F.explode(F.split(F.lower(F.trim("text")),
+                                          TOKEN_SPLIT_RE)).alias("tok"))
+            .filter(F.col("tok") != ""))
+    total_tokens = toks.count()
+    total_types = toks.distinct().count()
+    out = QUERIES["vocab_growth_curve"].fn(spark, sf_smoke_dir).collect()
+    assert sum(r.n_docs for r in out) == docs.count()
+    cum_ty = cum_to = 0
+    prev_bucket = -1
+    for r in out:
+        assert r.bucket > prev_bucket
+        prev_bucket = r.bucket
+        cum_ty += r.new_types
+        cum_to += r.n_tokens
+        assert r.cum_types == cum_ty and r.cum_tokens == cum_to
+        assert r.new_types <= r.n_tokens
+    assert out[-1].cum_types == total_types
+    assert out[-1].cum_tokens == total_tokens
