@@ -598,21 +598,25 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     du = (e.select(F.expr("unix_micros(ts) div 86400000000").alias("d"),
                    "user_id")
           .distinct())
-    days = du.select("d").distinct()
+    # Single pipeline — ONE events scan, ONE (d,user) dedup shuffle, one
+    # bounded explode: the offset i rides along, so DAU is the i=0
+    # conditional distinct inside the SAME anchor aggregation (a
+    # three-branch form computed days/dau/wau separately = 3 scans of
+    # events; per-branch column pruning defeats ReusedExchange).
+    # `HAVING dau > 0` restricts anchors to days that exist in the data.
     expanded = du.select(
-        F.explode(F.sequence(F.col("d"), F.col("d") + F.lit(6)))
-        .alias("anchor"),
-        "user_id")
-    wau = (expanded.join(F.broadcast(days),
-                         expanded.anchor == days.d)
-           .groupBy("anchor")
-           .agg(F.countDistinct("user_id").alias("wau_users")))
-    # du is already distinct on (d, user): DAU is a plain count
-    dau = du.groupBy("d").agg(F.count(F.lit(1)).alias("dau_users"))
+        F.col("user_id"),
+        F.posexplode(F.sequence(F.col("d"), F.col("d") + F.lit(6)))
+        .alias("i", "anchor"))
     return (
-        dau.join(wau, dau.d == wau.anchor)
+        expanded.groupBy("anchor")
+        .agg(F.countDistinct("user_id").alias("wau_users"),
+             F.countDistinct(F.when(F.col("i") == 0, F.col("user_id")))
+             .alias("dau_users"))
+        .filter(F.col("dau_users") > 0)
         .select(
-            F.timestamp_micros(F.col("d") * F.lit(86400000000)).alias("day"),
+            F.timestamp_micros(F.col("anchor") * F.lit(86400000000))
+            .alias("day"),
             "dau_users", "wau_users",
             F.expr("dau_users * 1000000L div wau_users")
             .alias("stickiness_e6"))
@@ -624,22 +628,23 @@ ROLLING_ACTIVE_SQL = """
 WITH du AS (
   SELECT DISTINCT epoch_us(ts) // 86400000000 AS d, user_id FROM events
 ),
-days AS (SELECT DISTINCT d FROM du),
 expanded AS (
-  SELECT du.d + u.i AS anchor, du.user_id
+  SELECT du.d + u.i AS anchor, du.user_id, u.i
   FROM du, UNNEST(range(7)) AS u(i)
 ),
-wau AS (
-  SELECT anchor, COUNT(DISTINCT user_id) AS wau_users
-  FROM expanded JOIN days ON anchor = days.d
+agg AS (
+  SELECT anchor,
+         COUNT(DISTINCT user_id) AS wau_users,
+         COUNT(DISTINCT CASE WHEN i = 0 THEN user_id END) AS dau_users
+  FROM expanded
   GROUP BY anchor
-),
-dau AS (SELECT d, COUNT(*) AS dau_users FROM du GROUP BY d)
+  HAVING COUNT(DISTINCT CASE WHEN i = 0 THEN user_id END) > 0
+)
 SELECT TIMESTAMP '1970-01-01'
-         + CAST(dau.d * 86400 AS BIGINT) * INTERVAL 1 SECOND AS day,
+         + CAST(anchor * 86400 AS BIGINT) * INTERVAL 1 SECOND AS day,
        dau_users, wau_users,
        dau_users * 1000000 // wau_users AS stickiness_e6
-FROM dau JOIN wau ON dau.d = wau.anchor
+FROM agg
 ORDER BY day
 """
 
