@@ -715,3 +715,86 @@ SPECS.append(
     QuerySpec("events_transition_matrix", events_transition_matrix,
               TRANSITION_SQL,
               "per-user Markov transition counts + e6 transition probabilities"))
+
+
+# ------------------------------------------------------ session path mining
+# Top session-opening paths (first 3 event types per session) — the
+# sequence-pattern rollup behind "how do sessions start" funnels;
+# complements events_transition_matrix (paths, not pairs). Reuses the
+# gaps-and-islands sessionization above; per-session order is
+# (ts, event_id) so the collected path is a pure function of the data
+# (collect_list alone is partition-order-nondeterministic — the
+# array_sort(struct(rn, ...)) idiom pins it). The final top-20 rank
+# runs over the tiny |types|^3-bounded path-count relation.
+
+
+def session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc())
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts", 1).over(w))
+    sess = (
+        e.withColumn("new_session",
+                     F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .withColumn("session_seq", F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+    ws = Window.partitionBy("user_id", "session_seq").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc())
+    first3 = (sess.withColumn("rn", F.row_number().over(ws))
+              .filter(F.col("rn") <= 3))
+    paths = (
+        first3.groupBy("user_id", "session_seq")
+        .agg(F.array_join(
+            F.expr("transform(array_sort(collect_list(struct(rn, "
+                   "event_type))), s -> s.event_type)"), ">").alias("path")))
+    counts = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
+    wr = Window.orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+    return (
+        counts.withColumn("rk", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rk") <= 20)
+        .select("rk", "path", "n_sessions")
+        .orderBy("rk")
+    )
+
+
+SESSION_PATH_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) IS NULL
+               OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+numbered AS (
+  SELECT *, SUM(new_session) OVER (
+      PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+),
+first3 AS (
+  SELECT user_id, session_seq, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id, session_seq
+                            ORDER BY ts ASC, event_id ASC) AS rn
+  FROM numbered
+),
+paths AS (
+  SELECT user_id, session_seq,
+         string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM first3 WHERE rn <= 3
+  GROUP BY user_id, session_seq
+),
+counts AS (SELECT path, COUNT(*) AS n_sessions FROM paths GROUP BY path),
+ranked AS (
+  SELECT path, n_sessions,
+         ROW_NUMBER() OVER (ORDER BY n_sessions DESC, path ASC) AS rk
+  FROM counts
+)
+SELECT rk::BIGINT AS rk, path, n_sessions
+FROM ranked WHERE rk <= 20
+ORDER BY rk
+"""
+
+SPECS.append(
+    QuerySpec("session_path_topk", session_path_topk, SESSION_PATH_SQL,
+              "top-20 session-opening event-type paths (first 3 steps)"))

@@ -19,7 +19,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from .base import QuerySpec, SessionMemo, t
+from .base import QuerySpec, SessionMemo, cents, cents_sql, dollars, t
 
 # --------------------------------------------------------------- SCD type 2
 
@@ -530,3 +530,108 @@ SPECS: list[QuerySpec] = [
         "approx_percentile sketch verified against exact integer-rank "
         "percentiles (within_tol contract)"),
 ]
+
+
+# ------------------------------------------------------------ RFM segments
+# Recency/Frequency/Monetary quartile segmentation — the classic
+# customer-analytics rollup. Scale design: quartile ASSIGNMENT uses
+# exact interpolated thresholds (Spark `percentile` / DuckDB
+# `quantile_cont`, the shared definition proven by agg_percentiles)
+# broadcast as one scalar row, NOT a global ntile window (a
+# single-partition sort of every customer at 100 TB). Money stays in
+# exact integer cents. Scoring convention: quartile boundaries are
+# compared with <= for recency (smaller = better) and > for
+# frequency/monetary (larger = better); both engines evaluate the same
+# comparisons on identical doubles.
+
+
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(F.max("o_orderdate").alias("last_order"),
+             F.count(F.lit(1)).alias("n_orders"),
+             F.sum(cents("o_totalprice")).alias("spend_c")))
+    maxd = per_cust.agg(F.max("last_order").alias("maxd"))
+    rfm = (per_cust.crossJoin(broadcast(maxd))
+           .select("o_custkey", "n_orders", "spend_c",
+                   F.datediff("maxd", "last_order").alias("recency_days")))
+    th = broadcast(rfm.agg(
+        F.percentile("recency_days", 0.25).alias("r25"),
+        F.percentile("recency_days", 0.5).alias("r50"),
+        F.percentile("recency_days", 0.75).alias("r75"),
+        F.percentile("n_orders", 0.25).alias("f25"),
+        F.percentile("n_orders", 0.5).alias("f50"),
+        F.percentile("n_orders", 0.75).alias("f75"),
+        F.percentile("spend_c", 0.25).alias("m25"),
+        F.percentile("spend_c", 0.5).alias("m50"),
+        F.percentile("spend_c", 0.75).alias("m75")))
+    scored = rfm.crossJoin(th).select(
+        F.expr("1 + if(recency_days <= r75, 1, 0)"
+               " + if(recency_days <= r50, 1, 0)"
+               " + if(recency_days <= r25, 1, 0)").alias("r_score"),
+        F.expr("1 + if(n_orders > f25, 1, 0) + if(n_orders > f50, 1, 0)"
+               " + if(n_orders > f75, 1, 0)").alias("f_score"),
+        F.expr("1 + if(spend_c > m25, 1, 0) + if(spend_c > m50, 1, 0)"
+               " + if(spend_c > m75, 1, 0)").alias("m_score"),
+        "spend_c")
+    return (
+        scored
+        .groupBy(F.concat_ws("-", "r_score", "f_score", "m_score")
+                 .alias("segment"))
+        .agg(F.count(F.lit(1)).alias("n_customers"),
+             F.sum("spend_c").alias("_sp"))
+        .select("segment", "n_customers", dollars("_sp", "total_spend"))
+        .orderBy("segment")
+    )
+
+
+RFM_SQL = f"""
+WITH per_cust AS (
+  SELECT o_custkey, MAX(o_orderdate) AS last_order,
+         COUNT(*) AS n_orders,
+         SUM({cents_sql('o_totalprice')})::BIGINT AS spend_c
+  FROM orders GROUP BY o_custkey
+),
+rfm AS (
+  SELECT o_custkey, n_orders, spend_c,
+         datediff('day', last_order,
+                  (SELECT MAX(last_order) FROM per_cust)) AS recency_days
+  FROM per_cust
+),
+th AS (
+  SELECT quantile_cont(recency_days, 0.25) AS r25,
+         quantile_cont(recency_days, 0.5) AS r50,
+         quantile_cont(recency_days, 0.75) AS r75,
+         quantile_cont(n_orders, 0.25) AS f25,
+         quantile_cont(n_orders, 0.5) AS f50,
+         quantile_cont(n_orders, 0.75) AS f75,
+         quantile_cont(spend_c, 0.25) AS m25,
+         quantile_cont(spend_c, 0.5) AS m50,
+         quantile_cont(spend_c, 0.75) AS m75
+  FROM rfm
+),
+scored AS (
+  SELECT (1 + CASE WHEN recency_days <= r75 THEN 1 ELSE 0 END
+            + CASE WHEN recency_days <= r50 THEN 1 ELSE 0 END
+            + CASE WHEN recency_days <= r25 THEN 1 ELSE 0 END) AS r_score,
+         (1 + CASE WHEN n_orders > f25 THEN 1 ELSE 0 END
+            + CASE WHEN n_orders > f50 THEN 1 ELSE 0 END
+            + CASE WHEN n_orders > f75 THEN 1 ELSE 0 END) AS f_score,
+         (1 + CASE WHEN spend_c > m25 THEN 1 ELSE 0 END
+            + CASE WHEN spend_c > m50 THEN 1 ELSE 0 END
+            + CASE WHEN spend_c > m75 THEN 1 ELSE 0 END) AS m_score,
+         spend_c
+  FROM rfm CROSS JOIN th
+)
+SELECT r_score || '-' || f_score || '-' || m_score AS segment,
+       COUNT(*) AS n_customers,
+       CAST(SUM(spend_c) AS DOUBLE) / 100.0 AS total_spend
+FROM scored
+GROUP BY 1
+ORDER BY segment
+"""
+
+SPECS.append(
+    QuerySpec("customer_rfm_segments", customer_rfm_segments, RFM_SQL,
+              "RFM quartile segmentation via broadcast thresholds (no global ntile)"))
