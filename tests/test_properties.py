@@ -867,3 +867,40 @@ def test_vocab_growth_monotone_and_conserves(spark, sf_smoke_dir):
         assert r.new_types <= r.n_tokens
     assert out[-1].cum_types == total_types
     assert out[-1].cum_tokens == total_tokens
+
+
+def test_rfm_segments_partition_customers(spark, sf_smoke_dir):
+    """Segment labels are valid r-f-m triples in 1..4, customer counts
+    partition the customer base exactly, and total spend conserves to
+    the exact cents sum over orders."""
+    o = load_table(spark, sf_smoke_dir, "orders")
+    n_cust = o.select("o_custkey").distinct().count()
+    total_c = o.select(F.sum(F.expr(
+        "CAST(round(o_totalprice * 100) AS BIGINT)")).alias("c")).collect()[0].c
+    out = QUERIES["customer_rfm_segments"].fn(spark, sf_smoke_dir).collect()
+    assert sum(r.n_customers for r in out) == n_cust
+    assert round(sum(r.total_spend for r in out), 2) == round(total_c / 100.0, 2)
+    for r in out:
+        parts = r.segment.split("-")
+        assert len(parts) == 3
+        assert all(p in ("1", "2", "3", "4") for p in parts)
+        assert r.n_customers >= 1
+
+
+def test_session_paths_count_and_rank(spark, sf_smoke_dir):
+    """Ranks are dense 1..k (k <= 20), counts are non-increasing with
+    rank (ties broken by path asc), every path has 1-3 steps, and path
+    session counts never exceed the total session count."""
+    sessions = QUERIES["events_sessionize"].fn(spark, sf_smoke_dir).count()
+    out = QUERIES["session_path_topk"].fn(spark, sf_smoke_dir).collect()
+    assert [r.rk for r in out] == list(range(1, len(out) + 1))
+    assert len(out) <= 20
+    prev = None
+    for r in out:
+        assert 1 <= len(r.path.split(">")) <= 3
+        assert 1 <= r.n_sessions <= sessions
+        if prev is not None:
+            assert (r.n_sessions < prev.n_sessions
+                    or (r.n_sessions == prev.n_sessions
+                        and r.path > prev.path))
+        prev = r
