@@ -3,6 +3,7 @@ from .ops import (
     stream_dedup_within_watermark,
     stream_session_window,
     stream_sliding_counts,
+    stream_transition_counts,
     stream_tumbling_counts,
     run_to_memory,
 )
@@ -12,6 +13,7 @@ __all__ = [
     "stream_dedup_within_watermark",
     "stream_session_window",
     "stream_sliding_counts",
+    "stream_transition_counts",
     "stream_tumbling_counts",
     "run_to_memory",
 ]

@@ -289,3 +289,60 @@ def run_to_memory(stream_df: DataFrame, name: str,
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(name)
+
+
+TRANSITION_OUTPUT_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("from_type", StringType()),
+    StructField("to_type", StringType()),
+    StructField("n", LongType()),
+])
+
+_TRANSITION_STATE_SCHEMA = StructType([
+    StructField("last_type", StringType()),
+])
+
+
+def stream_transition_counts(events: DataFrame,
+                             watermark: str = "2 hours") -> DataFrame:
+    """Per-user first-order transition counts (streaming twin of
+    events_transition_matrix's count relation) via
+    applyInPandasWithState: state is one carried last-event-type per
+    user, so transitions spanning micro-batch boundaries are counted
+    exactly once.
+
+    Ordering contract: sequence operators need per-user event-time
+    order ACROSS batches (within a batch rows are sorted here on
+    (ts, event_id)); the caller feeds time-ordered files — the same
+    contract a production deployment meets with ordered log segments
+    plus allowed-lateness reorder buffering upstream. State is O(users)
+    and partition-local to the user_id shuffle key."""
+
+    def update(key, pdfs, state):
+        import pandas as pd
+        pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        types = pdf["event_type"].tolist()
+        seq = ([state.get[0]] if state.exists else []) + types
+        counts: dict = {}
+        for a, b in zip(seq, seq[1:]):
+            counts[(a, b)] = counts.get((a, b), 0) + 1
+        state.update((types[-1],))
+        if counts:
+            yield pd.DataFrame({
+                "user_id": [key[0]] * len(counts),
+                "from_type": [a for a, _ in counts],
+                "to_type": [b for _, b in counts],
+                "n": list(counts.values()),
+            })
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=TRANSITION_OUTPUT_SCHEMA,
+            stateStructType=_TRANSITION_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )
