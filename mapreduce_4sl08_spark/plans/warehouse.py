@@ -635,3 +635,100 @@ ORDER BY segment
 SPECS.append(
     QuerySpec("customer_rfm_segments", customer_rfm_segments, RFM_SQL,
               "RFM quartile segmentation via broadcast thresholds (no global ntile)"))
+
+
+# ------------------------------------------------------------ revenue concentration
+# Pareto/concentration analysis: how much revenue the top spend-deciles
+# of customers carry. Like RFM above, decile ASSIGNMENT uses exact
+# interpolated thresholds broadcast as one row — never a global
+# rank/ntile sort of the customer base. Decile d (1 = lowest spenders,
+# 10 = highest) is the count of thresholds strictly below the
+# customer's exact cents spend; share/cumshare are exact integer
+# per-million of the grand total. Customers tied exactly on a boundary
+# land in the same decile in both engines (same comparison on the same
+# IEEE threshold), so the report is deterministic even though decile
+# populations then deviate from exact tenths — that documented
+# deviation is the price of avoiding the global sort.
+
+
+def _share_e6_expr(a: str, total: str) -> str:
+    """Exact floor(a*1e6/total) in pure BIGINT via the split-multiplier
+    identity a*1e6 = (a*1e3 div T)*1e3*T + (a*1e3 mod T)*1e3 — a naive
+    a*1000000 overflows BIGINT once a > ~9.2e12 cents ($92B), which the
+    10x fixture's cumulative total already exceeds. Intermediates here
+    stay <= max(a, T)*1000: exact to ~$92T totals (documented bound).
+    Same text evaluates identically in Spark SQL and DuckDB."""
+    return (f"(({a} * 1000 div {total}) * 1000"
+            f" + (({a} * 1000 % {total}) * 1000) div {total})")
+
+
+def revenue_concentration_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    per_cust = (o.groupBy("o_custkey")
+                .agg(F.sum(cents("o_totalprice")).alias("spend_c")))
+    th = broadcast(per_cust.agg(*[
+        F.percentile("spend_c", i / 10.0).alias(f"t{i}")
+        for i in range(1, 10)]))
+    decile = F.expr("1 + " + " + ".join(
+        f"if(spend_c > t{i}, 1, 0)" for i in range(1, 10)))
+    per_decile = (
+        per_cust.crossJoin(th)
+        .select(decile.alias("decile"), "spend_c")
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("n_customers"),
+             F.sum("spend_c").alias("dec_c")))
+    total = broadcast(per_decile.agg(F.sum("dec_c").alias("tot_c")))
+    w = Window.orderBy(F.col("decile").desc()) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_decile.crossJoin(total)
+        .withColumn("cum_c", F.sum("dec_c").over(w))
+        .select("decile", "n_customers",
+                dollars("dec_c", "decile_spend"),
+                F.expr(_share_e6_expr("dec_c", "tot_c")).alias("share_e6"),
+                F.expr(_share_e6_expr("cum_c", "tot_c"))
+                .alias("cum_top_share_e6"))
+        .orderBy(F.col("decile").desc())
+    )
+
+
+REVENUE_CONC_SQL = f"""
+WITH per_cust AS (
+  SELECT o_custkey, SUM({cents_sql('o_totalprice')})::BIGINT AS spend_c
+  FROM orders GROUP BY o_custkey
+),
+th AS (
+  SELECT {", ".join(f"quantile_cont(spend_c, {i/10.0}) AS t{i}"
+                    for i in range(1, 10))}
+  FROM per_cust
+),
+per_decile AS (
+  SELECT (1 + {" + ".join(f"CASE WHEN spend_c > t{i} THEN 1 ELSE 0 END"
+                          for i in range(1, 10))}) AS decile,
+         COUNT(*) AS n_customers,
+         SUM(spend_c)::BIGINT AS dec_c
+  FROM per_cust CROSS JOIN th
+  GROUP BY 1
+),
+total AS (SELECT SUM(dec_c)::BIGINT AS tot_c FROM per_decile),
+cum AS (
+  SELECT decile, n_customers, dec_c, tot_c,
+         CAST(SUM(dec_c) OVER (ORDER BY decile DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_c
+  FROM per_decile CROSS JOIN total
+)
+SELECT decile, n_customers,
+       CAST(dec_c AS DOUBLE) / 100.0 AS decile_spend,
+       ((dec_c * 1000 // tot_c) * 1000
+        + ((dec_c * 1000 % tot_c) * 1000) // tot_c) AS share_e6,
+       ((cum_c * 1000 // tot_c) * 1000
+        + ((cum_c * 1000 % tot_c) * 1000) // tot_c) AS cum_top_share_e6
+FROM cum
+ORDER BY decile DESC
+"""
+
+SPECS.append(
+    QuerySpec("revenue_concentration_deciles", revenue_concentration_deciles,
+              REVENUE_CONC_SQL,
+              "Pareto revenue concentration by spend decile (broadcast thresholds)"))

@@ -904,3 +904,24 @@ def test_session_paths_count_and_rank(spark, sf_smoke_dir):
                     or (r.n_sessions == prev.n_sessions
                         and r.path > prev.path))
         prev = r
+
+
+def test_revenue_concentration_shares(spark, sf_smoke_dir):
+    """Deciles partition the customer base; spend conserves; shares sum
+    to ~1e6 (floor loss < #deciles); cumulative top-share is the exact
+    running sum's floor-share and ends at 1e6; higher deciles never
+    carry less per-customer spend on average than lower ones."""
+    o = load_table(spark, sf_smoke_dir, "orders")
+    n_cust = o.select("o_custkey").distinct().count()
+    out = QUERIES["revenue_concentration_deciles"].fn(spark, sf_smoke_dir).collect()
+    assert sum(r.n_customers for r in out) == n_cust
+    assert 1_000_000 - len(out) < sum(r.share_e6 for r in out) <= 1_000_000
+    assert out[0].decile == max(r.decile for r in out)
+    assert out[-1].cum_top_share_e6 == 1_000_000
+    prev_cum = 0
+    for r in out:  # ordered decile DESC
+        assert r.cum_top_share_e6 >= prev_cum
+        prev_cum = r.cum_top_share_e6
+    avg_spend = [(r.decile, r.decile_spend / r.n_customers) for r in out]
+    for (d_hi, a_hi), (d_lo, a_lo) in zip(avg_spend, avg_spend[1:]):
+        assert d_hi > d_lo and a_hi >= a_lo
