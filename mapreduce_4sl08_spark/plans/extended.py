@@ -827,12 +827,24 @@ SPECS: list[QuerySpec] = [
 _MIN_PAIR_SUPPORT = 2
 
 
+#: (applicationId, "basket_ob", sf_dir) -> persisted deduped
+#: (order, brand) basket relation: five consumers (pair self-join x2,
+#: marginals, order count) would otherwise each re-run the
+#: lineitem-part join at corpus scale
+_BASKET_MEMO: SessionMemo = SessionMemo()
+
+
 def brand_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    ob = (l.join(p, l.l_partkey == p.p_partkey)
-          .select("l_orderkey", F.col("p_brand").alias("brand"))
-          .distinct())
+    key = (spark.sparkContext.applicationId, "basket_ob", sf_dir)
+    ob = _BASKET_MEMO.get(key)
+    if ob is None:
+        l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+        p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+        ob = (l.join(p, l.l_partkey == p.p_partkey)
+              .select("l_orderkey", F.col("p_brand").alias("brand"))
+              .distinct()
+              .persist())
+        _BASKET_MEMO[key] = ob
     n_orders = ob.select("l_orderkey").distinct() \
                  .agg(F.count(F.lit(1)).alias("n_orders"))
     brand_n = ob.groupBy("brand").agg(F.count(F.lit(1)).alias("n_brand"))

@@ -67,7 +67,8 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     # single-pass forms): never driver-proven, must lead the budget
     # alongside the gate-repair rows
     "rolling_active_users", "events_transition_matrix",
-    "vocab_growth_curve",
+    "vocab_growth_curve", "customer_rfm_segments",
+    "revenue_concentration_deciles", "brand_basket_rules",
 )
 
 _HISTORY_PATH = Path(__file__).with_name("checked_history.json")
