@@ -498,27 +498,52 @@ ORDER BY cohort_week, week
 # ------------------------------------------------------------ funnel
 # Ordered-sequence funnel: view → click (after the view) → purchase
 # (after that click), counted per stage. The correlated "first event of
-# type X after timestamp T" steps become min-filtered self-joins.
+# type X after timestamp T" steps are chained conditional window-mins
+# over the user partition — NOT min-filtered self-joins: the join form
+# referenced the events subtree 6× in the analyzed plan (six fact scans
+# at 100 TB, caught by tools/audit_plan_scans.py); this form scans the
+# fact table once and shuffles it once.
 
 
 def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user ordered funnel conversion counts (one summary row)."""
-    e = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    t_view = (e.filter(F.col("event_type") == "view")
-              .groupBy("user_id").agg(F.min("ts").alias("t_view")))
-    t_click = (e.filter(F.col("event_type") == "click")
-               .join(t_view, "user_id")
-               .filter(F.col("ts") > F.col("t_view"))
-               .groupBy("user_id").agg(F.min("ts").alias("t_click")))
-    t_buy = (e.filter(F.col("event_type") == "purchase")
-             .join(t_click, "user_id")
-             .filter(F.col("ts") > F.col("t_click"))
-             .groupBy("user_id").agg(F.min("ts").alias("t_buy")))
-    return (
-        t_view.agg(F.count(F.lit(1)).alias("n_viewed"))
-        .crossJoin(t_click.agg(F.count(F.lit(1)).alias("n_clicked_after_view")))
-        .crossJoin(t_buy.agg(F.count(F.lit(1)).alias("n_purchased_after_click")))
+    """Per-user ordered funnel conversion counts (one summary row).
+
+    Plan shape: one pruned scan (event_type IN pushed to parquet), one
+    hash exchange on user_id, three WindowExecs sharing that exchange
+    (t_view is the partition min of view timestamps; t_click the min
+    click STRICTLY after t_view; t_buy the min purchase strictly after
+    t_click — each later stage conditions row-level on the previous
+    window column, so NULL propagates through missing stages exactly as
+    the correlated-join form did), then a per-user collapse that reuses
+    the same partitioning (no second exchange) and a single global agg.
+    """
+    e = (t(spark, sf_dir, "events")
+         .select("user_id", "event_type", "ts")
+         .filter(F.col("event_type").isin("view", "click", "purchase")))
+    w = Window.partitionBy("user_id")
+    staged = (
+        e.withColumn(
+            "t_view",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w))
+        .withColumn(
+            "t_click",
+            F.min(F.when((F.col("event_type") == "click")
+                         & (F.col("ts") > F.col("t_view")),
+                         F.col("ts"))).over(w))
+        .withColumn(
+            "t_buy",
+            F.min(F.when((F.col("event_type") == "purchase")
+                         & (F.col("ts") > F.col("t_click")),
+                         F.col("ts"))).over(w))
     )
+    per_user = staged.groupBy("user_id").agg(
+        F.min("t_view").alias("t_view"),      # constant per partition
+        F.min("t_click").alias("t_click"),
+        F.min("t_buy").alias("t_buy"))
+    return per_user.agg(
+        F.count("t_view").alias("n_viewed"),
+        F.count("t_click").alias("n_clicked_after_view"),
+        F.count("t_buy").alias("n_purchased_after_click"))
 
 
 FUNNEL_SQL = """

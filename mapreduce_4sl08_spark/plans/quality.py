@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from .base import QuerySpec, t
+from .base import QuerySpec, SessionMemo, t
 
 # ------------------------------------------------------- constraint audit
 
@@ -256,6 +256,11 @@ COLUMN_PROFILE_LINEITEM_SQL = _profile_oracle_sql("lineitem")
 # ----------------------------------------------- median/MAD rate anomaly
 
 
+#: (applicationId, "rate_hourly", sf_dir) -> persisted (type, hour)
+#: count aggregate shared by the median/MAD/output references below.
+_RATE_HOURLY_MEMO: SessionMemo = SessionMemo()
+
+
 def events_rate_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust event-rate anomaly detection: hourly event counts per
     type, flagged when the count deviates from the type's median by
@@ -267,15 +272,25 @@ def events_rate_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: the fact scan collapses to one (type, hour) aggregate
     (~types × hours rows); both median passes run over that tiny
     aggregate, so the expensive part is one map-side-combinable groupBy
-    no matter the fact-table size.
+    no matter the fact-table size. The aggregate is persisted (memoized
+    per session, same idiom as _EDGES_MEMO in warehouse.py): the final
+    plan references the hourly subtree 4× (med, dev, mad, output), and
+    without the persist each reference re-ran the FACT scan+groupBy —
+    four 100 TB reads for a ~types×hours-row intermediate (caught by
+    tools/audit_plan_scans.py).
     """
-    e = t(spark, sf_dir, "events")
-    hourly = (
-        e.groupBy(
-            F.col("event_type"),
-            F.date_trunc("HOUR", F.col("ts")).alias("hour"))
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    key = (spark.sparkContext.applicationId, "rate_hourly", sf_dir)
+    hourly = _RATE_HOURLY_MEMO.get(key)
+    if hourly is None:
+        e = t(spark, sf_dir, "events")
+        hourly = (
+            e.groupBy(
+                F.col("event_type"),
+                F.date_trunc("HOUR", F.col("ts")).alias("hour"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .persist()
+        )
+        _RATE_HOURLY_MEMO[key] = hourly
 
     def discrete_median(df: DataFrame, val: str, out: str) -> DataFrame:
         wr = Window.partitionBy("event_type").orderBy(val, "hour")

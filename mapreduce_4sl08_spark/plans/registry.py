@@ -69,6 +69,10 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     "rolling_active_users", "events_transition_matrix",
     "vocab_growth_curve", "customer_rfm_segments",
     "revenue_concentration_deciles", "brand_basket_rules",
+    # multi-scan forms replaced with single-fact-scan plans mid-r12
+    # (audit_plan_scans findings): funnel joins → chained window-mins;
+    # MAD's hourly aggregate persisted
+    "events_funnel_conversion", "events_rate_anomaly_mad",
 )
 
 _HISTORY_PATH = Path(__file__).with_name("checked_history.json")
