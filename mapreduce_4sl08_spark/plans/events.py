@@ -468,13 +468,19 @@ ORDER BY user_id
 
 def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly retention: (cohort_week, active_week) → distinct active
-    users, where cohort_week is the user's first-seen ISO week."""
+    users, where cohort_week is the user's first-seen ISO week.
+
+    Plan shape: the cohort week is a window-min over the user partition
+    rather than a groupBy+self-join (the join form scanned the fact
+    table twice — tools/audit_plan_scans.py): one pruned scan, one hash
+    exchange on user_id, then the (cohort, week) distinct-count agg.
+    """
     e = t(spark, sf_dir, "events")
     weekly = e.select(
         "user_id", F.date_trunc("week", F.col("ts")).alias("week"))
-    cohort = weekly.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    w = Window.partitionBy("user_id")
     return (
-        weekly.join(cohort, "user_id")
+        weekly.withColumn("cohort_week", F.min("week").over(w))
         .groupBy("cohort_week", "week")
         .agg(F.countDistinct("user_id").alias("n_active"))
         .orderBy("cohort_week", "week")

@@ -73,6 +73,7 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     # (audit_plan_scans findings): funnel joins → chained window-mins;
     # MAD's hourly aggregate persisted
     "events_funnel_conversion", "events_rate_anomaly_mad",
+    "ivf_ann", "events_retention_cohorts",
 )
 
 _HISTORY_PATH = Path(__file__).with_name("checked_history.json")
