@@ -74,6 +74,7 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     # MAD's hourly aggregate persisted
     "events_funnel_conversion", "events_rate_anomaly_mad",
     "ivf_ann", "events_retention_cohorts",
+    "unigram_rarity_score", "bigram_surprisal_score",
 )
 
 _HISTORY_PATH = Path(__file__).with_name("checked_history.json")

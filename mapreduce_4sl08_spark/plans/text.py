@@ -1234,24 +1234,53 @@ ORDER BY doc_id, rk
 # perplexity filter thresholds on.
 
 
+#: (applicationId, "pdt", sf_dir) -> persisted per-doc term counts.
+#: ONE tokenize pass over the corpus serves every unigram consumer:
+#: unigram_rarity_score (corpus frequency, total, and per-doc scoring
+#: were three independent tokenize scans — tools/audit_plan_scans.py)
+#: and bigram_surprisal_score's unigram model. The relation is the
+#: standard (doc, term, n) posting shape — strictly smaller than the
+#: raw token stream it replaces.
+_PDT_MEMO: SessionMemo = SessionMemo()
+
+
+def _per_doc_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, "pdt", sf_dir)
+    pdt = _PDT_MEMO.get(key)
+    if pdt is None:
+        d = t(spark, sf_dir, "documents")
+        toks = (
+            d.select("doc_id",
+                     F.explode(F.split(F.trim(F.lower("text")),
+                                       TOKEN_SPLIT_RE)).alias("term"))
+            .filter(F.col("term") != "")
+        )
+        pdt = (toks.groupBy("doc_id", "term")
+               .agg(F.count(F.lit(1)).alias("n"))
+               .persist())
+        _PDT_MEMO[key] = pdt
+    return pdt
+
+
 def unigram_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents")
-    toks = (
-        d.select("doc_id",
-                 F.explode(F.split(F.trim(F.lower("text")), TOKEN_SPLIT_RE)).alias("term"))
-        .filter(F.col("term") != "")
-    )
-    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    """Per-occurrence sums regrouped as count-weighted sums over the
+    cached (doc, term, n) relation — identical values (sum over
+    occurrences of floor(t/c) == sum over (doc, term) of
+    n * floor(t/c)), one corpus tokenize instead of three."""
+    pdt = _per_doc_term_counts(spark, sf_dir)
+    freq = pdt.groupBy("term").agg(F.sum("n").alias("c"))
     total = freq.agg(F.sum("c").alias("_t"))
     scored = (
-        toks.join(freq, "term")
+        pdt.join(freq, "term")
         .crossJoin(F.broadcast(total))
-        .select("doc_id", F.floor(F.col("_t") / F.col("c")).cast("long").alias("rarity"))
+        .select("doc_id", "n",
+                (F.floor(F.col("_t") / F.col("c")) * F.col("n"))
+                .cast("long").alias("rarity_n"))
     )
     return (
         scored.groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_tokens"),
-             F.sum("rarity").alias("rarity_sum"))
+        .agg(F.sum("n").alias("n_tokens"),
+             F.sum("rarity_n").alias("rarity_sum"))
         .withColumn("mean_rarity",
                     F.round(F.col("rarity_sum") / F.col("n_tokens"), 4))
         .orderBy("doc_id")
@@ -1288,23 +1317,39 @@ ORDER BY doc_id
 # across libm implementations, floor-div of counts is bit-exact.
 
 
+#: (applicationId, "pdb", sf_dir) -> persisted per-doc bigram counts
+#: (same posting-shape idiom as _PDT_MEMO): the bigram model and the
+#: per-doc scoring pass both read it, so the corpus is shingled once.
+_PDB_MEMO: SessionMemo = SessionMemo()
+
+
 def bigram_surprisal_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents")
-    toks_col = F.split(F.trim(F.lower("text")), TOKEN_SPLIT_RE)
-    uni = (
-        d.select(F.explode(toks_col).alias("w1"))
-        .filter(F.col("w1") != "")
-        .groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    )
-    big = d.select(
-        "doc_id", F.explode(word_shingles(toks_col, 2)).alias("bigram"))
-    bfreq = big.groupBy("bigram").agg(F.count(F.lit(1)).alias("c12"))
+    """One tokenize pass (shared _per_doc_term_counts cache) + one
+    shingle pass, down from three corpus scans: the unigram model
+    re-aggregates the cached (doc, term, n) relation and per-occurrence
+    sums are regrouped as count-weighted sums — identical values."""
+    key = (spark.sparkContext.applicationId, "pdb", sf_dir)
+    pdb = _PDB_MEMO.get(key)
+    if pdb is None:
+        d = t(spark, sf_dir, "documents")
+        toks_col = F.split(F.trim(F.lower("text")), TOKEN_SPLIT_RE)
+        big = d.select(
+            "doc_id", F.explode(word_shingles(toks_col, 2)).alias("bigram"))
+        pdb = (big.groupBy("doc_id", "bigram")
+               .agg(F.count(F.lit(1)).alias("nb"))
+               .persist())
+        _PDB_MEMO[key] = pdb
+    uni = (_per_doc_term_counts(spark, sf_dir)
+           .groupBy("term").agg(F.sum("n").alias("c1"))
+           .withColumnRenamed("term", "w1"))
+    bfreq = pdb.groupBy("bigram").agg(F.sum("nb").alias("c12"))
     scored = (
-        big.join(bfreq, "bigram")
+        pdb.join(bfreq, "bigram")
         .withColumn("w1", F.split("bigram", " ").getItem(0))
         .join(uni, "w1")
-        .select("doc_id",
-                F.floor(F.col("c1") / F.col("c12")).cast("long").alias("surprisal"))
+        .select("doc_id", "nb",
+                (F.floor(F.col("c1") / F.col("c12")) * F.col("nb"))
+                .cast("long").alias("surprisal_n"))
     )
     # Mean stays in exact integer 1e-4 units (ADVICE r3): a ROUND of the
     # float quotient can hit a Spark-vs-DuckDB half-boundary rounding
@@ -1312,8 +1357,8 @@ def bigram_surprisal_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # non-negative, so div == floor-div).
     return (
         scored.groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_bigrams"),
-             F.sum("surprisal").alias("surprisal_sum"))
+        .agg(F.sum("nb").alias("n_bigrams"),
+             F.sum("surprisal_n").alias("surprisal_sum"))
         .withColumn(
             "mean_surprisal",
             F.expr("(surprisal_sum * 10000) div n_bigrams"
