@@ -381,11 +381,17 @@ def cluster_best_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(_quality_score_expr() * 10000).cast("long").alias("q_e4"))
     w = Window.partitionBy("component").orderBy(
         F.col("q_e4").desc(), F.col("doc_id").asc())
-    ranked = comp.join(qual, "doc_id").withColumn("rk", F.row_number().over(w))
-    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    # cluster_size rides the SAME component partitioning the rank
+    # window already shuffles for — the former groupBy+join back onto
+    # the (memoized) component relation paid an extra exchange+join for
+    # a count the window gets free (tools/audit_plan_scans.py).
+    ranked = (comp.join(qual, "doc_id")
+              .withColumn("rk", F.row_number().over(w))
+              .withColumn("cluster_size",
+                          F.count(F.lit(1)).over(
+                              Window.partitionBy("component"))))
     return (
         ranked.filter(F.col("rk") == 1)
-        .join(sizes, "component")
         .filter(F.col("cluster_size") > 1)  # singletons are trivially their own survivor
         .select("component",
                 F.col("doc_id").alias("survivor_doc_id"),
@@ -518,9 +524,14 @@ def mixture_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sampling docs at rate ∝ weight/share equalizes toward the mixture
     raw = per.select(
         "lang", (F.sqrt(F.col("n_tokens")) / F.col("n_tokens")).alias("raw_rate"))
-    zmax = raw.agg(F.max("raw_rate").alias("zmax"))
+    # zmax as a window-max over the ~|langs|-row aggregate — the former
+    # agg+crossJoin referenced the raw subtree twice, re-running the
+    # corpus stats scan for a scalar (tools/audit_plan_scans.py). The
+    # constant partition key is fine: the window input is one row per
+    # language, never the fact table.
     rates = (
-        raw.crossJoin(broadcast(zmax))
+        raw.withColumn("zmax",
+                       F.max("raw_rate").over(Window.partitionBy(F.lit(1))))
         .select("lang",
                 F.floor(F.col("raw_rate") / F.col("zmax") * 1000000)
                 .cast("long").alias("rate_ppm"))

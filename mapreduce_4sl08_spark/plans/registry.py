@@ -75,6 +75,8 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     "events_funnel_conversion", "events_rate_anomaly_mad",
     "ivf_ann", "events_retention_cohorts",
     "unigram_rarity_score", "bigram_surprisal_score",
+    "corpus_curation_pipeline", "cluster_best_survivor",
+    "mixture_weighted_sample",
 )
 
 _HISTORY_PATH = Path(__file__).with_name("checked_history.json")

@@ -1064,10 +1064,15 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     pred = F.when(best <= 0, F.lit("und"))
     for lang in sorted(_LANG_MARKERS):
         pred = pred.when(F.col(f"score_{lang}") == best, F.lit(lang))
+    # exact-dedup survivor = window-min over the content_hash partition,
+    # NOT groupBy+self-join: the join form referenced the scored
+    # projection twice, re-running the full regex-scoring scan
+    # (tools/audit_plan_scans.py) — the window keeps it one pass.
     base = staged.select(
-        "doc_id", pred.alias("pred_lang"), "quality_score", "content_hash")
-    exact_kept = base.groupBy("content_hash").agg(
-        F.min("doc_id").alias("kept_doc_id"))
+        "doc_id", pred.alias("pred_lang"), "quality_score", "content_hash"
+    ).withColumn(
+        "kept_doc_id",
+        F.min("doc_id").over(Window.partitionBy("content_hash")))
     comp = dedup_connected_components(spark, sf_dir).select(
         "doc_id", F.col("is_kept").alias("nd_kept"))
     reason = (
@@ -1077,8 +1082,7 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("nd_kept") == 0, "near_dup")
     )
     return (
-        base.join(exact_kept, "content_hash")
-        .join(comp, "doc_id")
+        base.join(comp, "doc_id")
         .select("doc_id", reason.alias("drop_reason"),
                 reason.isNull().cast("int").alias("is_kept"))
         .orderBy("doc_id")
