@@ -419,12 +419,11 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     replicates the identical deterministic bucketing, so the two engines
     agree pair-for-pair."""
     from ..functions import cosine
-    from .vectors import lsh_band_keys, lsh_signature, plane_matrix
+    from .vectors import lsh_corpus_bands
     e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    bands = e.select(
-        "vec_id",
-        F.explode(lsh_band_keys(lsh_signature(F.col("embedding"), plane_matrix())))
-        .alias("band_key"))
+    # shared memoized corpus band relation (one signature pass per
+    # session across lsh_bucket_ann and this query)
+    bands = lsh_corpus_bands(spark, sf_dir)
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (
         a.join(b, (F.col("a.band_key") == F.col("b.band_key"))

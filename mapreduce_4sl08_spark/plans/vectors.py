@@ -157,6 +157,29 @@ def _planes_sql_literal(planes: list[list[float]]) -> str:
         "[" + ", ".join(str(v) for v in row) + "]" for row in planes) + "]"
 
 
+#: (applicationId, "lsh_bands", sf_dir) -> persisted corpus (vec_id,
+#: band_key) relation. The hyperplane-signature projection is the
+#: expensive per-vector step; unmemoized it re-ran for every reference
+#: (twice inside lsh_bucket_ann, twice more in embedding_near_dup's
+#: band self-join — tools/audit_plan_scans.py). One signature pass now
+#: serves every LSH consumer in the session.
+_LSH_BANDS_MEMO: SessionMemo = SessionMemo()
+
+
+def lsh_corpus_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, "lsh_bands", sf_dir)
+    bands = _LSH_BANDS_MEMO.get(key)
+    if bands is None:
+        e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        bands = e.select(
+            "vec_id",
+            F.explode(lsh_band_keys(lsh_signature(F.col("embedding"),
+                                                  plane_matrix())))
+            .alias("band_key")).persist()
+        _LSH_BANDS_MEMO[key] = bands
+    return bands
+
+
 def lsh_bucket_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k: candidates = vectors sharing ≥1 of the probe's 16 LSH
     table buckets, then exact-cosine rerank of the (deduplicated)
@@ -164,10 +187,7 @@ def lsh_bucket_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     a cross join; the pair set is distinct'd BEFORE the embedding
     joins so each candidate's exact cosine is computed once."""
     e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    bands = e.select(
-        "vec_id",
-        F.explode(lsh_band_keys(lsh_signature(F.col("embedding"), plane_matrix())))
-        .alias("band_key"))
+    bands = lsh_corpus_bands(spark, sf_dir)
     probe_bands = bands.filter(F.col("vec_id") < _N_PROBES).select(
         F.col("vec_id").alias("query_id"), "band_key")
     probes = e.filter(F.col("vec_id") < _N_PROBES).select(
@@ -606,3 +626,97 @@ SPECS.append(
     QuerySpec("embedding_centroid_fixedpoint", embedding_centroid_fixedpoint,
               CENTROID_SQL,
               "per-label e6 fixed-point centroids (exact integer sums)"))
+
+
+# ---------------------------------------------------- label outliers
+# Per-label embedding outliers: the k members FARTHEST (lowest cosine)
+# from their label's centroid — the mislabeled-example / noisy-cluster
+# audit that precedes training-set pruning (cf. confident-learning
+# pipelines). Centroid components are the exact e6 fixed-point integers
+# of embedding_centroid_fixedpoint (FLOOR quantization — no tie
+# semantics), used UNSCALED as the centroid vector: cosine is
+# scale-invariant, and integer-valued doubles ≤ 2^53 are exact in both
+# engines, so no division-by-1e6 rounding enters the comparison. The
+# per-pair dot runs Arrow-batched (arrow_dot — summation order matches
+# DuckDB's list_dot_product fold). Scale shape: the centroid build is
+# one posexplode + (label, dim) hash agg; the ~|labels|-row centroid
+# array relation broadcasts; scoring is one corpus scan; ranking
+# partitions by label — no join bigger than corpus × broadcast.
+
+_OUTLIER_K = 3
+
+
+def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    x = e.select("label", F.posexplode("embedding").alias("dim", "x"))
+    g = (
+        x.groupBy("label", F.col("dim").cast("long").alias("dim"))
+        .agg(F.count(F.lit(1)).alias("n_vecs"),
+             F.sum(F.floor(F.col("x").cast("double") * 1e6)).alias("sum_e6"))
+    )
+    cent = g.select(
+        "label", "dim",
+        F.floor(F.col("sum_e6").cast("double") / F.col("n_vecs"))
+        .alias("c_e6"))
+    carr = (
+        cent.groupBy("label")
+        .agg(F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c_e6"))),
+            lambda s: s.c_e6.cast("double")).alias("c_emb"))
+    )
+    scored = (
+        e.join(broadcast(carr), "label")
+        .select("label", "vec_id",
+                (arrow_dot(F.col("embedding"), F.col("c_emb"))
+                 / (l2_norm(F.col("embedding")) * l2_norm(F.col("c_emb"))))
+                .alias("sim"))
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("sim").asc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _OUTLIER_K)
+        .select("label", "rk", "vec_id",
+                F.round("sim", 4).alias("cos_to_centroid"))
+        .orderBy("label", "rk")
+    )
+
+
+LABEL_OUTLIERS_SQL = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+g AS (
+  SELECT label, i AS dim, COUNT(*) AS n_vecs,
+         SUM(CAST(FLOOR(emb[i + 1] * 1e6) AS BIGINT))::BIGINT AS sum_e6
+  FROM e, UNNEST(range({_EMB_DIM})) AS u(i)
+  GROUP BY label, i
+),
+carr AS (
+  SELECT label,
+         list(CAST(FLOOR(CAST(sum_e6 AS DOUBLE) / n_vecs) AS DOUBLE)
+              ORDER BY dim) AS c_emb
+  FROM g GROUP BY label
+),
+scored AS (
+  SELECT e.label, e.vec_id,
+         list_dot_product(e.emb, c.c_emb)
+           / (sqrt(list_dot_product(e.emb, e.emb))
+              * sqrt(list_dot_product(c.c_emb, c.c_emb))) AS sim
+  FROM e JOIN carr c USING (label)
+),
+ranked AS (
+  SELECT label, vec_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY label
+                            ORDER BY sim ASC, vec_id ASC) AS rk
+  FROM scored
+)
+SELECT label, CAST(rk AS INT) AS rk, vec_id,
+       ROUND(sim, 4) AS cos_to_centroid
+FROM ranked
+WHERE rk <= {_OUTLIER_K}
+ORDER BY label, rk
+"""
+
+SPECS.append(
+    QuerySpec("embedding_label_outliers", embedding_label_outliers,
+              LABEL_OUTLIERS_SQL,
+              "k farthest-from-centroid members per label (noisy-example audit)"))
