@@ -829,3 +829,61 @@ ORDER BY rk
 SPECS.append(
     QuerySpec("session_path_topk", session_path_topk, SESSION_PATH_SQL,
               "top-20 session-opening event-type paths (first 3 steps)"))
+
+
+# -------------------------------------------------- inter-arrival histogram
+# Distribution of per-user inter-arrival gaps by event type — the
+# traffic-shape diagnostic behind session-gap tuning (cf. the 30-min
+# sessionize threshold above) and bot detection (machine traffic piles
+# up in the low-gap buckets). Buckets are the DECIMAL DIGIT COUNT of
+# the gap in whole seconds — a log10-ish histogram computed with exact
+# integer/string ops (floor(log10(n)) via doubles can mis-round at
+# powers of ten; string length of a BIGINT cannot disagree between
+# engines). Scale shape: one pruned scan, one hash exchange on user_id
+# for the lag window, then a tiny (type, digits) aggregate —
+# map-side-combinable, output bounded by |types| × ~10 buckets.
+
+
+def events_interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").select("user_id", "event_type", "ts",
+                                          "event_id")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc())
+    gapped = (
+        e.withColumn("prev_us", F.lag(F.expr("unix_micros(ts)")).over(w))
+        .filter(F.col("prev_us").isNotNull())
+        # integer µs → whole seconds; ordering makes the gap >= 0
+        .select("event_type",
+                F.expr("(unix_micros(ts) - prev_us) div 1000000")
+                .alias("gap_s"))
+    )
+    return (
+        gapped.groupBy(
+            "event_type",
+            F.length(F.col("gap_s").cast("string")).alias("gap_digits"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type", "gap_digits")
+    )
+
+
+INTERARRIVAL_SQL = """
+WITH gapped AS (
+  SELECT event_type,
+         (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+           // 1000000 AS gap_s
+  FROM events
+)
+SELECT event_type,
+       CAST(length(CAST(gap_s AS VARCHAR)) AS INT) AS gap_digits,
+       COUNT(*) AS n
+FROM gapped
+WHERE gap_s IS NOT NULL
+GROUP BY 1, 2
+ORDER BY event_type, gap_digits
+"""
+
+SPECS.append(
+    QuerySpec("events_interarrival_histogram", events_interarrival_histogram,
+              INTERARRIVAL_SQL,
+              "per-type inter-arrival gap histogram (decimal-digit buckets)"))

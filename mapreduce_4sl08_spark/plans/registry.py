@@ -76,7 +76,10 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     "ivf_ann", "events_retention_cohorts",
     "unigram_rarity_score", "bigram_surprisal_score",
     "corpus_curation_pipeline", "cluster_best_survivor",
-    "mixture_weighted_sample",
+    "mixture_weighted_sample", "lsh_bucket_ann", "embedding_near_dup",
+    # new operators added mid-r12 — never driver-proven
+    "events_interarrival_histogram", "boilerplate_template_clusters",
+    "embedding_label_outliers",
 )
 
 _HISTORY_PATH = Path(__file__).with_name("checked_history.json")

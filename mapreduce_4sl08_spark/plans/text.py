@@ -1675,3 +1675,47 @@ ORDER BY d.bucket
 SPECS.append(
     QuerySpec("vocab_growth_curve", vocab_growth_curve, VOCAB_GROWTH_SQL,
               "Heaps-law vocabulary growth at 20 corpus buckets (no global sort)"))
+
+
+# ------------------------------------------------- boilerplate templates
+# Structural-template detection: docs generated from the same form
+# letter / scraped page template share a punctuation-and-shape skeleton
+# even when every word differs. Skeleton = lowercase text with every
+# alphanumeric run collapsed to a single marker; docs grouping to the
+# same skeleton hash are template siblings (the C4/RefinedWeb
+# boilerplate-cluster step before near-dup). Regex restricted to the
+# Java-regex ∩ RE2-identical subset (plain character class, no
+# lookaround). Scale shape: one pruned scan computing the row-local
+# skeleton hash, one hash exchange on the 32-hex key, HAVING > 1 —
+# exactly the exact-dedup plan with a weaker key.
+
+
+def boilerplate_template_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    skel_hash = F.md5(
+        F.regexp_replace(F.lower(F.trim("text")), "[a-z0-9]+", "w"))
+    return (
+        d.select(skel_hash.alias("template_hash"), "doc_id")
+        .groupBy("template_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.min("doc_id").alias("min_doc_id"))
+        .filter(F.col("n_docs") > 1)
+        .orderBy(F.desc("n_docs"), "template_hash")
+    )
+
+
+BOILERPLATE_SQL = """
+SELECT md5(regexp_replace(lower(trim(text)), '[a-z0-9]+', 'w', 'g'))
+         AS template_hash,
+       COUNT(*) AS n_docs,
+       MIN(doc_id) AS min_doc_id
+FROM documents
+GROUP BY 1
+HAVING COUNT(*) > 1
+ORDER BY n_docs DESC, template_hash
+"""
+
+SPECS.append(
+    QuerySpec("boilerplate_template_clusters", boilerplate_template_clusters,
+              BOILERPLATE_SQL,
+              "structural-skeleton template clusters (boilerplate detection)"))

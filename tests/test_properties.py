@@ -925,3 +925,48 @@ def test_revenue_concentration_shares(spark, sf_smoke_dir):
     avg_spend = [(r.decile, r.decile_spend / r.n_customers) for r in out]
     for (d_hi, a_hi), (d_lo, a_lo) in zip(avg_spend, avg_spend[1:]):
         assert d_hi > d_lo and a_hi >= a_lo
+
+
+def test_interarrival_histogram_conserves_gaps(spark, sf_smoke_dir):
+    """Each user contributes exactly n_events(user) - 1 gaps, so the
+    histogram total must equal N - |users|; digit buckets start at 1."""
+    e = load_table(spark, sf_smoke_dir, "events")
+    out = QUERIES["events_interarrival_histogram"].fn(
+        spark, sf_smoke_dir).collect()
+    n_events = e.count()
+    n_users = e.select("user_id").distinct().count()
+    assert sum(r.n for r in out) == n_events - n_users
+    assert all(r.gap_digits >= 1 for r in out)
+    assert all(r.n > 0 for r in out)
+
+
+def test_boilerplate_clusters_bounds(spark, sf_smoke_dir):
+    """Every cluster is a real multi-doc group; cluster membership
+    counts can't exceed the corpus; hashes are distinct."""
+    d = load_table(spark, sf_smoke_dir, "documents")
+    out = QUERIES["boilerplate_template_clusters"].fn(
+        spark, sf_smoke_dir).collect()
+    n_docs = d.count()
+    assert all(r.n_docs > 1 for r in out)
+    assert sum(r.n_docs for r in out) <= n_docs
+    hashes = [r.template_hash for r in out]
+    assert len(hashes) == len(set(hashes))
+    min_doc = d.agg(F.min("doc_id")).collect()[0][0]
+    assert all(r.min_doc_id >= min_doc for r in out)
+
+
+def test_label_outliers_per_label_topk(spark, sf_smoke_dir):
+    """Exactly min(k, |label|) rows per label, ranks contiguous from 1,
+    cosine within [-1, 1]."""
+    e = load_table(spark, sf_smoke_dir, "embeddings")
+    out = QUERIES["embedding_label_outliers"].fn(spark, sf_smoke_dir).collect()
+    sizes = {r.label: r.c for r in
+             e.groupBy("label").agg(F.count(F.lit(1)).alias("c")).collect()}
+    from collections import defaultdict
+    per = defaultdict(list)
+    for r in out:
+        per[r.label].append(r.rk)
+        assert -1.0 - 1e-9 <= r.cos_to_centroid <= 1.0 + 1e-9
+    for label, rks in per.items():
+        assert sorted(rks) == list(range(1, min(3, sizes[label]) + 1))
+    assert set(per) == {l for l, n in sizes.items() if n >= 1}
