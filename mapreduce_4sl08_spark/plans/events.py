@@ -887,3 +887,132 @@ SPECS.append(
     QuerySpec("events_interarrival_histogram", events_interarrival_histogram,
               INTERARRIVAL_SQL,
               "per-type inter-arrival gap histogram (decimal-digit buckets)"))
+
+
+# ------------------------------------------------------- share drift
+# Day-over-day drift of each event type's traffic share — the
+# data-drift monitor that catches schema/SDK rollouts and bot floods
+# before they poison downstream aggregates. Shares and drifts in exact
+# e6 integers (floor-div; a double share invites cross-engine rounding
+# ties). Scale shape: one pruned scan collapses to a (day, type)
+# aggregate; the share window and the per-type lag both run over those
+# ~days × |types| rows.
+
+
+def event_type_share_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(F.date_trunc("DAY", F.col("ts")).alias("day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    shared = daily.withColumn(
+        "share_e6",
+        F.expr("n * 1000000 div sum(n) over (partition by day)"))
+    wlag = Window.partitionBy("event_type").orderBy("day")
+    return (
+        shared.withColumn(
+            "drift_e6",
+            F.abs(F.col("share_e6") - F.lag("share_e6").over(wlag)))
+        .select("day", "event_type", "n", "share_e6", "drift_e6")
+        .orderBy("day", "event_type")
+    )
+
+
+SHARE_DRIFT_SQL = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day, event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+shared AS (
+  SELECT day, event_type, n,
+         (n * 1000000 // SUM(n) OVER (PARTITION BY day))::BIGINT
+           AS share_e6
+  FROM daily
+)
+SELECT day, event_type, n, share_e6,
+       abs(share_e6 - lag(share_e6) OVER (
+           PARTITION BY event_type ORDER BY day))::BIGINT AS drift_e6
+FROM shared
+ORDER BY day, event_type
+"""
+
+SPECS.append(
+    QuerySpec("event_type_share_drift", event_type_share_drift,
+              SHARE_DRIFT_SQL,
+              "day-over-day event-type traffic-share drift (e6 fixed point)"))
+
+
+# ------------------------------------------------------- burst top-k
+# Burstiest users: top 20 by peak events-in-one-hour (ties by user_id)
+# with their peak-minute rate and total volume — the rate-limit / bot
+# triage list. Rank-based rather than thresholded so the report is
+# scale-free (a fixed "≥N per minute" flag returns nothing at small SF
+# and everything at 100 TB). Scale shape: one pruned scan → (user,
+# epoch-minute) pre-aggregate (map-side combinable) → per-(user, hour)
+# re-agg derived from the minute relation (no second fact scan) → tiny
+# per-user rollup; the global top-20 sort runs on |users| rows.
+
+_BURST_TOP_K = 20
+
+
+def events_burst_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    mcnt = (
+        e.select("user_id",
+                 F.expr("unix_micros(ts) div 60000000").alias("mi"))
+        .groupBy("user_id", "mi")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    hourly = (
+        mcnt.withColumn("h", F.expr("mi div 60"))
+        .groupBy("user_id", "h")
+        .agg(F.sum("n").alias("nh"), F.max("n").alias("pm"))
+    )
+    per_user = (
+        hourly.groupBy("user_id")
+        .agg(F.max("nh").alias("peak_hour_events"),
+             F.max("pm").alias("peak_minute_events"),
+             F.sum("nh").alias("n_events"))
+    )
+    w = Window.orderBy(F.col("peak_hour_events").desc(),
+                       F.col("user_id").asc())
+    return (
+        per_user.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _BURST_TOP_K)
+        .select("rk", "user_id", "peak_hour_events",
+                "peak_minute_events", "n_events")
+        .orderBy("rk")
+    )
+
+
+BURST_TOPK_SQL = f"""
+WITH mcnt AS (
+  SELECT user_id, epoch_us(ts) // 60000000 AS mi, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+hourly AS (
+  SELECT user_id, mi // 60 AS h, SUM(n) AS nh, MAX(n) AS pm
+  FROM mcnt GROUP BY 1, 2
+),
+per_user AS (
+  SELECT user_id,
+         MAX(nh)::BIGINT AS peak_hour_events,
+         MAX(pm)::BIGINT AS peak_minute_events,
+         SUM(nh)::BIGINT AS n_events
+  FROM hourly GROUP BY user_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      ORDER BY peak_hour_events DESC, user_id ASC) AS rk
+  FROM per_user
+)
+SELECT CAST(rk AS INT) AS rk, user_id, peak_hour_events,
+       peak_minute_events, n_events
+FROM ranked
+WHERE rk <= {_BURST_TOP_K}
+ORDER BY rk
+"""
+
+SPECS.append(
+    QuerySpec("events_burst_topk", events_burst_topk, BURST_TOPK_SQL,
+              "top-20 burstiest users by peak events-in-one-hour"))

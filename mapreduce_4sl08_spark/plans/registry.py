@@ -79,7 +79,8 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     "mixture_weighted_sample", "lsh_bucket_ann", "embedding_near_dup",
     # new operators added mid-r12 — never driver-proven
     "events_interarrival_histogram", "boilerplate_template_clusters",
-    "embedding_label_outliers",
+    "embedding_label_outliers", "langid_confusion_matrix",
+    "event_type_share_drift", "events_burst_topk",
 )
 
 _HISTORY_PATH = Path(__file__).with_name("checked_history.json")

@@ -1719,3 +1719,80 @@ SPECS.append(
     QuerySpec("boilerplate_template_clusters", boilerplate_template_clusters,
               BOILERPLATE_SQL,
               "structural-skeleton template clusters (boilerplate detection)"))
+
+
+# ------------------------------------------------- langid evaluation
+# Confusion matrix of the n-gram-marker language classifier against the
+# labeled `lang` column — the classifier-evaluation rollup every
+# curation pipeline needs before trusting a language gate. Shares
+# _lang_score_exprs with text_language_id / the curation pipeline, so
+# the predictor under test is EXACTLY the deployed one. Per-true-lang
+# shares in exact e6 integers (floor-div). Scale shape: one pruned
+# scan, row-local scoring, one tiny (true, pred) hash agg; the share
+# window runs over the ≤ |langs|² matrix rows.
+
+
+def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    scores = _lang_score_exprs()
+    staged = d.select(
+        F.col("lang").alias("true_lang"),
+        *[c.alias(f"score_{lang}") for lang, c in scores.items()])
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in _LANG_MARKERS])
+    pred = F.when(best <= 0, F.lit("und"))
+    for lang in sorted(_LANG_MARKERS):
+        pred = pred.when(F.col(f"score_{lang}") == best, F.lit(lang))
+    cm = (staged.select("true_lang", pred.alias("pred_lang"))
+          .groupBy("true_lang", "pred_lang")
+          .agg(F.count(F.lit(1)).alias("n_docs")))
+    w = Window.partitionBy("true_lang")
+    return (
+        cm.withColumn(
+            "share_of_true_e6",
+            F.expr("n_docs * 1000000 div sum(n_docs) over "
+                   "(partition by true_lang)"))
+        .orderBy("true_lang", "pred_lang")
+    )
+
+
+def _langid_confusion_sql() -> str:
+    score_exprs = []
+    for lang, markers in _LANG_MARKERS.items():
+        in_list = ",".join(f"'{m}'" for m in markers)
+        score_exprs.append(
+            f"ROUND(len(list_filter(toks, x -> x IN ({in_list})))"
+            f" / len(toks), 4) AS score_{lang}")
+    langs_sorted = sorted(_LANG_MARKERS)
+    best = "GREATEST(" + ", ".join(f"score_{l}" for l in _LANG_MARKERS) + ")"
+    case = f"CASE WHEN {best} <= 0 THEN 'und' " + " ".join(
+        f"WHEN score_{l} = {best} THEN '{l}'" for l in langs_sorted) + " END"
+    return rf"""
+WITH base AS (
+  SELECT lang AS true_lang,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents
+),
+scored AS (
+  SELECT true_lang, {", ".join(score_exprs)}
+  FROM base
+),
+cm AS (
+  SELECT true_lang, {case} AS pred_lang, COUNT(*) AS n_docs
+  FROM scored
+  GROUP BY 1, 2
+)
+SELECT true_lang, pred_lang, n_docs,
+       (n_docs * 1000000
+        // SUM(n_docs) OVER (PARTITION BY true_lang))::BIGINT
+         AS share_of_true_e6
+FROM cm
+ORDER BY true_lang, pred_lang
+"""
+
+
+LANGID_CONFUSION_SQL = _langid_confusion_sql()
+
+SPECS.append(
+    QuerySpec("langid_confusion_matrix", langid_confusion_matrix,
+              LANGID_CONFUSION_SQL,
+              "confusion matrix of the deployed langid vs labeled lang (e6 shares)"))

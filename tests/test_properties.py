@@ -970,3 +970,45 @@ def test_label_outliers_per_label_topk(spark, sf_smoke_dir):
     for label, rks in per.items():
         assert sorted(rks) == list(range(1, min(3, sizes[label]) + 1))
     assert set(per) == {l for l, n in sizes.items() if n >= 1}
+
+
+def test_langid_confusion_conserves_docs(spark, sf_smoke_dir):
+    """Matrix cells partition the corpus; per-true-lang e6 shares sum
+    to 1e6 minus at most one floor-loss per cell."""
+    d = load_table(spark, sf_smoke_dir, "documents")
+    out = QUERIES["langid_confusion_matrix"].fn(spark, sf_smoke_dir).collect()
+    assert sum(r.n_docs for r in out) == d.count()
+    from collections import defaultdict
+    shares = defaultdict(list)
+    for r in out:
+        shares[r.true_lang].append(r.share_of_true_e6)
+    for lang, ss in shares.items():
+        assert 1_000_000 - len(ss) < sum(ss) <= 1_000_000
+
+
+def test_share_drift_shares_and_first_day_null(spark, sf_smoke_dir):
+    out = QUERIES["event_type_share_drift"].fn(spark, sf_smoke_dir).collect()
+    from collections import defaultdict
+    by_day = defaultdict(list)
+    first_seen = {}
+    for r in sorted(out, key=lambda r: (r.day, r.event_type)):
+        by_day[r.day].append(r.share_e6)
+        if r.event_type not in first_seen:
+            first_seen[r.event_type] = r
+        else:
+            assert r.drift_e6 is not None
+    for day, ss in by_day.items():
+        assert 1_000_000 - len(ss) < sum(ss) <= 1_000_000
+    for r in first_seen.values():
+        assert r.drift_e6 is None
+
+
+def test_burst_topk_rank_and_ordering(spark, sf_smoke_dir):
+    e = load_table(spark, sf_smoke_dir, "events")
+    out = QUERIES["events_burst_topk"].fn(spark, sf_smoke_dir).collect()
+    n_users = e.select("user_id").distinct().count()
+    assert [r.rk for r in out] == list(range(1, min(20, n_users) + 1))
+    for r in out:
+        assert r.peak_minute_events <= r.peak_hour_events <= r.n_events
+    peaks = [r.peak_hour_events for r in out]
+    assert peaks == sorted(peaks, reverse=True)
