@@ -748,3 +748,63 @@ SPECS.append(
     QuerySpec("revenue_concentration_deciles", revenue_concentration_deciles,
               REVENUE_CONC_SQL,
               "Pareto revenue concentration by spend decile (broadcast thresholds)"))
+
+
+# ------------------------------------------------ engagement vs revenue
+# Cross-domain customer 360: behavioral volume from the events stream
+# joined to transactional value from orders on the shared customer key
+# — the engagement-to-revenue table activation teams export. Both
+# sides collapse to per-key aggregates BEFORE the join (two map-side-
+# combinable apexes, then a key-aligned join of |users| + |customers|
+# rows — never a fact×fact join); spend stays in exact integer cents
+# until the final cast. Event users absent from orders surface with
+# zero orders (left join + coalesce) — the "engaged but not yet
+# converted" segment the report exists to find.
+
+
+def customer_engagement_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").alias("custkey"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum(F.when(F.col("event_type") == "purchase", 1)
+                   .otherwise(0)).alias("n_purchase_events"))
+    )
+    od = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.sum(cents("o_totalprice")).alias("_spend_c"))
+    )
+    return (
+        ev.join(od, "custkey", "left")
+        .select("custkey", "n_events", "n_purchase_events",
+                F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+                dollars(F.coalesce("_spend_c", F.lit(0)), "total_spend"))
+        .orderBy("custkey")
+    )
+
+
+ENGAGEMENT_VALUE_SQL = f"""
+WITH ev AS (
+  SELECT user_id AS custkey, COUNT(*) AS n_events,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+           AS n_purchase_events
+  FROM events GROUP BY 1
+),
+od AS (
+  SELECT o_custkey AS custkey, COUNT(*) AS n_orders,
+         SUM({cents_sql('o_totalprice')})::BIGINT AS spend_c
+  FROM orders GROUP BY 1
+)
+SELECT ev.custkey, ev.n_events, ev.n_purchase_events,
+       COALESCE(od.n_orders, 0) AS n_orders,
+       CAST(COALESCE(od.spend_c, 0) AS DOUBLE) / 100.0 AS total_spend
+FROM ev LEFT JOIN od USING (custkey)
+ORDER BY custkey
+"""
+
+SPECS.append(
+    QuerySpec("customer_engagement_value", customer_engagement_value,
+              ENGAGEMENT_VALUE_SQL,
+              "events-stream engagement joined to order value per customer"))

@@ -1012,3 +1012,15 @@ def test_burst_topk_rank_and_ordering(spark, sf_smoke_dir):
         assert r.peak_minute_events <= r.peak_hour_events <= r.n_events
     peaks = [r.peak_hour_events for r in out]
     assert peaks == sorted(peaks, reverse=True)
+
+
+def test_engagement_value_covers_all_event_users(spark, sf_smoke_dir):
+    """Left join preserves every event user; counts conserve."""
+    e = load_table(spark, sf_smoke_dir, "events")
+    out = QUERIES["customer_engagement_value"].fn(spark, sf_smoke_dir).collect()
+    users = {r.user_id for r in e.select("user_id").distinct().collect()}
+    assert {r.custkey for r in out} == users
+    assert sum(r.n_events for r in out) == e.count()
+    for r in out:
+        assert 0 <= r.n_purchase_events <= r.n_events
+        assert r.n_orders >= 0 and r.total_spend >= 0.0
