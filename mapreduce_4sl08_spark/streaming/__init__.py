@@ -1,5 +1,7 @@
 from .ops import (
+    daily_shares_from_counts,
     events_stream,
+    stream_daily_type_counts,
     stream_dedup_within_watermark,
     stream_session_window,
     stream_sliding_counts,
@@ -9,7 +11,9 @@ from .ops import (
 )
 
 __all__ = [
+    "daily_shares_from_counts",
     "events_stream",
+    "stream_daily_type_counts",
     "stream_dedup_within_watermark",
     "stream_session_window",
     "stream_sliding_counts",

@@ -346,3 +346,31 @@ def stream_transition_counts(events: DataFrame,
             timeoutConf="NoTimeout",
         )
     )
+
+
+def stream_daily_type_counts(events: DataFrame,
+                             watermark: str = "2 hours") -> DataFrame:
+    """Watermarked 1-day tumbling counts per event type — the streaming
+    half of plans/events.event_type_share_drift. Traffic SHARES need
+    every type's count for the day (cross-group normalization), which a
+    single streaming aggregation cannot express; the contract is the
+    standard split: this agg maintains the incremental per-(day, type)
+    state, and :func:`daily_shares_from_counts` normalizes each
+    finalized day downstream (foreachBatch / the batch sink)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("day"), "event_type", "n")
+    )
+
+
+def daily_shares_from_counts(counts: DataFrame) -> DataFrame:
+    """Exact e6 traffic shares from a (day, event_type, n) relation —
+    the normalization step applied to finalized streaming output; the
+    identical expression the batch twin uses, so stream + normalize ==
+    batch."""
+    from pyspark.sql import Window as W
+    return counts.withColumn(
+        "share_e6",
+        F.expr("n * 1000000 div sum(n) over (partition by day)"))

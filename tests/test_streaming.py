@@ -495,3 +495,29 @@ def test_stream_transition_counts_match_batch_twin(spark, sf_smoke_dir,
     want_rows = {(r.from_type, r.to_type): r.n for r in want.collect()}
     assert got_rows == want_rows
     assert sum(want_rows.values()) > 100  # not vacuous
+
+
+def test_stream_daily_shares_match_batch_twin(spark, events_dir, sf_smoke_dir):
+    """Streaming (day, type) counts + the shared normalizer reproduce
+    the batch share monitor exactly for finalized days (day_end <=
+    final watermark)."""
+    from mapreduce_4sl08_spark.streaming import (
+        daily_shares_from_counts, events_stream, run_to_memory,
+        stream_daily_type_counts)
+
+    stream = stream_daily_type_counts(events_stream(spark, events_dir))
+    got_counts = run_to_memory(stream, "t_daily_shares")
+
+    events = load_table(spark, sf_smoke_dir, "events")
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    horizon = (F.lit(max_ts) - F.expr("INTERVAL 2 HOURS")
+               - F.expr("INTERVAL 1 DAY"))
+    got = (daily_shares_from_counts(got_counts)
+           .filter(F.col("day") <= horizon)
+           .orderBy("day", "event_type"))
+    want = (QUERIES["event_type_share_drift"].fn(spark, sf_smoke_dir)
+            .filter(F.col("day") <= horizon)
+            .select("day", "event_type", "n", "share_e6")
+            .orderBy("day", "event_type"))
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+    assert want.count() > 50  # not vacuous
