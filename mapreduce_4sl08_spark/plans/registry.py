@@ -81,7 +81,7 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     "events_interarrival_histogram", "boilerplate_template_clusters",
     "embedding_label_outliers", "langid_confusion_matrix",
     "event_type_share_drift", "events_burst_topk",
-    "customer_engagement_value",
+    "customer_engagement_value", "kmeans_lloyd_2iter",
 )
 
 _HISTORY_PATH = Path(__file__).with_name("checked_history.json")

@@ -720,3 +720,127 @@ SPECS.append(
     QuerySpec("embedding_label_outliers", embedding_label_outliers,
               LABEL_OUTLIERS_SQL,
               "k farthest-from-centroid members per label (noisy-example audit)"))
+
+
+# ------------------------------------------------------ k-means (Lloyd)
+# Two fixed Lloyd iterations of exact-integer k-means — the iterative-
+# ML pattern (clustering for IVF list training / corpus bucketing) run
+# with ZERO floats in the loop so both engines agree bit-for-bit:
+# vectors quantize once to e6 BIGINTs (FLOOR — no tie semantics),
+# squared L2 distances are exact BIGINT folds, assignment breaks ties
+# by centroid id, and centroid updates floor-divide exact integer sums
+# (the embedding_centroid_fixedpoint idiom). Deterministic seeding:
+# the K md5-order-first vectors (the IVF centroid rule). Iteration
+# count is FIXED (unrolled in the oracle as CTE stages) — convergence
+# looping is the dedup_connected_components pattern; this op pins the
+# per-iteration algebra. Scale shape per iteration: corpus × K
+# broadcast distance scan (K rows broadcast), per-vec_id window argmin,
+# posexplode + (cid, dim) hash agg for the update — no shuffle wider
+# than the corpus, state is K × dim integers.
+# Overflow bounds (all exact BIGINT): per-pair d ≤ dim × (2e6)² =
+# 2.56e14 for |x| ≤ 1 inputs; per-cluster inertia sum is exact while
+# n_cluster × max_d < 2^63 (≥ 3.6e4 rows/cluster at the theoretical
+# max, ~9e6 at this corpus's measured ~1e12 per-vector distances; past
+# that, report the e6-floored variant or split hi/lo like the money
+# sums in plans/relational.py).
+
+_KMEANS_K = 4
+_KMEANS_ITERS = 2
+
+
+def kmeans_lloyd_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = e.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> "
+               "cast(floor(cast(x as double) * 1000000) as bigint))")
+        .alias("v"))
+    seed_order = [F.md5(F.col("vec_id").cast("string")), F.col("vec_id")]
+    cents = (
+        q.orderBy(*seed_order).limit(_KMEANS_K)
+        .select(F.row_number().over(Window.orderBy(*seed_order)).alias("cid"),
+                F.col("v").alias("cv")))
+    dist = F.expr("aggregate(zip_with(v, cv, (a, b) -> (a - b) * (a - b)), "
+                  "cast(0 as bigint), (acc, x) -> acc + x)")
+    w = Window.partitionBy("vec_id").orderBy(F.col("d").asc(),
+                                             F.col("cid").asc())
+    assign = None
+    for it in range(_KMEANS_ITERS):
+        scored = (q.crossJoin(broadcast(cents))
+                  .select("vec_id", "v", "cid", dist.alias("d")))
+        assign = (scored.withColumn("rk", F.row_number().over(w))
+                  .filter(F.col("rk") == 1)
+                  .select("vec_id", "v", "cid", "d"))
+        if it < _KMEANS_ITERS - 1:
+            cents = (
+                assign.select("cid", F.posexplode("v").alias("dim", "x"))
+                .groupBy("cid", "dim")
+                .agg(F.floor(F.sum("x") / F.count(F.lit(1))).alias("c"))
+                .groupBy("cid")
+                .agg(F.expr("transform(array_sort(collect_list("
+                            "struct(dim, c))), s -> s.c)").alias("cv")))
+    return (
+        assign.groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n_vecs"),
+             F.sum("d").alias("inertia"))
+        .orderBy("cid")
+    )
+
+
+def _kmeans_sql() -> str:
+    d_expr = ("list_sum(list_transform(range({dim}), "
+              "i -> (q.v[i+1] - c.cv[i+1]) * (q.v[i+1] - c.cv[i+1])))"
+              .format(dim=_EMB_DIM))
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(FLOOR(x * 1000000) AS BIGINT)) AS v
+  FROM embeddings
+),
+c0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) AS cid,
+         v AS cv
+  FROM q ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {_KMEANS_K}
+),
+s1 AS (
+  SELECT q.vec_id, q.v, c.cid, {d_expr.replace('c.cv', 'c.cv')} AS d
+  FROM q, c0 c
+),
+a1 AS (
+  SELECT vec_id, v, cid, d FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY d, cid) AS rk
+    FROM s1) WHERE rk = 1
+),
+c1 AS (
+  SELECT cid, list(c ORDER BY dim) AS cv FROM (
+    SELECT cid, i AS dim,
+           CAST(FLOOR(CAST(SUM(v[i + 1]) AS DOUBLE) / COUNT(*)) AS BIGINT)
+             AS c
+    FROM a1, UNNEST(range({_EMB_DIM})) AS u(i)
+    GROUP BY cid, i) GROUP BY cid
+),
+s2 AS (
+  SELECT q.vec_id, c.cid, {d_expr} AS d
+  FROM q, c1 c
+),
+a2 AS (
+  SELECT vec_id, cid, d FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY d, cid) AS rk
+    FROM s2) WHERE rk = 1
+)
+SELECT CAST(cid AS INT) AS cid, COUNT(*) AS n_vecs,
+       SUM(d)::BIGINT AS inertia
+FROM a2
+GROUP BY cid
+ORDER BY cid
+"""
+
+
+KMEANS_SQL = _kmeans_sql()
+
+SPECS.append(
+    QuerySpec("kmeans_lloyd_2iter", kmeans_lloyd_2iter, KMEANS_SQL,
+              "two exact-integer Lloyd iterations (e6 quantize, BIGINT distances)"))

@@ -1024,3 +1024,26 @@ def test_engagement_value_covers_all_event_users(spark, sf_smoke_dir):
     for r in out:
         assert 0 <= r.n_purchase_events <= r.n_events
         assert r.n_orders >= 0 and r.total_spend >= 0.0
+
+
+def test_kmeans_partitions_and_improves(spark, sf_smoke_dir):
+    """Clusters partition the corpus; total 2-iteration inertia is <=
+    the 1-iteration inertia plus the floor-quantization slack (Lloyd
+    monotonicity: the exact-mean update only shrinks the objective; the
+    e6-floored centroid adds exactly n*delta^2 <= n per dimension)."""
+    from mapreduce_4sl08_spark.plans import vectors as V
+
+    e = load_table(spark, sf_smoke_dir, "embeddings")
+    out = QUERIES["kmeans_lloyd_2iter"].fn(spark, sf_smoke_dir).collect()
+    assert sum(r.n_vecs for r in out) == e.count()
+    assert sorted(r.cid for r in out) == list(range(1, V._KMEANS_K + 1))
+    two_iter_inertia = sum(r.inertia for r in out)
+
+    orig = V._KMEANS_ITERS
+    try:
+        V._KMEANS_ITERS = 1
+        one = V.kmeans_lloyd_2iter(spark, sf_smoke_dir).collect()
+    finally:
+        V._KMEANS_ITERS = orig
+    slack = e.count() * 64  # n vectors x 64 dims x delta^2 < 1
+    assert two_iter_inertia <= sum(r.inertia for r in one) + slack
