@@ -808,3 +808,79 @@ SPECS.append(
     QuerySpec("customer_engagement_value", customer_engagement_value,
               ENGAGEMENT_VALUE_SQL,
               "events-stream engagement joined to order value per customer"))
+
+
+# --------------------------------------------------- order cadence
+# Exact discrete percentiles of the customer order-gap distribution —
+# the purchase-cadence stat behind replenishment-window and churn-
+# horizon choices. Uses the rank-selection idiom of
+# events_rate_anomaly_mad (value at rank k = smallest gap whose
+# cumulative count reaches k; k = (p·(n−1)) div 100 + 1), NOT an
+# interpolated float percentile. Scale shape: the per-customer lag
+# window shuffles once on o_custkey; gaps then collapse to a
+# ≤date-range-days distinct-value relation (~2.5k rows at ANY scale
+# factor), so the ordered cumulative window runs single-partition over
+# a bounded input — never over the fact table.
+
+
+def order_cadence_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    gaps = (
+        o.select(F.datediff(F.col("o_orderdate"),
+                            F.lag("o_orderdate", 1).over(w)).alias("gap"))
+        .filter(F.col("gap").isNotNull())
+    )
+    dist = gaps.groupBy("gap").agg(F.count(F.lit(1)).alias("cnt"))
+    cum = (
+        dist.withColumn(
+            "cum",
+            F.sum("cnt").over(Window.orderBy("gap")
+                              .rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("total",
+                    F.sum("cnt").over(Window.partitionBy(F.lit(1))))
+    )
+    def at(p: int) -> F.Column:
+        k = F.expr(f"({p} * (total - 1)) div 100 + 1")
+        return F.min(F.when(F.col("cum") >= k, F.col("gap")))
+    return cum.agg(
+        F.max("total").alias("n_gaps"),
+        at(25).alias("p25_days"),
+        at(50).alias("p50_days"),
+        at(75).alias("p75_days"))
+
+
+ORDER_CADENCE_SQL = """
+WITH gaps AS (
+  SELECT DATE_DIFF('day',
+                   LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate ASC,
+                                                   o_orderkey ASC),
+                   o_orderdate)::INT AS gap
+  FROM orders
+),
+dist AS (SELECT gap, COUNT(*) AS cnt FROM gaps
+         WHERE gap IS NOT NULL GROUP BY gap),
+cum AS (
+  SELECT gap, cnt,
+         SUM(cnt) OVER (ORDER BY gap
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         SUM(cnt) OVER () AS total
+  FROM dist
+)
+SELECT MAX(total)::BIGINT AS n_gaps,
+       MIN(CASE WHEN cum >= (25 * (total - 1)) // 100 + 1 THEN gap END)
+         AS p25_days,
+       MIN(CASE WHEN cum >= (50 * (total - 1)) // 100 + 1 THEN gap END)
+         AS p50_days,
+       MIN(CASE WHEN cum >= (75 * (total - 1)) // 100 + 1 THEN gap END)
+         AS p75_days
+FROM cum
+"""
+
+SPECS.append(
+    QuerySpec("order_cadence_percentiles", order_cadence_percentiles,
+              ORDER_CADENCE_SQL,
+              "exact discrete p25/50/75 of customer order-gap days"))

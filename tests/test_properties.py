@@ -1047,3 +1047,15 @@ def test_kmeans_partitions_and_improves(spark, sf_smoke_dir):
         V._KMEANS_ITERS = orig
     slack = e.count() * 64  # n vectors x 64 dims x delta^2 < 1
     assert two_iter_inertia <= sum(r.inertia for r in one) + slack
+
+
+def test_order_cadence_percentiles_consistent(spark, sf_smoke_dir):
+    """Percentiles are ordered, within the observed gap range, and the
+    gap count equals orders minus customers-with-orders."""
+    o = load_table(spark, sf_smoke_dir, "orders")
+    row = QUERIES["order_cadence_percentiles"].fn(
+        spark, sf_smoke_dir).collect()[0]
+    n_orders = o.count()
+    n_cust = o.select("o_custkey").distinct().count()
+    assert row.n_gaps == n_orders - n_cust
+    assert 0 <= row.p25_days <= row.p50_days <= row.p75_days
