@@ -530,3 +530,41 @@ def test_sliding_window_primitives_bind_input_once(spark, sf_smoke_dir):
                .select("doc_id", word_shingles(F.col("t"), 3).alias("s")))
     assert sorted(map(tuple, via_expr.collect())) == \
         sorted(map(tuple, via_col.collect()))
+
+
+def test_funnel_single_scan_single_exchange(spark, sf_dir):
+    """The r12 rewrite pins the funnel to ONE fact scan and ONE hash
+    exchange (chained conditional window-mins) — the former
+    min-filtered self-join form read events six times."""
+    plan = plan_of(spark, "events_funnel_conversion", sf_dir)
+    assert plan.count("Scan parquet") == 1
+    import re
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert plan.count("Window") >= 3
+
+
+def test_retention_single_scan(spark, sf_dir):
+    """Cohort week is a window-min, not a groupBy+self-join: one scan."""
+    plan = plan_of(spark, "events_retention_cohorts", sf_dir)
+    assert plan.count("Scan parquet") == 1
+
+
+def test_curation_pipeline_scores_once(spark, sf_dir):
+    """The regex-scoring projection must appear once (survivor pick is
+    a window-min over content_hash, not a join back onto a second
+    scoring scan). The connected-components input is memoized/cached,
+    so at most one ADDITIONAL documents scan may appear from CC's
+    first materialization."""
+    from mapreduce_4sl08_spark.plans import QUERIES
+    df = QUERIES["corpus_curation_pipeline"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the scoring scan reads the text column; CC reads via its cache
+    assert plan.count("Scan parquet") <= 2
+
+
+def test_mixture_sample_two_pass_shape(spark, sf_dir):
+    """Stats pass + filter pass — exactly two fact scans (the max-rate
+    scalar is a window-max over the per-language aggregate, not a third
+    corpus scan)."""
+    plan = plan_of(spark, "mixture_weighted_sample", sf_dir)
+    assert plan.count("Scan parquet") == 2
