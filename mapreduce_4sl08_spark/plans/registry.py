@@ -82,7 +82,7 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     "embedding_label_outliers", "langid_confusion_matrix",
     "event_type_share_drift", "events_burst_topk",
     "customer_engagement_value", "kmeans_lloyd_2iter",
-    "order_cadence_percentiles",
+    "order_cadence_percentiles", "embedding_dim_stats",
 )
 
 _HISTORY_PATH = Path(__file__).with_name("checked_history.json")

@@ -844,3 +844,55 @@ KMEANS_SQL = _kmeans_sql()
 SPECS.append(
     QuerySpec("kmeans_lloyd_2iter", kmeans_lloyd_2iter, KMEANS_SQL,
               "two exact-integer Lloyd iterations (e6 quantize, BIGINT distances)"))
+
+
+# ---------------------------------------------------- dimension health
+# Per-dimension embedding statistics — the feature-health monitor that
+# catches dead dimensions (min = max = 0 after an encoder regression),
+# scale drift, and clipping before they silently degrade every
+# downstream ANN/dedup operator. All values exact e6 fixed-point
+# BIGINTs (FLOOR quantization, the embedding_centroid_fixedpoint
+# idiom); variance is intentionally NOT reported — its sum-of-squares
+# decomposition overflows BIGINT at corpus scale (sum² at 6e10 e6-units
+# is ~3.6e21 > 2^63) and a double variance invites cross-engine
+# summation-order drift; consumers derive spread from the reported
+# exact extremes + mean. Scale shape: one posexplode + (dim) hash agg —
+# map-side combinable, output bounded by the embedding width.
+
+
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    x = e.select(F.posexplode("embedding").alias("dim", "x")).select(
+        F.col("dim").cast("long").alias("dim"),
+        F.expr("cast(floor(cast(x as double) * 1000000) as bigint)")
+        .alias("x_e6"))
+    return (
+        x.groupBy("dim")
+        .agg(F.count(F.lit(1)).alias("n_vecs"),
+             F.floor(F.sum("x_e6") / F.count(F.lit(1))).alias("mean_e6"),
+             F.min("x_e6").alias("min_e6"),
+             F.max("x_e6").alias("max_e6"))
+        .orderBy("dim")
+    )
+
+
+DIM_STATS_SQL = f"""
+WITH x AS (
+  SELECT i AS dim,
+         CAST(FLOOR(emb[i + 1] * 1000000) AS BIGINT) AS x_e6
+  FROM (SELECT embedding::DOUBLE[] AS emb FROM embeddings),
+       UNNEST(range({_EMB_DIM})) AS u(i)
+)
+SELECT dim, COUNT(*) AS n_vecs,
+       CAST(FLOOR(CAST(SUM(x_e6) AS DOUBLE) / COUNT(*)) AS BIGINT)
+         AS mean_e6,
+       MIN(x_e6) AS min_e6,
+       MAX(x_e6) AS max_e6
+FROM x
+GROUP BY dim
+ORDER BY dim
+"""
+
+SPECS.append(
+    QuerySpec("embedding_dim_stats", embedding_dim_stats, DIM_STATS_SQL,
+              "per-dimension exact e6 stats (dead-dim / drift monitor)"))

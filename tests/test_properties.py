@@ -1059,3 +1059,17 @@ def test_order_cadence_percentiles_consistent(spark, sf_smoke_dir):
     n_cust = o.select("o_custkey").distinct().count()
     assert row.n_gaps == n_orders - n_cust
     assert 0 <= row.p25_days <= row.p50_days <= row.p75_days
+
+
+def test_dim_stats_bounds_and_counts(spark, sf_smoke_dir):
+    """One row per dimension; every count equals the corpus size;
+    min <= mean <= max in e6 units."""
+    from mapreduce_4sl08_spark.plans import vectors as V
+
+    e = load_table(spark, sf_smoke_dir, "embeddings")
+    out = QUERIES["embedding_dim_stats"].fn(spark, sf_smoke_dir).collect()
+    assert [r.dim for r in out] == list(range(V._EMB_DIM))
+    n = e.count()
+    for r in out:
+        assert r.n_vecs == n
+        assert r.min_e6 <= r.mean_e6 <= r.max_e6
