@@ -1796,3 +1796,63 @@ SPECS.append(
     QuerySpec("langid_confusion_matrix", langid_confusion_matrix,
               LANGID_CONFUSION_SQL,
               "confusion matrix of the deployed langid vs labeled lang (e6 shares)"))
+
+
+# ---------------------------------------------- minhash recall eval
+# Recall/agreement evaluation of the MinHash-LSH near-dup path against
+# the exact prefix-filtered AllPairs join at the same J >= 0.4
+# threshold — the monitoring query that justifies (or revokes) running
+# the O(docs x bands) approximation INSTEAD of the exact quadratic
+# verify at 100 TB. One full-outer join of the two (already verified)
+# pair sets with presence markers — each pipeline is derived once, and
+# their expensive internals (shingle index, banded signatures) are the
+# session-memoized relations the source plans already share. Exact e6
+# recall (floor-div), NULL when the exact set is empty.
+
+
+def minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = (dedup_ngram_jaccard(spark, sf_dir)
+             .select("doc_a", "doc_b", F.lit(1).alias("in_exact")))
+    lsh = (dedup_minhash_lsh(spark, sf_dir)
+           .select("doc_a", "doc_b", F.lit(1).alias("in_lsh")))
+    merged = exact.join(lsh, ["doc_a", "doc_b"], "full_outer")
+    return (
+        merged.agg(
+            F.count("in_exact").alias("n_exact"),
+            F.count("in_lsh").alias("n_lsh"),
+            F.sum(F.when(F.col("in_exact").isNotNull()
+                         & F.col("in_lsh").isNotNull(), 1)
+                  .otherwise(0)).alias("n_common"))
+        .select(
+            "n_exact", "n_lsh", "n_common",
+            F.expr("CASE WHEN n_exact > 0 "
+                   "THEN n_common * 1000000 div n_exact END")
+            .alias("recall_e6"))
+    )
+
+
+MINHASH_RECALL_SQL = f"""
+WITH exact AS (
+  SELECT doc_a, doc_b, 1 AS in_exact FROM ({DEDUP_JACCARD_SQL.strip()})
+),
+lsh AS (
+  SELECT doc_a, doc_b, 1 AS in_lsh FROM ({MINHASH_SQL.strip()})
+),
+merged AS (
+  SELECT COALESCE(e.in_exact, 0) AS in_exact,
+         COALESCE(l.in_lsh, 0) AS in_lsh
+  FROM exact e FULL JOIN lsh l USING (doc_a, doc_b)
+)
+SELECT SUM(in_exact)::BIGINT AS n_exact,
+       SUM(in_lsh)::BIGINT AS n_lsh,
+       SUM(in_exact * in_lsh)::BIGINT AS n_common,
+       CASE WHEN SUM(in_exact) > 0
+            THEN (SUM(in_exact * in_lsh) * 1000000 // SUM(in_exact))::BIGINT
+       END AS recall_e6
+FROM merged
+"""
+
+SPECS.append(
+    QuerySpec("minhash_recall_eval", minhash_recall_eval,
+              MINHASH_RECALL_SQL,
+              "MinHash-LSH recall vs the exact AllPairs join at J>=0.4"))

@@ -1073,3 +1073,16 @@ def test_dim_stats_bounds_and_counts(spark, sf_smoke_dir):
     for r in out:
         assert r.n_vecs == n
         assert r.min_e6 <= r.mean_e6 <= r.max_e6
+
+
+def test_minhash_recall_eval_consistent_with_sources(spark, sf_smoke_dir):
+    """The eval row must agree with the two source pipelines it joins,
+    and recall is the exact floor ratio."""
+    row = QUERIES["minhash_recall_eval"].fn(spark, sf_smoke_dir).collect()[0]
+    n_exact = QUERIES["dedup_ngram_jaccard"].fn(spark, sf_smoke_dir).count()
+    n_lsh = QUERIES["dedup_minhash_lsh"].fn(spark, sf_smoke_dir).count()
+    assert row.n_exact == n_exact
+    assert row.n_lsh == n_lsh
+    assert row.n_common <= min(n_exact, n_lsh)
+    if n_exact:
+        assert row.recall_e6 == row.n_common * 1_000_000 // n_exact
