@@ -1016,3 +1016,52 @@ ORDER BY rk
 SPECS.append(
     QuerySpec("events_burst_topk", events_burst_topk, BURST_TOPK_SQL,
               "top-20 burstiest users by peak events-in-one-hour"))
+
+
+# -------------------------------------------- new vs returning users
+# Daily acquisition split: users active each day, divided into
+# first-seen-today (new) vs returning — the growth-accounting rollup.
+# First-seen day is a window-min over the user partition (the
+# single-scan idiom of events_retention_cohorts — never a
+# groupBy+self-join); the daily split then collapses the deduped
+# (day, user, first_day) relation with conditional counts.
+
+
+def daily_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    du = (e.select("user_id",
+                   F.date_trunc("DAY", F.col("ts")).alias("day"))
+          .distinct())
+    w = Window.partitionBy("user_id")
+    flagged = du.withColumn("first_day", F.min("day").over(w))
+    return (
+        flagged.groupBy("day")
+        .agg(F.sum(F.when(F.col("day") == F.col("first_day"), 1)
+                   .otherwise(0)).alias("new_users"),
+             F.sum(F.when(F.col("day") != F.col("first_day"), 1)
+                   .otherwise(0)).alias("returning_users"))
+        .orderBy("day")
+    )
+
+
+NEW_RETURNING_SQL = """
+WITH du AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+),
+flagged AS (
+  SELECT day,
+         day = MIN(day) OVER (PARTITION BY user_id) AS is_new
+  FROM du
+)
+SELECT day,
+       SUM(CASE WHEN is_new THEN 1 ELSE 0 END)::BIGINT AS new_users,
+       SUM(CASE WHEN is_new THEN 0 ELSE 1 END)::BIGINT AS returning_users
+FROM flagged
+GROUP BY day
+ORDER BY day
+"""
+
+SPECS.append(
+    QuerySpec("daily_new_vs_returning", daily_new_vs_returning,
+              NEW_RETURNING_SQL,
+              "daily new vs returning active users (single-scan window-min)"))

@@ -83,7 +83,8 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     "event_type_share_drift", "events_burst_topk",
     "customer_engagement_value", "kmeans_lloyd_2iter",
     "order_cadence_percentiles", "embedding_dim_stats",
-    "minhash_recall_eval",
+    "minhash_recall_eval", "daily_new_vs_returning",
+    "tokenizer_fertility_by_lang",
 )
 
 _HISTORY_PATH = Path(__file__).with_name("checked_history.json")

@@ -1856,3 +1856,54 @@ SPECS.append(
     QuerySpec("minhash_recall_eval", minhash_recall_eval,
               MINHASH_RECALL_SQL,
               "MinHash-LSH recall vs the exact AllPairs join at J>=0.4"))
+
+
+# ------------------------------------------------ tokenizer fertility
+# Chars-per-token by language — the tokenizer-fertility proxy that
+# decides vocabulary allocation across languages (high fertility =
+# under-tokenized language). Exact e6 integer ratio of two exact sums;
+# n_chars comes from the typed column (no re-derivation), token counts
+# from the shared tokenize split. One pruned scan, row-local counts,
+# one |langs|-row aggregate.
+
+
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower("text")), TOKEN_SPLIT_RE)
+    per = d.select(
+        "lang", F.col("n_chars"),
+        F.size(F.filter(toks, lambda x: x != "")).cast("long")
+        .alias("n_toks"))
+    return (
+        per.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_chars").alias("total_chars"),
+             F.sum("n_toks").alias("total_tokens"))
+        .select("lang", "n_docs", "total_chars", "total_tokens",
+                F.expr("total_chars * 1000000 div total_tokens")
+                .alias("chars_per_token_e6"))
+        .orderBy("lang")
+    )
+
+
+FERTILITY_SQL = r"""
+WITH per AS (
+  SELECT lang, n_chars,
+         len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         x -> x <> ''))::BIGINT AS n_toks
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n_docs,
+       SUM(n_chars)::BIGINT AS total_chars,
+       SUM(n_toks)::BIGINT AS total_tokens,
+       (SUM(n_chars) * 1000000 // SUM(n_toks))::BIGINT
+         AS chars_per_token_e6
+FROM per
+GROUP BY lang
+ORDER BY lang
+"""
+
+SPECS.append(
+    QuerySpec("tokenizer_fertility_by_lang", tokenizer_fertility_by_lang,
+              FERTILITY_SQL,
+              "chars-per-token by language (tokenizer fertility, exact e6)"))

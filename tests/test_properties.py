@@ -1086,3 +1086,32 @@ def test_minhash_recall_eval_consistent_with_sources(spark, sf_smoke_dir):
     assert row.n_common <= min(n_exact, n_lsh)
     if n_exact:
         assert row.recall_e6 == row.n_common * 1_000_000 // n_exact
+
+
+def test_new_vs_returning_conserves_daily_actives(spark, sf_smoke_dir):
+    """new + returning per day equals the day's distinct actives; the
+    sum of new_users over all days equals total distinct users."""
+    e = load_table(spark, sf_smoke_dir, "events")
+    out = QUERIES["daily_new_vs_returning"].fn(spark, sf_smoke_dir).collect()
+    daily = {r.day: r.n for r in
+             e.select(F.date_trunc("DAY", "ts").alias("day"), "user_id")
+             .distinct().groupBy("day").agg(F.count(F.lit(1)).alias("n"))
+             .collect()}
+    for r in out:
+        assert r.new_users + r.returning_users == daily[r.day]
+    assert sum(r.new_users for r in out) == \
+        e.select("user_id").distinct().count()
+
+
+def test_fertility_ratio_exact(spark, sf_smoke_dir):
+    """chars_per_token_e6 is the exact floor ratio of the reported
+    exact sums; every lang present."""
+    d = load_table(spark, sf_smoke_dir, "documents")
+    out = QUERIES["tokenizer_fertility_by_lang"].fn(
+        spark, sf_smoke_dir).collect()
+    assert {r.lang for r in out} == \
+        {r.lang for r in d.select("lang").distinct().collect()}
+    assert sum(r.n_docs for r in out) == d.count()
+    for r in out:
+        assert r.chars_per_token_e6 == \
+            r.total_chars * 1_000_000 // r.total_tokens
