@@ -84,7 +84,8 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     "customer_engagement_value", "kmeans_lloyd_2iter",
     "order_cadence_percentiles", "embedding_dim_stats",
     "minhash_recall_eval", "daily_new_vs_returning",
-    "tokenizer_fertility_by_lang",
+    "tokenizer_fertility_by_lang", "orders_monthly_yoy",
+    "copurchase_degree_histogram",
 )
 
 _HISTORY_PATH = Path(__file__).with_name("checked_history.json")

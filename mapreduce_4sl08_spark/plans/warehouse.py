@@ -884,3 +884,106 @@ SPECS.append(
     QuerySpec("order_cadence_percentiles", order_cadence_percentiles,
               ORDER_CADENCE_SQL,
               "exact discrete p25/50/75 of customer order-gap days"))
+
+
+# ------------------------------------------------ monthly YoY revenue
+# Month-granularity revenue with year-over-year deltas — the finance
+# seasonality rollup (daily_revenue_gapfill covers the day grain; this
+# adds the lag-12 comparison). Exact integer cents end-to-end; the YoY
+# delta is a cents-integer difference, NULL for the first year. The
+# fact scan collapses to a ~|months|-row aggregate; the lag window runs
+# over those rows only.
+
+
+def orders_monthly_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(F.date_trunc("MONTH", F.col("o_orderdate")).alias("month"))
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.sum(cents("o_totalprice")).alias("_rev_c"))
+    )
+    wlag = Window.orderBy("month")
+    return (
+        monthly.withColumn("_prev_c", F.lag("_rev_c", 12).over(wlag))
+        .select("month", "n_orders",
+                dollars("_rev_c", "revenue"),
+                (F.when(F.col("_prev_c").isNotNull(),
+                        F.col("_rev_c") - F.col("_prev_c")).cast("double")
+                 / 100.0).alias("yoy_delta"))
+        .orderBy("month")
+    )
+
+
+MONTHLY_YOY_SQL = f"""
+WITH monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+         COUNT(*) AS n_orders,
+         SUM({cents_sql('o_totalprice')})::BIGINT AS rev_c
+  FROM orders GROUP BY 1
+)
+SELECT month, n_orders,
+       CAST(rev_c AS DOUBLE) / 100.0 AS revenue,
+       CAST(rev_c - lag(rev_c, 12) OVER (ORDER BY month) AS DOUBLE) / 100.0
+         AS yoy_delta
+FROM monthly
+ORDER BY month
+"""
+
+SPECS.append(
+    QuerySpec("orders_monthly_yoy", orders_monthly_yoy, MONTHLY_YOY_SQL,
+              "monthly exact-cents revenue with lag-12 YoY delta"))
+
+
+# ------------------------------------------- copurchase degree profile
+# Degree distribution of the frequent-co-purchase graph — the graph-
+# health profile (hub detection, power-law check) that reads the SAME
+# memoized edge relation the triangle count builds (_copurchase_edges),
+# so in-session it costs one tiny re-aggregation of cached edges. Each
+# undirected edge contributes to both endpoints' degrees. Output is a
+# degree → node-count histogram (bounded by max degree), exact BIGINTs.
+
+
+def copurchase_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _copurchase_edges(spark, sf_dir)
+    nodes = (edges.select(F.col("p1").alias("part"))
+             .unionAll(edges.select(F.col("p2").alias("part"))))
+    degrees = nodes.groupBy("part").agg(F.count(F.lit(1)).alias("degree"))
+    return (
+        degrees.groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .orderBy("degree")
+    )
+
+
+DEGREE_HIST_SQL = f"""
+WITH items0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+sized AS (
+  SELECT l_orderkey, l_partkey,
+         COUNT(*) OVER (PARTITION BY l_orderkey) AS basket_n
+  FROM items0
+),
+items AS (
+  SELECT l_orderkey, l_partkey FROM sized
+  WHERE basket_n <= {_COPURCHASE_MAX_BASKET}
+),
+edges AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {_COPURCHASE_MIN_ORDERS}
+),
+nodes AS (
+  SELECT p1 AS part FROM edges UNION ALL SELECT p2 FROM edges
+),
+degrees AS (SELECT part, COUNT(*) AS degree FROM nodes GROUP BY part)
+SELECT degree, COUNT(*) AS n_parts
+FROM degrees
+GROUP BY degree
+ORDER BY degree
+"""
+
+SPECS.append(
+    QuerySpec("copurchase_degree_histogram", copurchase_degree_histogram,
+              DEGREE_HIST_SQL,
+              "degree distribution of the co-purchase graph (cached edges)"))

@@ -1115,3 +1115,28 @@ def test_fertility_ratio_exact(spark, sf_smoke_dir):
     for r in out:
         assert r.chars_per_token_e6 == \
             r.total_chars * 1_000_000 // r.total_tokens
+
+
+def test_monthly_yoy_conserves_orders_and_lag(spark, sf_smoke_dir):
+    """Order counts conserve; yoy_delta is null for exactly the first
+    12 months present and equals the exact cents difference elsewhere."""
+    o = load_table(spark, sf_smoke_dir, "orders")
+    out = sorted(QUERIES["orders_monthly_yoy"].fn(spark, sf_smoke_dir)
+                 .collect(), key=lambda r: r.month)
+    assert sum(r.n_orders for r in out) == o.count()
+    for i, r in enumerate(out):
+        if i < 12:
+            assert r.yoy_delta is None
+        else:
+            want = round(r.revenue * 100) - round(out[i - 12].revenue * 100)
+            assert round(r.yoy_delta * 100) == want
+
+
+def test_degree_histogram_handshake(spark, sf_smoke_dir):
+    """Sum(degree * n_parts) = 2 x |edges| (handshake lemma)."""
+    from mapreduce_4sl08_spark.plans.warehouse import _copurchase_edges
+    out = QUERIES["copurchase_degree_histogram"].fn(
+        spark, sf_smoke_dir).collect()
+    n_edges = _copurchase_edges(spark, sf_smoke_dir).count()
+    assert sum(r.degree * r.n_parts for r in out) == 2 * n_edges
+    assert all(r.degree >= 1 and r.n_parts >= 1 for r in out)
