@@ -85,7 +85,7 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     "order_cadence_percentiles", "embedding_dim_stats",
     "minhash_recall_eval", "daily_new_vs_returning",
     "tokenizer_fertility_by_lang", "orders_monthly_yoy",
-    "copurchase_degree_histogram",
+    "copurchase_degree_histogram", "supplier_concentration_hhi",
 )
 
 _HISTORY_PATH = Path(__file__).with_name("checked_history.json")

@@ -987,3 +987,68 @@ SPECS.append(
     QuerySpec("copurchase_degree_histogram", copurchase_degree_histogram,
               DEGREE_HIST_SQL,
               "degree distribution of the co-purchase graph (cached edges)"))
+
+
+# ------------------------------------------- supplier concentration HHI
+# Herfindahl–Hirschman index of supplier revenue concentration per
+# nation — the supply-risk metric (HHI > 0.25 ≈ concentrated market).
+# Revenue is exact summed cents of l_extendedprice; per-supplier shares
+# use the overflow-safe split-multiplier floor (see _share_e6_expr —
+# a naive rev_c * 1e6 overflows BIGINT past ~$92B per supplier);
+# HHI_e12 = Σ share_e6² is exact BIGINT (bounded by (Σ share)² ≤ 1e12).
+# Scale shape: one fact scan to a |suppliers|-row aggregate, broadcast
+# dim joins, share window + HHI agg over the supplier relation only.
+
+
+def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", cents("l_extendedprice").alias("c"))
+    per_supp = l.groupBy("l_suppkey").agg(F.sum("c").alias("rev_c"))
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = (per_supp
+              .join(broadcast(s), per_supp.l_suppkey == s.s_suppkey)
+              .join(broadcast(n), s.s_nationkey == n.n_nationkey))
+    shares = (
+        joined.withColumn(
+            "tot_c",
+            F.expr("sum(rev_c) over (partition by n_name)"))
+        .withColumn("share_e6", F.expr(_share_e6_expr("rev_c", "tot_c")))
+    )
+    return (
+        shares.groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_suppliers"),
+             F.sum(F.expr("share_e6 * share_e6")).alias("hhi_e12"))
+        .orderBy("n_name")
+    )
+
+
+HHI_SQL = f"""
+WITH per_supp AS (
+  SELECT l_suppkey, SUM({cents_sql('l_extendedprice')})::BIGINT AS rev_c
+  FROM lineitem GROUP BY 1
+),
+joined AS (
+  SELECT n.n_name, p.rev_c
+  FROM per_supp p
+  JOIN supplier s ON p.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+),
+shares AS (
+  SELECT n_name,
+         {_share_e6_expr('rev_c',
+                         'SUM(rev_c) OVER (PARTITION BY n_name)')
+          .replace(' div ', ' // ')} AS share_e6
+  FROM joined
+)
+SELECT n_name, COUNT(*) AS n_suppliers,
+       SUM(share_e6 * share_e6)::BIGINT AS hhi_e12
+FROM shares
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+SPECS.append(
+    QuerySpec("supplier_concentration_hhi", supplier_concentration_hhi,
+              HHI_SQL,
+              "per-nation supplier revenue HHI (exact e12 fixed point)"))

@@ -1140,3 +1140,14 @@ def test_degree_histogram_handshake(spark, sf_smoke_dir):
     n_edges = _copurchase_edges(spark, sf_smoke_dir).count()
     assert sum(r.degree * r.n_parts for r in out) == 2 * n_edges
     assert all(r.degree >= 1 and r.n_parts >= 1 for r in out)
+
+
+def test_hhi_bounds(spark, sf_smoke_dir):
+    """HHI in e12 units is bounded by [(1e6-n)^2/n, 1e12] (Cauchy-
+    Schwarz lower bound with up-to-n floor losses on the shares)."""
+    out = QUERIES["supplier_concentration_hhi"].fn(
+        spark, sf_smoke_dir).collect()
+    assert out, "no nations"
+    for r in out:
+        n = r.n_suppliers
+        assert (1_000_000 - n) ** 2 // n <= r.hhi_e12 <= 1_000_000_000_000
