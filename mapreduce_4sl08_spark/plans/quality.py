@@ -214,6 +214,18 @@ PROFILE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("l_returnflag", "string"), ("l_linestatus", "string"),
         ("l_shipdate", "timestamp_ntz"),
     ],
+    # the non-relational tables round out the catalog surface: event
+    # streams (timestamp from the nanos-aware loader) and raw documents
+    # (long-string min/max — binary collation in both engines)
+    "events": [
+        ("event_id", "bigint"), ("ts", "timestamp"),
+        ("user_id", "bigint"), ("event_type", "string"),
+        ("value", "double"), ("props", "string"),
+    ],
+    "documents": [
+        ("doc_id", "bigint"), ("text", "string"), ("lang", "string"),
+        ("source", "string"), ("n_chars", "bigint"),
+    ],
 }
 
 
@@ -250,8 +262,20 @@ def _profile_oracle_sql(table: str,
     return f"SELECT * FROM (\n{stacked}\n)\nORDER BY column_name"
 
 
+def column_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-walk profile of the events stream table. See profile_table."""
+    return profile_table(spark, sf_dir, "events")
+
+
+def column_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-walk profile of the raw documents table. See profile_table."""
+    return profile_table(spark, sf_dir, "documents")
+
+
 COLUMN_PROFILE_SQL = _profile_oracle_sql("orders")
 COLUMN_PROFILE_LINEITEM_SQL = _profile_oracle_sql("lineitem")
+COLUMN_PROFILE_EVENTS_SQL = _profile_oracle_sql("events")
+COLUMN_PROFILE_DOCUMENTS_SQL = _profile_oracle_sql("documents")
 
 # ----------------------------------------------- median/MAD rate anomaly
 
@@ -411,6 +435,14 @@ SPECS: list[QuerySpec] = [
         "column_profile_lineitem", column_profile_lineitem,
         COLUMN_PROFILE_LINEITEM_SQL,
         "schema-walk column profile over the wider lineitem table"),
+    QuerySpec(
+        "column_profile_events", column_profile_events,
+        COLUMN_PROFILE_EVENTS_SQL,
+        "schema-walk column profile over the events stream table"),
+    QuerySpec(
+        "column_profile_documents", column_profile_documents,
+        COLUMN_PROFILE_DOCUMENTS_SQL,
+        "schema-walk column profile over the raw documents table"),
     QuerySpec(
         "events_rate_anomaly_mad", events_rate_anomaly_mad, RATE_ANOMALY_SQL,
         "robust hourly-rate anomaly flags via integer median/MAD"),

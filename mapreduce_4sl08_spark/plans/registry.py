@@ -86,6 +86,7 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     "minhash_recall_eval", "daily_new_vs_returning",
     "tokenizer_fertility_by_lang", "orders_monthly_yoy",
     "copurchase_degree_histogram", "supplier_concentration_hhi",
+    "column_profile_events", "column_profile_documents",
 )
 
 _HISTORY_PATH = Path(__file__).with_name("checked_history.json")
