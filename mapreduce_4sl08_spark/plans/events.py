@@ -1065,3 +1065,42 @@ SPECS.append(
     QuerySpec("daily_new_vs_returning", daily_new_vs_returning,
               NEW_RETURNING_SQL,
               "daily new vs returning active users (single-scan window-min)"))
+
+
+# ---------------------------------------------- weekday-hour profile
+# Weekday × hour activity heatmap — the traffic-shape fingerprint
+# behind capacity planning and anomaly baselines. Day-of-week comes
+# from pure epoch arithmetic ((epoch_days + 4) mod 7; 1970-01-01 was a
+# Thursday, so 0 = Sunday), NOT the engines' dayofweek builtins —
+# Spark numbers Sunday as 1, DuckDB as 0, and a builtin mismatch here
+# is exactly the silent cross-engine drift this repo's integer
+# discipline exists to prevent. One pruned scan, map-side-combinable
+# agg, output bounded at 7 × 24 rows.
+
+
+def events_weekday_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    return (
+        e.select(
+            F.expr("(unix_micros(ts) div 86400000000 + 4) % 7")
+            .alias("dow"),
+            F.expr("(unix_micros(ts) div 3600000000) % 24").alias("hour"))
+        .groupBy("dow", "hour")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("dow", "hour")
+    )
+
+
+WEEKDAY_HOUR_SQL = """
+SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+       (epoch_us(ts) // 3600000000) % 24 AS hour,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY 1, 2
+ORDER BY dow, hour
+"""
+
+SPECS.append(
+    QuerySpec("events_weekday_hour_profile", events_weekday_hour_profile,
+              WEEKDAY_HOUR_SQL,
+              "weekday x hour activity heatmap (engine-neutral epoch dow)"))

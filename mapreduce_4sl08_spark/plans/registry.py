@@ -87,6 +87,7 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     "tokenizer_fertility_by_lang", "orders_monthly_yoy",
     "copurchase_degree_histogram", "supplier_concentration_hhi",
     "column_profile_events", "column_profile_documents",
+    "events_weekday_hour_profile",
 )
 
 _HISTORY_PATH = Path(__file__).with_name("checked_history.json")

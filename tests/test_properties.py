@@ -1151,3 +1151,24 @@ def test_hhi_bounds(spark, sf_smoke_dir):
     for r in out:
         n = r.n_suppliers
         assert (1_000_000 - n) ** 2 // n <= r.hhi_e12 <= 1_000_000_000_000
+
+
+def test_weekday_hour_profile_conserves_and_bounds(spark, sf_smoke_dir):
+    """Counts conserve to the table size; dow in [0,6] (0=Sunday,
+    epoch arithmetic cross-checked vs python calendar), hour in
+    [0,23]."""
+    import datetime
+
+    e = load_table(spark, sf_smoke_dir, "events")
+    out = QUERIES["events_weekday_hour_profile"].fn(
+        spark, sf_smoke_dir).collect()
+    assert sum(r.n_events for r in out) == e.count()
+    for r in out:
+        assert 0 <= r.dow <= 6 and 0 <= r.hour <= 23
+    # pin the 0=Sunday convention independently of both engines
+    # (naive-UTC epoch arithmetic — no local-timezone dependence)
+    one = e.select("ts").limit(1).collect()[0].ts
+    epoch_us = int((one - datetime.datetime(1970, 1, 1))
+                   .total_seconds() * 1_000_000)
+    got_dow = (epoch_us // 86_400_000_000 + 4) % 7
+    assert got_dow == (one.weekday() + 1) % 7
