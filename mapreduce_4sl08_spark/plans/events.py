@@ -13,7 +13,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
-from pyspark.sql.functions import broadcast
 
 from .base import QuerySpec, cents, cents_sql, dollars, t
 
@@ -950,7 +949,8 @@ SPECS.append(
 # and everything at 100 TB). Scale shape: one pruned scan → (user,
 # epoch-minute) pre-aggregate (map-side combinable) → per-(user, hour)
 # re-agg derived from the minute relation (no second fact scan) → tiny
-# per-user rollup; the global top-20 sort runs on |users| rows.
+# per-user rollup → TakeOrderedAndProject top-20 (per-partition heaps,
+# driver merges 20×|partitions| rows; the ranking window sees 20 rows).
 
 _BURST_TOP_K = 20
 
@@ -974,11 +974,14 @@ def events_burst_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.max("pm").alias("peak_minute_events"),
              F.sum("nh").alias("n_events"))
     )
-    w = Window.orderBy(F.col("peak_hour_events").desc(),
-                       F.col("user_id").asc())
+    # top-k BEFORE the ranking window (ADVICE r12): orderBy().limit(k)
+    # plans as TakeOrderedAndProject — each partition keeps its own
+    # top-20, the driver merges 20×|partitions| rows — so the
+    # partition-less row_number window ranks 20 rows, never |users|.
+    order = [F.col("peak_hour_events").desc(), F.col("user_id").asc()]
+    topk = per_user.orderBy(*order).limit(_BURST_TOP_K)
     return (
-        per_user.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= _BURST_TOP_K)
+        topk.withColumn("rk", F.row_number().over(Window.orderBy(*order)))
         .select("rk", "user_id", "peak_hour_events",
                 "peak_minute_events", "n_events")
         .orderBy("rk")

@@ -687,22 +687,31 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch is a pure function of the data). The DuckDB oracle computes
     the exact counts and literal TRUE, making the row fully
     hash-checkable while still exercising the sketch path.
+
+    Plan note (VERDICT r12 item 4): a SINGLE agg mixing 2× countDistinct
+    (EXPAND path) with the object-buffer sketches/percentile planned
+    pathologically — 35.5 s at sf0.1 vs ≤2 s for any subset (measured,
+    logs/aad_split_r13.txt). Split into two 3-row aggregates joined by
+    broadcast: sketches+percentile stay one ObjectHashAggregate pass,
+    the exact distincts get their own single-EXPAND pass — 5.9 s cold.
     """
     l = t(spark, sf_dir, "lineitem")
     tol = (
         lambda approx, exact:
         F.abs(F.col(approx) - F.col(exact)) / F.col(exact) < F.lit(0.05)
     )
+    sketches = l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_median"),
+    )
+    exact = l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
     return (
-        l.groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-            F.countDistinct("l_partkey").alias("exact_parts"),
-            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
-            F.countDistinct("l_orderkey").alias("exact_orders"),
-            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median"),
-            F.expr("percentile(l_extendedprice, 0.5)").alias("exact_median"),
-        )
+        sketches.join(broadcast(exact), "l_returnflag")
         .select(
             "l_returnflag", "exact_parts", "exact_orders",
             (tol("approx_parts", "exact_parts")

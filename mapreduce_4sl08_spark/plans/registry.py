@@ -46,48 +46,16 @@ _MODULE_SPECS: list[QuerySpec] = [
 # End-of-round ritual: append the new round's names to the JSON, then
 # rewrite this tuple for the next round's changed plans.
 _ROUND_PRIORITY: tuple[str, ...] = (
-    # round 12 gate repair (VERDICT r11 items 1-2): the 12 plans whose
-    # shapes changed in the r10 snapshot sweep / r11 conversions without
-    # the mandatory fingerprint regen, ordered so the 5 with NO driver
-    # proof after their change lead the driver's ~50-row budget:
-    #   - events_session_window_native, join_left_order_counts,
-    #     window_running_spend — changed in the r10 sweep, last proven r9;
-    #   - agg_rollup_lineitem, q18_large_orders — converted to exact
-    #     e2-integer quantity sums in r11 (relational.py:415-436,674-706),
-    #     never driver-proven in that form.
-    # The remaining 7 changed in the same sweeps but were value-proven
-    # post-change (3 in r10, 4 in r11) — process-weak only; they follow.
-    "events_session_window_native", "join_left_order_counts",
-    "window_running_spend", "agg_rollup_lineitem", "q18_large_orders",
-    "bucketed_join_zero_shuffle", "events_sessionize",
-    "events_tumbling_hourly", "grouping_sets_revenue",
-    "q22_idle_rich_customers", "salted_hot_key_agg",
-    "window_trailing_30d_spend",
-    # new this round AND re-planned within the round (multi-scan forms →
-    # single-pass forms): never driver-proven, must lead the budget
-    # alongside the gate-repair rows
-    "rolling_active_users", "events_transition_matrix",
-    "vocab_growth_curve", "customer_rfm_segments",
-    "revenue_concentration_deciles", "brand_basket_rules",
-    # multi-scan forms replaced with single-fact-scan plans mid-r12
-    # (audit_plan_scans findings): funnel joins → chained window-mins;
-    # MAD's hourly aggregate persisted
-    "events_funnel_conversion", "events_rate_anomaly_mad",
-    "ivf_ann", "events_retention_cohorts",
-    "unigram_rarity_score", "bigram_surprisal_score",
-    "corpus_curation_pipeline", "cluster_best_survivor",
-    "mixture_weighted_sample", "lsh_bucket_ann", "embedding_near_dup",
-    # new operators added mid-r12 — never driver-proven
-    "events_interarrival_histogram", "boilerplate_template_clusters",
-    "embedding_label_outliers", "langid_confusion_matrix",
-    "event_type_share_drift", "events_burst_topk",
-    "customer_engagement_value", "kmeans_lloyd_2iter",
-    "order_cadence_percentiles", "embedding_dim_stats",
-    "minhash_recall_eval", "daily_new_vs_returning",
-    "tokenizer_fertility_by_lang", "orders_monthly_yoy",
-    "copurchase_degree_histogram", "supplier_concentration_hhi",
-    "column_profile_events", "column_profile_documents",
-    "events_weekday_hour_profile",
+    # round 13: plans whose shape or oracle changes this round (ADVICE
+    # r12 fixes + the agg_approx_distinct verification restructure,
+    # VERDICT r12 item 4). key_skew_profile is also one of the 5
+    # never-driver-sampled rows; listing it here keeps it at the very
+    # front even after its share expression changes.
+    "key_skew_profile",            # scale.py: exact-BIGINT top1 share
+    "tokenizer_fertility_by_lang",  # text.py: zero-token div guard
+    "orders_monthly_yoy",           # warehouse.py: calendar-true 12-mo lag
+    "events_burst_topk",            # events.py: pre-pruned global rank
+    "agg_approx_distinct",          # extended.py: single-EXPAND verify side
 )
 
 _HISTORY_PATH = Path(__file__).with_name("checked_history.json")

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from .base import QuerySpec, cents, cents_sql, dollars, t
+from .warehouse import _share_e6_expr
 
 # ------------------------------------------------------ TPC-H Q12 (adapted)
 # The fixture schema has no l_shipmode/l_receiptdate; the ship-delay
@@ -347,8 +348,10 @@ SPECS.append(
 # salted_hot_key_agg above). Exact: key counts are integers; the
 # interpolated percentiles use the Spark `percentile` / DuckDB
 # `quantile_cont` shared definition proven by agg_percentiles; the
-# top-1 share is an exact integer per-million (floor of int arithmetic,
-# identical in both engines). Plan: one map-side-combined count per key
+# top-1 share is exact pure-BIGINT per-million via the split-multiplier
+# _share_e6_expr (ADVICE r12: a double product loses exactness once
+# max_cnt*1e6 exceeds 2^53 — ~9e9 rows on one key, exactly the hot-key
+# regime this diagnostic targets). Plan: one map-side-combined count per key
 # (the only data-sized shuffle), then a scalar reduce over the ~|keys|
 # count relation — at 100 TB the profile costs one pass and shuffles
 # only the distinct keys.
@@ -372,12 +375,12 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         " 'p50_cnt', round(p50, 4),"
         " 'p99_cnt', round(p99, 4),"
         " 'top1_share_e6',"
-        "   cast(floor(cast(max_cnt as double) * 1e6 / n_rows) as double)"
+        f"   cast({_share_e6_expr('max_cnt', 'n_rows')} as double)"
         ") as (stat, value)"
     )).orderBy("stat")
 
 
-KEY_SKEW_SQL = """
+KEY_SKEW_SQL = f"""
 WITH counts AS (
   SELECT l_partkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_partkey
 ),
@@ -396,7 +399,8 @@ SELECT stat, value FROM (
   UNION ALL SELECT 'p50_cnt', ROUND(p50, 4) FROM prof
   UNION ALL SELECT 'p99_cnt', ROUND(p99, 4) FROM prof
   UNION ALL SELECT 'top1_share_e6',
-    FLOOR(max_cnt::DOUBLE * 1e6 / n_rows) FROM prof
+    ({_share_e6_expr('max_cnt', 'n_rows').replace(' div ', ' // ')}
+     )::DOUBLE FROM prof
 )
 ORDER BY stat
 """

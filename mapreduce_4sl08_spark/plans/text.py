@@ -21,6 +21,7 @@ from ..functions import NON_WORD_RE, TOKEN_SPLIT_RE, word_shingles
 from ..operators.wordcount import word_count
 from ..session import truncate_lineage
 from .base import QuerySpec, SessionMemo, t
+from .warehouse import _share_e6_expr
 
 # ------------------------------------------------------------ flagship
 # The whole reference engine (SURVEY §2.3) applied to documents.text.
@@ -1327,11 +1328,9 @@ ORDER BY doc_id
 _PDB_MEMO: SessionMemo = SessionMemo()
 
 
-def bigram_surprisal_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One tokenize pass (shared _per_doc_term_counts cache) + one
-    shingle pass, down from three corpus scans: the unigram model
-    re-aggregates the cached (doc, term, n) relation and per-occurrence
-    sums are regrouped as count-weighted sums — identical values."""
+def _per_doc_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted (doc_id, bigram, nb) posting relation — one shingle
+    pass serves bigram_surprisal_score AND token_pmi_top_pairs."""
     key = (spark.sparkContext.applicationId, "pdb", sf_dir)
     pdb = _PDB_MEMO.get(key)
     if pdb is None:
@@ -1343,6 +1342,15 @@ def bigram_surprisal_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                .agg(F.count(F.lit(1)).alias("nb"))
                .persist())
         _PDB_MEMO[key] = pdb
+    return pdb
+
+
+def bigram_surprisal_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One tokenize pass (shared _per_doc_term_counts cache) + one
+    shingle pass, down from three corpus scans: the unigram model
+    re-aggregates the cached (doc, term, n) relation and per-occurrence
+    sums are regrouped as count-weighted sums — identical values."""
+    pdb = _per_doc_bigram_counts(spark, sf_dir)
     uni = (_per_doc_term_counts(spark, sf_dir)
            .groupBy("term").agg(F.sum("n").alias("c1"))
            .withColumnRenamed("term", "w1"))
@@ -1880,7 +1888,11 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum("n_chars").alias("total_chars"),
              F.sum("n_toks").alias("total_tokens"))
         .select("lang", "n_docs", "total_chars", "total_tokens",
-                F.expr("total_chars * 1000000 div total_tokens")
+                # zero-token guard (ADVICE r12): Spark div yields NULL on
+                # /0 but DuckDB // raises — CASE in BOTH engines keeps the
+                # parity harness a value-compare, never a hard error
+                F.expr("CASE WHEN total_tokens > 0 THEN "
+                       "total_chars * 1000000 div total_tokens END")
                 .alias("chars_per_token_e6"))
         .orderBy("lang")
     )
@@ -1896,8 +1908,9 @@ WITH per AS (
 SELECT lang, COUNT(*) AS n_docs,
        SUM(n_chars)::BIGINT AS total_chars,
        SUM(n_toks)::BIGINT AS total_tokens,
-       (SUM(n_chars) * 1000000 // SUM(n_toks))::BIGINT
-         AS chars_per_token_e6
+       CASE WHEN SUM(n_toks) > 0
+            THEN (SUM(n_chars) * 1000000 // SUM(n_toks))::BIGINT
+       END AS chars_per_token_e6
 FROM per
 GROUP BY lang
 ORDER BY lang
@@ -1907,3 +1920,227 @@ SPECS.append(
     QuerySpec("tokenizer_fertility_by_lang", tokenizer_fertility_by_lang,
               FERTILITY_SQL,
               "chars-per-token by language (tokenizer fertility, exact e6)"))
+
+
+# ------------------------------------------------- Zipf rank-frequency
+# Rank-frequency head of the corpus unigram distribution — the Zipf
+# diagnostic behind vocabulary sizing (is the corpus natural-language-
+# shaped, or did a boilerplate flood flatten the head?). Reads the
+# memoized (doc, term, n) posting relation (_per_doc_term_counts), so
+# in-session it costs one |vocab|-row re-aggregation — no new corpus
+# scan. The top-k cut is orderBy().limit() = TakeOrderedAndProject
+# (per-partition heaps, driver merges k×|partitions| rows); the ranking
+# window then sees k rows, never |vocab| (the events_burst_topk idiom).
+# ratio_next_e6 (freq vs the next rank, the local Zipf slope proxy) is
+# exact pure-BIGINT via the split-multiplier share expr.
+
+_ZIPF_TOP_K = 100
+
+
+def zipf_rank_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    freq = (_per_doc_term_counts(spark, sf_dir)
+            .groupBy("term").agg(F.sum("n").alias("freq")))
+    order = [F.col("freq").desc(), F.col("term").asc()]
+    top = freq.orderBy(*order).limit(_ZIPF_TOP_K)
+    w = Window.orderBy(*order)
+    return (
+        top.select(F.row_number().over(w).alias("rk"), "term", "freq",
+                   F.lead("freq").over(w).alias("_next"))
+        .select("rk", "term", "freq",
+                F.expr("CASE WHEN _next IS NOT NULL AND _next > 0 THEN "
+                       + _share_e6_expr("freq", "_next")
+                       + " END").alias("ratio_next_e6"))
+        .orderBy("rk")
+    )
+
+
+ZIPF_SQL = r"""
+WITH toks AS (
+  SELECT tok AS term
+  FROM documents,
+       UNNEST(regexp_split_to_array(trim(lower(text)), '\s+')) AS u(tok)
+  WHERE tok <> ''
+),
+freq AS (SELECT term, COUNT(*) AS freq FROM toks GROUP BY 1),
+top AS (SELECT term, freq FROM freq ORDER BY freq DESC, term ASC LIMIT 100),
+ranked AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY freq DESC, term ASC) AS rk,
+         term, freq,
+         LEAD(freq) OVER (ORDER BY freq DESC, term ASC) AS nxt
+  FROM top
+)
+SELECT CAST(rk AS INT) AS rk, term, freq,
+       CASE WHEN nxt IS NOT NULL AND nxt > 0 THEN
+         ((freq * 1000 // nxt) * 1000
+          + ((freq * 1000 % nxt) * 1000) // nxt)::BIGINT
+       END AS ratio_next_e6
+FROM ranked
+ORDER BY rk
+"""
+
+SPECS.append(
+    QuerySpec("zipf_rank_frequency", zipf_rank_frequency, ZIPF_SQL,
+              "top-100 token rank-frequency head with exact e6 rank-ratio"))
+
+
+# ------------------------------------------------------- OOV rate by lang
+# Out-of-vocabulary share per language against a top-K corpus vocabulary
+# — the tokenizer-coverage report (which languages a frequency-built
+# vocab underserves; pairs with tokenizer_fertility_by_lang). Vocab =
+# top-1000 corpus tokens (freq desc, term asc — deterministic at the
+# boundary), built from the memoized posting relation and broadcast to
+# the per-(doc, term) join; lang arrives via a cheap 2-column projection
+# join on doc_id, NOT a re-tokenize. OOV share is exact pure-BIGINT e6
+# (overflow-safe split multiplier; a plain n*1e6 overflows at ~9e12
+# tokens — real at 100 TB), zero-guarded in both engines.
+
+_OOV_VOCAB_K = 1000
+
+
+def oov_rate_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pdt = _per_doc_term_counts(spark, sf_dir)
+    freq = pdt.groupBy("term").agg(F.sum("n").alias("freq"))
+    vocab = (freq.orderBy(F.col("freq").desc(), F.col("term").asc())
+             .limit(_OOV_VOCAB_K)
+             .select("term", F.lit(1).alias("_inv")))
+    langs = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    per = (
+        pdt.join(langs, "doc_id")
+        .join(F.broadcast(vocab), "term", "left")
+        .groupBy("lang")
+        .agg(F.sum("n").alias("n_tokens"),
+             F.sum(F.when(F.col("_inv").isNull(), F.col("n"))
+                   .otherwise(F.lit(0))).alias("n_oov"))
+    )
+    return (
+        per.select("lang", "n_tokens", "n_oov",
+                   F.expr("CASE WHEN n_tokens > 0 THEN "
+                          + _share_e6_expr("n_oov", "n_tokens")
+                          + " END").alias("oov_share_e6"))
+        .orderBy("lang")
+    )
+
+
+OOV_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, tok AS term
+  FROM documents,
+       UNNEST(regexp_split_to_array(trim(lower(text)), '\s+')) AS u(tok)
+  WHERE tok <> ''
+),
+freq AS (SELECT term, COUNT(*) AS freq FROM toks GROUP BY 1),
+vocab AS (
+  SELECT term, 1 AS inv FROM freq ORDER BY freq DESC, term ASC LIMIT 1000
+),
+per AS (
+  SELECT d.lang,
+         COUNT(*) AS n_tokens,
+         SUM(CASE WHEN v.inv IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov
+  FROM toks tk
+  JOIN documents d USING (doc_id)
+  LEFT JOIN vocab v USING (term)
+  GROUP BY d.lang
+)
+SELECT lang, n_tokens, n_oov,
+       CASE WHEN n_tokens > 0 THEN
+         ((n_oov * 1000 // n_tokens) * 1000
+          + ((n_oov * 1000 % n_tokens) * 1000) // n_tokens)::BIGINT
+       END AS oov_share_e6
+FROM per
+ORDER BY lang
+"""
+
+SPECS.append(
+    QuerySpec("oov_rate_by_lang", oov_rate_by_lang, OOV_SQL,
+              "per-language OOV token share vs a top-1000 corpus vocab (e6)"))
+
+
+# --------------------------------------------------- PMI collocations
+# Top-20 adjacent-token collocations by pointwise-mutual-information
+# LIFT: lift = P(w1 w2) / (P(w1)·P(w2)) = c12·N / (c1·c2) — the
+# phrase-mining statistic (BPE merge candidates, stopword-pair
+# screening). Exactness at any scale: the products c12·N·1e6 and c1·c2
+# exceed BIGINT long before 100 TB, so the ratio is computed in
+# DECIMAL(38,0) integer arithmetic — Spark's decimal `div` and DuckDB's
+# HUGEINT `//` produce the identical exact floor quotient (verified:
+# 1e35-scale operands, bit-equal). N ≈ 1e14 tokens and c12 ≤ N keep
+# c12·N·1e6 ≤ 1e34 < 1e38. Min support c12 ≥ 20 bounds the ranked set
+# to real collocations; both model relations ride the session memos
+# (no new corpus scan in-session).
+
+_PMI_TOP_K = 20
+_PMI_MIN_SUPPORT = 20
+
+
+def token_pmi_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    uni = (_per_doc_term_counts(spark, sf_dir)
+           .groupBy("term").agg(F.sum("n").alias("c")))
+    total = uni.agg(F.sum("c").alias("_n"))
+    bi = (_per_doc_bigram_counts(spark, sf_dir)
+          .groupBy("bigram").agg(F.sum("nb").alias("c12"))
+          .filter(F.col("c12") >= _PMI_MIN_SUPPORT))
+    w1 = uni.select(F.col("term").alias("w1"), F.col("c").alias("c1"))
+    w2 = uni.select(F.col("term").alias("w2"), F.col("c").alias("c2"))
+    lift = F.expr(
+        "(cast(c12 as decimal(38,0)) * cast(_n as decimal(38,0)) * 1000000)"
+        " div (cast(c1 as decimal(38,0)) * cast(c2 as decimal(38,0)))")
+    scored = (
+        bi.withColumn("w1", F.split("bigram", " ").getItem(0))
+        .withColumn("w2", F.split("bigram", " ").getItem(1))
+        .join(w1, "w1").join(w2, "w2")
+        .crossJoin(F.broadcast(total))
+        .select("bigram", "c12", "c1", "c2",
+                lift.cast("long").alias("lift_e6"))
+    )
+    order = [F.col("lift_e6").desc(), F.col("bigram").asc()]
+    top = scored.orderBy(*order).limit(_PMI_TOP_K)
+    return (
+        top.select(F.row_number().over(Window.orderBy(*order)).alias("rk"),
+                   "bigram", "c12", "c1", "c2", "lift_e6")
+        .orderBy("rk")
+    )
+
+
+PMI_SQL = r"""
+WITH arrs AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents
+),
+uni AS (
+  SELECT tok AS term, COUNT(*) AS c
+  FROM arrs, UNNEST(t) AS u(tok)
+  WHERE tok <> ''
+  GROUP BY 1
+),
+total AS (SELECT SUM(c) AS n FROM uni),
+big AS (
+  SELECT array_to_string(t[i:i+1], ' ') AS bigram
+  FROM arrs, UNNEST(range(1, len(t))) AS u(i)
+  WHERE len(t) >= 2
+),
+bi AS (
+  SELECT bigram, COUNT(*) AS c12 FROM big
+  GROUP BY 1
+  HAVING COUNT(*) >= 20
+),
+scored AS (
+  SELECT bigram, c12, u1.c AS c1, u2.c AS c2,
+         ((c12::HUGEINT * n * 1000000)
+          // (u1.c::HUGEINT * u2.c))::BIGINT AS lift_e6
+  FROM bi
+  JOIN uni u1 ON u1.term = split_part(bigram, ' ', 1)
+  JOIN uni u2 ON u2.term = split_part(bigram, ' ', 2)
+  CROSS JOIN total
+),
+top AS (
+  SELECT * FROM scored ORDER BY lift_e6 DESC, bigram ASC LIMIT 20
+)
+SELECT ROW_NUMBER() OVER (ORDER BY lift_e6 DESC, bigram ASC)::INT AS rk,
+       bigram, c12, c1, c2, lift_e6
+FROM top
+ORDER BY rk
+"""
+
+SPECS.append(
+    QuerySpec("token_pmi_top_pairs", token_pmi_top_pairs, PMI_SQL,
+              "top-20 adjacent collocations by exact PMI lift (DECIMAL(38) e6)"))

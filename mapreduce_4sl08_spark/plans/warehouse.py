@@ -897,18 +897,26 @@ SPECS.append(
 
 def orders_monthly_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t(spark, sf_dir, "orders")
+    # calendar-true YoY (ADVICE r12): a positional lag(12) pairs wrong
+    # months the moment any month has zero orders, and both engines
+    # agree so the oracle can't catch it. Join the ~|months|-row
+    # aggregate to itself on an exact integer month key (year*12+month)
+    # offset by 12 instead — an 84-row broadcast self-join, not a scan.
     monthly = (
         o.groupBy(F.date_trunc("MONTH", F.col("o_orderdate")).alias("month"))
         .agg(F.count(F.lit(1)).alias("n_orders"),
              F.sum(cents("o_totalprice")).alias("_rev_c"))
+        .withColumn("_mkey",
+                    F.year("month") * F.lit(12) + F.month("month"))
     )
-    wlag = Window.orderBy("month")
+    prev = monthly.select(F.col("_mkey").alias("_pkey"),
+                          F.col("_rev_c").alias("_prev_c"))
     return (
-        monthly.withColumn("_prev_c", F.lag("_rev_c", 12).over(wlag))
+        monthly.join(F.broadcast(prev),
+                     monthly["_mkey"] == prev["_pkey"] + F.lit(12), "left")
         .select("month", "n_orders",
                 dollars("_rev_c", "revenue"),
-                (F.when(F.col("_prev_c").isNotNull(),
-                        F.col("_rev_c") - F.col("_prev_c")).cast("double")
+                ((F.col("_rev_c") - F.col("_prev_c")).cast("double")
                  / 100.0).alias("yoy_delta"))
         .orderBy("month")
     )
@@ -917,16 +925,16 @@ def orders_monthly_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
 MONTHLY_YOY_SQL = f"""
 WITH monthly AS (
   SELECT date_trunc('month', o_orderdate) AS month,
+         year(o_orderdate) * 12 + month(o_orderdate) AS mkey,
          COUNT(*) AS n_orders,
          SUM({cents_sql('o_totalprice')})::BIGINT AS rev_c
-  FROM orders GROUP BY 1
+  FROM orders GROUP BY 1, 2
 )
-SELECT month, n_orders,
-       CAST(rev_c AS DOUBLE) / 100.0 AS revenue,
-       CAST(rev_c - lag(rev_c, 12) OVER (ORDER BY month) AS DOUBLE) / 100.0
-         AS yoy_delta
-FROM monthly
-ORDER BY month
+SELECT m.month, m.n_orders,
+       CAST(m.rev_c AS DOUBLE) / 100.0 AS revenue,
+       CAST(m.rev_c - p.rev_c AS DOUBLE) / 100.0 AS yoy_delta
+FROM monthly m LEFT JOIN monthly p ON p.mkey = m.mkey - 12
+ORDER BY m.month
 """
 
 SPECS.append(
