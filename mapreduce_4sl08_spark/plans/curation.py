@@ -699,3 +699,88 @@ ORDER BY source, lang
 SPECS.append(
     QuerySpec("source_frequency_cap", source_frequency_cap, SOURCE_CAP_SQL,
               "per-(source,lang) doc cap with deterministic hash-order survivors"))
+
+
+# --------------------------------------------- source dup/quality audit
+# Per-source duplication rate × mean quality — the curation dashboard
+# row that decides which sources get downweighted before mixing (a
+# source that is 40 % duplicated AND low-quality is the first cut).
+# Reuses the exact-dedup content key (md5 of normalized text —
+# plans/text.py dedup_exact_documents) and the shared C4-style quality
+# expression (_quality_score_expr), so the report is consistent with
+# both upstream operators. Quality stays in exact 1e-4 integer units
+# (round(score·1e4) of the 4-dp-rounded score is integer-exact; a
+# double MEAN would tie-break differently across engines); dup share is
+# exact pure-BIGINT e6. Scale shape: one scan → one hash-window
+# exchange on content_hash → per-source aggregate (|sources| rows).
+
+
+def source_dup_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import _quality_score_expr
+    from .warehouse import _share_e6_expr
+    d = t(spark, sf_dir, "documents")
+    marked = (
+        d.select("source",
+                 F.md5(F.lower(F.trim("text"))).alias("_h"),
+                 F.round(_quality_score_expr() * 10000).cast("long")
+                 .alias("_q_e4"))
+        .withColumn("_copies", F.count(F.lit(1)).over(
+            Window.partitionBy("_h")))
+    )
+    return (
+        marked.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum(F.when(F.col("_copies") > 1, 1).otherwise(0))
+             .alias("n_duped"),
+             F.sum("_q_e4").alias("_qsum_e4"))
+        .select("source", "n_docs", "n_duped",
+                F.expr(_share_e6_expr("n_duped", "n_docs"))
+                .alias("dup_share_e6"),
+                F.expr("_qsum_e4 div n_docs").alias("mean_quality_e4"))
+        .orderBy("source")
+    )
+
+
+SOURCE_AUDIT_SQL = r"""
+WITH base AS (
+  SELECT source,
+         md5(lower(trim(text))) AS h,
+         CAST(ROUND(ROUND(
+             (CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) >= 20
+                   THEN 0.4 ELSE 0.0 END)
+           + (CASE WHEN length(text)
+                        / len(regexp_split_to_array(trim(text), '\s+'))
+                   BETWEEN 3 AND 12 THEN 0.3 ELSE 0.0 END)
+           + LEAST(ROUND(
+                 len(list_filter(
+                       regexp_split_to_array(trim(lower(text)), '\s+'),
+                       x -> x IN ('the','a','of','and','to','in','is')))
+                 / len(regexp_split_to_array(trim(text), '\s+')), 4),
+               0.3), 4) * 10000) AS BIGINT) AS q_e4
+  FROM documents
+),
+marked AS (
+  SELECT source, q_e4,
+         COUNT(*) OVER (PARTITION BY h) AS copies
+  FROM base
+),
+per AS (
+  SELECT source,
+         COUNT(*) AS n_docs,
+         SUM(CASE WHEN copies > 1 THEN 1 ELSE 0 END)::BIGINT AS n_duped,
+         SUM(q_e4)::BIGINT AS qsum_e4
+  FROM marked GROUP BY source
+)
+SELECT source, n_docs, n_duped,
+       ((n_duped * 1000 // n_docs) * 1000
+        + ((n_duped * 1000 % n_docs) * 1000) // n_docs)::BIGINT
+         AS dup_share_e6,
+       (qsum_e4 // n_docs)::BIGINT AS mean_quality_e4
+FROM per
+ORDER BY source
+"""
+
+SPECS.append(
+    QuerySpec("source_dup_quality_audit", source_dup_quality_audit,
+              SOURCE_AUDIT_SQL,
+              "per-source duplication rate x mean quality (exact e6/e4)"))

@@ -14,7 +14,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
-from .base import QuerySpec, cents, cents_sql, dollars, t
+from .base import QuerySpec, SessionMemo, cents, cents_sql, dollars, t
+from .warehouse import _share_e6_expr
 
 #: oracle fragment for every exact-cents ``sum_value`` in this module
 _SUM_VALUE_SQL = (f"CAST(SUM({cents_sql('value')}) AS DOUBLE) / 100.0"
@@ -1107,3 +1108,94 @@ SPECS.append(
     QuerySpec("events_weekday_hour_profile", events_weekday_hour_profile,
               WEEKDAY_HOUR_SQL,
               "weekday x hour activity heatmap (engine-neutral epoch dow)"))
+
+
+# ---------------------------------------------------- power-user Pareto
+# Traffic concentration: how much of total event volume the top 1/5/10 %
+# of users generate — the Pareto report behind rate-limit sizing and
+# the "is one bot farm most of the corpus?" check. No global sort of
+# the user base: tier thresholds are interpolated percentiles over the
+# per-user counts (the agg_percentiles shared definition), broadcast as
+# ONE row into a conditional re-aggregate of the same per-user relation
+# — identical IEEE comparisons in both engines, shares in exact
+# pure-BIGINT e6 (split multiplier; n·1e6 overflows at ~9e12 events).
+# Scale shape: ONE fact scan → per-user map-side-combined count,
+# persisted (memo idiom of events_rate_anomaly_mad — the threshold agg
+# and the conditional re-agg both read it; unpersisted each branch
+# re-ran the fact scan, caught by tools/audit_plan_scans.py) → 1-row
+# percentile agg (broadcast) → |users|-row conditional agg.
+
+_PARETO_USER_MEMO: SessionMemo = SessionMemo()
+
+
+def events_power_users_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, "pareto_user", sf_dir)
+    per_user = _PARETO_USER_MEMO.get(key)
+    if per_user is None:
+        e = t(spark, sf_dir, "events")
+        per_user = (e.groupBy("user_id")
+                    .agg(F.count(F.lit(1)).alias("n")).persist())
+        _PARETO_USER_MEMO[key] = per_user
+    prof = per_user.agg(
+        F.percentile("n", 0.99).alias("_p99"),
+        F.percentile("n", 0.95).alias("_p95"),
+        F.percentile("n", 0.90).alias("_p90"),
+        F.sum("n").alias("_tot"))
+    tiers = per_user.crossJoin(F.broadcast(prof)).agg(
+        F.max("_tot").alias("_tot2"),
+        *[agg for p in ("99", "95", "90") for agg in (
+            F.sum(F.when(F.col("n") >= F.col(f"_p{p}"), 1).otherwise(0))
+            .alias(f"u{p}"),
+            F.sum(F.when(F.col("n") >= F.col(f"_p{p}"), F.col("n"))
+                  .otherwise(F.lit(0))).alias(f"e{p}"))])
+    share = _share_e6_expr  # overflow-safe exact e6
+    return tiers.select(F.expr(
+        "stack(3,"
+        f" 'top01', u99, e99, {share('e99', '_tot2')},"
+        f" 'top05', u95, e95, {share('e95', '_tot2')},"
+        f" 'top10', u90, e90, {share('e90', '_tot2')}"
+        ") as (tier, n_users, n_events, share_e6)"
+    )).orderBy("tier")
+
+
+POWER_PARETO_SQL = """
+WITH per_user AS (
+  SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+),
+prof AS (
+  SELECT quantile_cont(n, 0.99) AS p99,
+         quantile_cont(n, 0.95) AS p95,
+         quantile_cont(n, 0.90) AS p90,
+         SUM(n)::BIGINT AS tot
+  FROM per_user
+),
+tiers AS (
+  SELECT MAX(tot)::BIGINT AS tot,
+         SUM(CASE WHEN n >= p99 THEN 1 ELSE 0 END)::BIGINT AS u99,
+         SUM(CASE WHEN n >= p99 THEN n ELSE 0 END)::BIGINT AS e99,
+         SUM(CASE WHEN n >= p95 THEN 1 ELSE 0 END)::BIGINT AS u95,
+         SUM(CASE WHEN n >= p95 THEN n ELSE 0 END)::BIGINT AS e95,
+         SUM(CASE WHEN n >= p90 THEN 1 ELSE 0 END)::BIGINT AS u90,
+         SUM(CASE WHEN n >= p90 THEN n ELSE 0 END)::BIGINT AS e90
+  FROM per_user, prof
+)
+SELECT tier, n_users, n_events, share_e6 FROM (
+  SELECT 'top01' AS tier, u99 AS n_users, e99 AS n_events,
+         ((e99 * 1000 // tot) * 1000 + ((e99 * 1000 % tot) * 1000) // tot)
+           ::BIGINT AS share_e6 FROM tiers
+  UNION ALL
+  SELECT 'top05', u95, e95,
+         ((e95 * 1000 // tot) * 1000 + ((e95 * 1000 % tot) * 1000) // tot)
+           ::BIGINT FROM tiers
+  UNION ALL
+  SELECT 'top10', u90, e90,
+         ((e90 * 1000 // tot) * 1000 + ((e90 * 1000 % tot) * 1000) // tot)
+           ::BIGINT FROM tiers
+)
+ORDER BY tier
+"""
+
+SPECS.append(
+    QuerySpec("events_power_users_pareto", events_power_users_pareto,
+              POWER_PARETO_SQL,
+              "event-volume share of top 1/5/10% users (exact e6 Pareto)"))

@@ -56,6 +56,13 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     "orders_monthly_yoy",           # warehouse.py: calendar-true 12-mo lag
     "events_burst_topk",            # events.py: pre-pruned global rank
     "agg_approx_distinct",          # extended.py: single-EXPAND verify side
+    # new operators added in r13 — never driver-proven (they also sort
+    # into the never-checked bucket; listing them here permits in-round
+    # plan iteration under the fingerprint drift gate)
+    "zipf_rank_frequency", "oov_rate_by_lang", "token_pmi_top_pairs",
+    "weighted_median_price_by_nation", "orders_backlog_aging",
+    "events_power_users_pareto", "source_dup_quality_audit",
+    "lsh_pair_distance_histogram",
 )
 
 _HISTORY_PATH = Path(__file__).with_name("checked_history.json")

@@ -896,3 +896,84 @@ ORDER BY dim
 SPECS.append(
     QuerySpec("embedding_dim_stats", embedding_dim_stats, DIM_STATS_SQL,
               "per-dimension exact e6 stats (dead-dim / drift monitor)"))
+
+
+# ------------------------------------------- LSH pair distance histogram
+# Distance distribution over the hyperplane-LSH candidate pairs — the
+# bucket-quality monitor for the ANN path (a healthy LSH index puts
+# most candidate mass at short distances; a flat histogram means the
+# planes aren't separating the corpus and recall budget is being spent
+# on junk candidates). Candidates come from the SAME memoized band
+# relation every LSH consumer shares (one signature pass per session);
+# distances are exact e12-integer squared-L2 over e6-quantized vectors
+# (the kmeans_lloyd_2iter idiom — zero floats, bit-equal across
+# engines; 64 dims × (3.2e7)² ≈ 6.6e16 per pair, inside BIGINT), and
+# buckets are the DECIMAL DIGIT COUNT of the distance (string length of
+# a BIGINT — the events_interarrival_histogram idiom; floor(log10) via
+# doubles can mis-round at powers of ten). Output ≤ ~18 rows.
+
+
+def lsh_pair_distance_histogram(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = e.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> "
+               "cast(floor(cast(x as double) * 1000000) as bigint))")
+        .alias("v"))
+    bands = lsh_corpus_bands(spark, sf_dir)
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(F.col("a.vec_id").alias("id_a"),
+                F.col("b.vec_id").alias("id_b"))
+        .distinct()
+    )
+    qa = q.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    qb = q.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    d2 = F.expr("aggregate(zip_with(va, vb, (x, y) -> (x - y) * (x - y)), "
+                "cast(0 as bigint), (acc, x) -> acc + x)")
+    return (
+        pairs.join(qa, "id_a").join(qb, "id_b")
+        .select(F.length(d2.cast("string")).alias("dist_digits"))
+        .groupBy("dist_digits")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("dist_digits")
+    )
+
+
+def _lsh_dist_hist_sql() -> str:
+    return f"""
+WITH {lsh_bands_cte_sql()},
+pairs AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_key = b.band_key AND a.vec_id < b.vec_id
+),
+q AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(FLOOR(x * 1000000) AS BIGINT)) AS v
+  FROM embeddings
+),
+dists AS (
+  SELECT length(CAST(
+           list_sum(list_transform(range({_EMB_DIM}),
+             i -> (qa.v[i+1] - qb.v[i+1]) * (qa.v[i+1] - qb.v[i+1])))
+           AS VARCHAR)) AS dist_digits
+  FROM pairs p
+  JOIN q qa ON qa.vec_id = p.id_a
+  JOIN q qb ON qb.vec_id = p.id_b
+)
+SELECT CAST(dist_digits AS INT) AS dist_digits, COUNT(*) AS n_pairs
+FROM dists
+GROUP BY 1
+ORDER BY dist_digits
+"""
+
+
+SPECS.append(
+    QuerySpec("lsh_pair_distance_histogram", lsh_pair_distance_histogram,
+              _lsh_dist_hist_sql(),
+              "exact e12 distance digit-histogram over LSH candidate pairs"))

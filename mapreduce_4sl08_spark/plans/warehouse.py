@@ -1060,3 +1060,123 @@ SPECS.append(
     QuerySpec("supplier_concentration_hhi", supplier_concentration_hhi,
               HHI_SQL,
               "per-nation supplier revenue HHI (exact e12 fixed point)"))
+
+
+# -------------------------------------------- weighted median by nation
+# Quantity-weighted (lower) median line price per supplier nation — the
+# weighted-percentile operator Spark has no built-in for, composed
+# exactly: prices in integer cents, weights in exact e2 quantity units,
+# median = the smallest price whose running weight reaches half the
+# nation's total (2·cum ≥ tot in pure BIGINT — no float quantile, no
+# tie ambiguity: price_c is the group key, so the cumsum ordering has
+# no duplicate keys). Scale shape: fact ⋈ broadcast dims → (nation,
+# price_c) map-side-combined aggregate → the cumsum window runs over
+# DISTINCT prices per nation (bounded by the price domain, ~2e5 cents
+# values — NOT fact rows), then a tiny filtered min per nation.
+
+
+def weighted_median_price_by_nation(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    l = t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", cents("l_extendedprice").alias("price_c"),
+        cents("l_quantity").alias("w"))
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    per = (
+        l.join(broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name", "price_c")
+        .agg(F.sum("w").alias("wsum"))
+    )
+    wc = (Window.partitionBy("n_name").orderBy("price_c")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wt = Window.partitionBy("n_name")
+    cum = (per.withColumn("cw", F.sum("wsum").over(wc))
+           .withColumn("tw", F.sum("wsum").over(wt)))
+    return (
+        cum.filter(F.col("cw") * 2 >= F.col("tw"))
+        .groupBy("n_name")
+        .agg(F.max("tw").alias("total_qty_e2"),
+             F.min("price_c").alias("_med_c"))
+        .select("n_name", "total_qty_e2", dollars("_med_c", "median_price"))
+        .orderBy("n_name")
+    )
+
+
+WEIGHTED_MEDIAN_SQL = f"""
+WITH per AS (
+  SELECT n_name,
+         {cents_sql('l_extendedprice')} AS price_c,
+         SUM({cents_sql('l_quantity')})::BIGINT AS wsum
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT n_name, price_c, wsum,
+         SUM(wsum) OVER (PARTITION BY n_name ORDER BY price_c
+                         ROWS UNBOUNDED PRECEDING) AS cw,
+         SUM(wsum) OVER (PARTITION BY n_name) AS tw
+  FROM per
+)
+SELECT n_name,
+       MAX(tw)::BIGINT AS total_qty_e2,
+       CAST(MIN(price_c) AS DOUBLE) / 100.0 AS median_price
+FROM cum
+WHERE cw * 2 >= tw
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+SPECS.append(
+    QuerySpec("weighted_median_price_by_nation",
+              weighted_median_price_by_nation, WEIGHTED_MEDIAN_SQL,
+              "exact quantity-weighted lower-median price per nation"))
+
+
+# ---------------------------------------------------- backlog aging
+# Open-order backlog aged in 30-day buckets against the corpus
+# watermark (max order date) — the fulfillment-ops report (how much
+# value sits unfilled, and for how long). Status 'F' (finished) is
+# excluded; 'O'/'P' age from order date to watermark in exact integer
+# days (datediff — no float), bucketed by 30-day floor-div. Scale
+# shape: one 1-row watermark aggregate broadcast into a single pruned
+# fact scan → a |statuses|×|buckets| aggregate; exact integer cents.
+
+
+def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    wm = o.agg(F.max("o_orderdate").alias("_wm"))
+    return (
+        o.filter(F.col("o_orderstatus") != "F")
+        .crossJoin(broadcast(wm))
+        .select("o_orderstatus",
+                F.expr("datediff(_wm, o_orderdate) div 30")
+                .cast("int").alias("age_bucket_30d"),
+                cents("o_totalprice").alias("_val_c"))
+        .groupBy("o_orderstatus", "age_bucket_30d")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.sum("_val_c").alias("_sum_c"))
+        .select("o_orderstatus", "age_bucket_30d", "n_orders",
+                dollars("_sum_c", "backlog_value"))
+        .orderBy("o_orderstatus", "age_bucket_30d")
+    )
+
+
+BACKLOG_SQL = f"""
+WITH wm AS (SELECT MAX(o_orderdate) AS w FROM orders)
+SELECT o_orderstatus,
+       CAST(date_diff('day', o_orderdate, w) // 30 AS INT) AS age_bucket_30d,
+       COUNT(*) AS n_orders,
+       CAST(SUM({cents_sql('o_totalprice')}) AS DOUBLE) / 100.0
+         AS backlog_value
+FROM orders, wm
+WHERE o_orderstatus <> 'F'
+GROUP BY 1, 2
+ORDER BY o_orderstatus, age_bucket_30d
+"""
+
+SPECS.append(
+    QuerySpec("orders_backlog_aging", orders_backlog_aging, BACKLOG_SQL,
+              "open-order backlog by status and 30-day age bucket (exact cents)"))

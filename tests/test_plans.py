@@ -568,3 +568,72 @@ def test_mixture_sample_two_pass_shape(spark, sf_dir):
     corpus scan)."""
     plan = plan_of(spark, "mixture_weighted_sample", sf_dir)
     assert plan.count("Scan parquet") == 2
+
+
+# ---------------------------------------------------- r13 shape gates
+
+
+def test_burst_topk_take_ordered_not_global_window(spark, sf_dir):
+    """ADVICE r12: the top-20 cut must plan as TakeOrderedAndProject
+    (per-partition heaps) so the partition-less ranking window never
+    sees the |users|-row relation."""
+    plan = plan_of(spark, "events_burst_topk", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_zipf_and_pmi_take_ordered(spark, sf_dir):
+    """Same top-k discipline for the r13 ranked-head text ops."""
+    for name in ("zipf_rank_frequency", "token_pmi_top_pairs"):
+        assert "TakeOrderedAndProject" in plan_of(spark, name, sf_dir), name
+
+
+def test_agg_approx_distinct_split_shape(spark, sf_dir):
+    """VERDICT r12 item 4: the exact-distinct side must be a SEPARATE
+    aggregate broadcast-joined to the sketch/percentile side — the
+    single-statement mix planned pathologically (35.5 s vs 5.9 s at
+    sf0.1, logs/aad_split_r13.txt). Pin: one Expand (the multi-distinct
+    rewrite), one ObjectHashAggregate chain (sketches+percentile), and
+    a broadcast join combining them."""
+    plan = plan_of(spark, "agg_approx_distinct", sf_dir)
+    assert plan.count("Expand") == 1
+    assert "ObjectHashAggregate" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pareto_single_fact_scan(spark, sf_smoke_dir):
+    """The per-user count relation is persisted: both the threshold agg
+    and the conditional re-agg must read the cached build, not re-scan
+    the fact (audit_plan_scans caught the 2-scan form)."""
+    from mapreduce_4sl08_spark.plans import QUERIES
+    df = QUERIES["events_power_users_pareto"].fn(spark, sf_smoke_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
+
+
+def test_monthly_yoy_calendar_true_on_gap(spark, tmp_path):
+    """ADVICE r12: a month with zero orders must NOT shift the YoY
+    pairing. Synthesize orders with month 1997-02 missing and assert
+    1998-02's delta is NULL (no calendar partner) while 1998-01 still
+    pairs with 1997-01 — a positional lag(12) would pair both wrongly."""
+    import datetime
+    from mapreduce_4sl08_spark.plans.warehouse import orders_monthly_yoy
+    rows = []
+    k = 0
+    for y in (1997, 1998):
+        for m in range(1, 13):
+            if (y, m) == (1997, 2):
+                continue
+            k += 1
+            rows.append((k, 1, "O", 100.0 + m,
+                         datetime.datetime(y, m, 15), "1-URGENT"))
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderstatus string, "
+              "o_totalprice double, o_orderdate timestamp, "
+              "o_orderpriority string")
+    out_dir = str(tmp_path / "orders.parquet")
+    df.write.parquet(out_dir)
+    out = {r.month.strftime("%Y-%m"): r
+           for r in orders_monthly_yoy(spark, str(tmp_path)).collect()}
+    assert out["1998-01"].yoy_delta == 0.0          # pairs with 1997-01
+    assert out["1998-02"].yoy_delta is None         # 1997-02 absent
+    assert out["1998-03"].yoy_delta == 0.0          # unshifted pairing

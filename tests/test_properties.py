@@ -1172,3 +1172,152 @@ def test_weekday_hour_profile_conserves_and_bounds(spark, sf_smoke_dir):
                    .total_seconds() * 1_000_000)
     got_dow = (epoch_us // 86_400_000_000 + 4) % 7
     assert got_dow == (one.weekday() + 1) % 7
+
+
+# ----------------------------------------------------- r13 new operators
+
+
+def test_zipf_head_is_ranked_and_exact(spark, sf_smoke_dir):
+    """Ranks contiguous from 1, freq non-increasing, rank-1 freq equals
+    the true max token frequency, and ratio_next_e6 is the exact floor
+    ratio (>= 1e6 everywhere, null only on the last row)."""
+    out = QUERIES["zipf_rank_frequency"].fn(spark, sf_smoke_dir).collect()
+    assert [r.rk for r in out] == list(range(1, len(out) + 1))
+    freqs = [r.freq for r in out]
+    assert freqs == sorted(freqs, reverse=True)
+    toks = (load_table(spark, sf_smoke_dir, "documents")
+            .select(F.explode(F.split(F.trim(F.lower("text")), r"\s+"))
+                    .alias("t"))
+            .filter(F.col("t") != ""))
+    true_max = (toks.groupBy("t").count()
+                .agg(F.max("count")).collect()[0][0])
+    assert freqs[0] == true_max
+    for i, r in enumerate(out):
+        if i + 1 < len(out):
+            assert r.ratio_next_e6 == r.freq * 1_000_000 // out[i + 1].freq
+            assert r.ratio_next_e6 >= 1_000_000
+        else:
+            assert r.ratio_next_e6 is None
+
+
+def test_oov_rate_bounds_and_conservation(spark, sf_smoke_dir):
+    """Per-lang token counts conserve the corpus total; OOV is a subset;
+    the e6 share is the exact floor ratio."""
+    out = QUERIES["oov_rate_by_lang"].fn(spark, sf_smoke_dir).collect()
+    toks = (load_table(spark, sf_smoke_dir, "documents")
+            .select(F.explode(F.split(F.trim(F.lower("text")), r"\s+"))
+                    .alias("t"))
+            .filter(F.col("t") != ""))
+    assert sum(r.n_tokens for r in out) == toks.count()
+    for r in out:
+        assert 0 <= r.n_oov <= r.n_tokens
+        assert r.oov_share_e6 == r.n_oov * 1_000_000 // r.n_tokens
+
+
+def test_pmi_lift_exact_and_ranked(spark, sf_smoke_dir):
+    """Support floor respected, lift recomputed exactly in Python ints,
+    ranking consistent with (lift desc, bigram asc)."""
+    out = QUERIES["token_pmi_top_pairs"].fn(spark, sf_smoke_dir).collect()
+    toks = (load_table(spark, sf_smoke_dir, "documents")
+            .select(F.explode(F.split(F.trim(F.lower("text")), r"\s+"))
+                    .alias("t"))
+            .filter(F.col("t") != ""))
+    n_total = toks.count()
+    keys = [(-r.lift_e6, r.bigram) for r in out]
+    assert keys == sorted(keys)
+    assert [r.rk for r in out] == list(range(1, len(out) + 1))
+    for r in out:
+        assert r.c12 >= 20
+        assert r.lift_e6 == (r.c12 * n_total * 1_000_000) // (r.c1 * r.c2)
+
+
+def test_weighted_median_is_weighted_median(spark, sf_smoke_dir):
+    """Brute-force the weighted lower median per nation from the raw
+    (price, weight) pairs and match the operator exactly."""
+    out = {r.n_name: r for r in
+           QUERIES["weighted_median_price_by_nation"].fn(
+               spark, sf_smoke_dir).collect()}
+    l = load_table(spark, sf_smoke_dir, "lineitem")
+    s = load_table(spark, sf_smoke_dir, "supplier")
+    n = load_table(spark, sf_smoke_dir, "nation")
+    rows = (l.join(s, l.l_suppkey == s.s_suppkey)
+            .join(n, s.s_nationkey == n.n_nationkey)
+            .select("n_name",
+                    F.round(F.col("l_extendedprice") * 100).cast("long")
+                    .alias("p"),
+                    F.round(F.col("l_quantity") * 100).cast("long")
+                    .alias("w"))
+            .collect())
+    per = {}
+    for r in rows:
+        per.setdefault(r.n_name, []).append((r.p, r.w))
+    for name, pw in per.items():
+        pw.sort()
+        tot = sum(w for _, w in pw)
+        cum = 0
+        for p, w in pw:
+            cum += w
+            if 2 * cum >= tot:
+                break
+        assert round(out[name].median_price * 100) == p
+        assert out[name].total_qty_e2 == tot
+
+
+def test_backlog_aging_conserves_open_orders(spark, sf_smoke_dir):
+    """Counts and exact cents conserve over the non-finished orders;
+    buckets are non-negative and statuses exclude 'F'."""
+    out = QUERIES["orders_backlog_aging"].fn(spark, sf_smoke_dir).collect()
+    o = load_table(spark, sf_smoke_dir, "orders").filter(
+        F.col("o_orderstatus") != "F")
+    assert sum(r.n_orders for r in out) == o.count()
+    want_c = o.select(F.sum(F.round(F.col("o_totalprice") * 100)
+                            .cast("long"))).collect()[0][0]
+    assert sum(round(r.backlog_value * 100) for r in out) == want_c
+    assert all(r.age_bucket_30d >= 0 for r in out)
+    assert all(r.o_orderstatus in ("O", "P") for r in out)
+
+
+def test_power_pareto_nesting_and_exact_shares(spark, sf_smoke_dir):
+    """Tiers nest (top01 ⊆ top05 ⊆ top10 in users and events), and each
+    share is the exact floor e6 ratio of the reported event counts."""
+    out = {r.tier: r for r in
+           QUERIES["events_power_users_pareto"].fn(
+               spark, sf_smoke_dir).collect()}
+    e = load_table(spark, sf_smoke_dir, "events")
+    tot = e.count()
+    assert (out["top01"].n_users <= out["top05"].n_users
+            <= out["top10"].n_users)
+    assert (out["top01"].n_events <= out["top05"].n_events
+            <= out["top10"].n_events <= tot)
+    for r in out.values():
+        assert r.share_e6 == r.n_events * 1_000_000 // tot
+
+
+def test_source_audit_conserves_and_bounds(spark, sf_smoke_dir):
+    """Doc counts conserve per source; dup share and mean quality are
+    exact and inside their fixed-point ranges."""
+    out = QUERIES["source_dup_quality_audit"].fn(
+        spark, sf_smoke_dir).collect()
+    d = load_table(spark, sf_smoke_dir, "documents")
+    per_source = {r.source: r["count"] for r in
+                  d.groupBy("source").count().collect()}
+    assert {r.source: r.n_docs for r in out} == per_source
+    for r in out:
+        assert 0 <= r.n_duped <= r.n_docs
+        assert r.dup_share_e6 == r.n_duped * 1_000_000 // r.n_docs
+        assert 0 <= r.mean_quality_e4 <= 10_000
+
+
+def test_lsh_dist_histogram_conserves_pairs(spark, sf_smoke_dir):
+    """Bucket counts sum to the exact number of distinct LSH candidate
+    pairs; digit buckets are positive."""
+    from mapreduce_4sl08_spark.plans.vectors import lsh_corpus_bands
+    out = QUERIES["lsh_pair_distance_histogram"].fn(
+        spark, sf_smoke_dir).collect()
+    bands = lsh_corpus_bands(spark, sf_smoke_dir)
+    a, b = bands.alias("a"), bands.alias("b")
+    n_pairs = (a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
+                      & (F.col("a.vec_id") < F.col("b.vec_id")))
+               .select("a.vec_id", "b.vec_id").distinct().count())
+    assert sum(r.n_pairs for r in out) == n_pairs
+    assert all(r.dist_digits >= 1 for r in out)
