@@ -87,10 +87,8 @@ def _reset_memos(spark) -> None:
     sf_dir) — shingle index, verified near-dup pairs, CC labels,
     co-purchase edges. Without the reset, passes 2+ would time the
     memo-hit path (near-free) instead of the query."""
-    from mapreduce_4sl08_spark.plans import extended, text, warehouse
-    for memo in (text._SHINGLE_MEMO, text._NGRAM_PAIRS_MEMO,
-                 text._CC_MEMO, warehouse._EDGES_MEMO,
-                 extended._PAGERANK_MEMO, extended._SIMHASH_MEMO):
+    from mapreduce_4sl08_spark.plans import all_session_memos
+    for memo in all_session_memos().values():
         memo.clear()
     spark.catalog.clearCache()
 

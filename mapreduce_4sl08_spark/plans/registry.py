@@ -148,3 +148,26 @@ def query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sqls() -> dict[str, str]:
     return {name: spec.oracle for name, spec in QUERIES.items() if spec.oracle}
+
+
+def all_session_memos() -> dict[str, "SessionMemo"]:
+    """Every SessionMemo instance across the plan modules, discovered by
+    module-walk — the single source of truth for cache-reset tooling.
+
+    Rationale (r13): ``bench._reset_memos`` cleared a hand-written list
+    of six memos and then ``spark.catalog.clearCache()``. Every memo
+    NOT on the list kept serving its (now uncached) DataFrame handle —
+    a silent downgrade from one-scan-per-session to
+    recompute-per-consumer for MAD/posting/LSH-band/pareto relations on
+    bench passes 2+, and the cause of the r13 validate_head flake
+    (test_bench_isolation cleared the cache, then the pareto shape gate
+    saw a raw scan where the persisted build should be). Hand-written
+    lists rot; walk the modules instead."""
+    from .base import SessionMemo
+    memos: dict[str, SessionMemo] = {}
+    for mod in (curation, events, extended, quality, relational, scale,
+                text, vectors, warehouse):
+        for attr, val in vars(mod).items():
+            if isinstance(val, SessionMemo):
+                memos[f"{mod.__name__.rsplit('.', 1)[-1]}.{attr}"] = val
+    return memos

@@ -451,13 +451,15 @@ def test_session_memo_evicts_dead_application_entries():
 def test_all_plan_memos_are_session_scoped():
     """Every registered memo must carry the eviction policy — a plain
     dict here would leak DataFrame handles across session restarts."""
-    from mapreduce_4sl08_spark.plans import extended, text, warehouse
+    from mapreduce_4sl08_spark.plans import all_session_memos
     from mapreduce_4sl08_spark.plans.base import SessionMemo
 
-    for memo in (text._SHINGLE_MEMO, text._NGRAM_PAIRS_MEMO, text._CC_MEMO,
-                 warehouse._EDGES_MEMO, extended._PAGERANK_MEMO,
-                 extended._SIMHASH_MEMO):
-        assert isinstance(memo, SessionMemo)
+    memos = all_session_memos()
+    # the module-walk must find every known memo (sanity floor: the six
+    # originally hand-listed plus the r12/r13 additions)
+    assert len(memos) >= 15, sorted(memos)
+    for name, memo in memos.items():
+        assert isinstance(memo, SessionMemo), name
 
 
 def test_memo_bounded_across_real_session_cycle():
