@@ -62,7 +62,8 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     "zipf_rank_frequency", "oov_rate_by_lang", "token_pmi_top_pairs",
     "weighted_median_price_by_nation", "orders_backlog_aging",
     "events_power_users_pareto", "source_dup_quality_audit",
-    "lsh_pair_distance_histogram",
+    "lsh_pair_distance_histogram", "ivf_recall_eval",
+    "dedup_cross_source_matrix",
 )
 
 _HISTORY_PATH = Path(__file__).with_name("checked_history.json")

@@ -2144,3 +2144,52 @@ ORDER BY rk
 SPECS.append(
     QuerySpec("token_pmi_top_pairs", token_pmi_top_pairs, PMI_SQL,
               "top-20 adjacent collocations by exact PMI lift (DECIMAL(38) e6)"))
+
+
+# ------------------------------------------- cross-source dup matrix
+# Which sources copy from each other: verified near-dup pairs (the
+# exact AllPairs J>=0.4 set) cross-tabbed by the two docs' sources,
+# with the pair normalized so (source_a, source_b) is lexicographically
+# ordered — an upper-triangular source×source matrix. The diagonal is
+# intra-source duplication (boilerplate); off-diagonal mass is
+# syndication/mirroring, the signal curation uses to pick ONE canonical
+# source. In-session the verified pair set rides _NGRAM_PAIRS_MEMO (no
+# new shingle pass); the source lookup is a cheap 2-column projection
+# joined twice on doc id. Output bounded by |sources|².
+
+
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    src = t(spark, sf_dir, "documents").select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("doc_a"),
+                    F.col("source").alias("_sa"))
+    sb = src.select(F.col("doc_id").alias("doc_b"),
+                    F.col("source").alias("_sb"))
+    return (
+        pairs.join(sa, "doc_a").join(sb, "doc_b")
+        .select(F.least("_sa", "_sb").alias("source_a"),
+                F.greatest("_sa", "_sb").alias("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+CROSS_SOURCE_SQL = f"""
+WITH pairs AS (
+  SELECT doc_a, doc_b FROM ({DEDUP_JACCARD_SQL.strip()})
+)
+SELECT LEAST(da.source, db.source) AS source_a,
+       GREATEST(da.source, db.source) AS source_b,
+       COUNT(*) AS n_pairs
+FROM pairs
+JOIN documents da ON da.doc_id = pairs.doc_a
+JOIN documents db ON db.doc_id = pairs.doc_b
+GROUP BY 1, 2
+ORDER BY source_a, source_b
+"""
+
+SPECS.append(
+    QuerySpec("dedup_cross_source_matrix", dedup_cross_source_matrix,
+              CROSS_SOURCE_SQL,
+              "near-dup pair counts cross-tabbed by source pair (who copies whom)"))

@@ -977,3 +977,62 @@ SPECS.append(
     QuerySpec("lsh_pair_distance_histogram", lsh_pair_distance_histogram,
               _lsh_dist_hist_sql(),
               "exact e12 distance digit-histogram over LSH candidate pairs"))
+
+
+# -------------------------------------------------------- IVF recall
+# Recall@k of the IVF-ANN path against the exact brute-force kNN — the
+# vector-side twin of text.py's minhash_recall_eval, and the monitor
+# that justifies (or indicts) list-pruned search at 100 TB: run it on a
+# probe sample per index build and alert when recall drifts below the
+# operating point (~0.5 on this deliberately near-orthogonal corpus —
+# see the _IVF_NPROBE decision note; LSH is the served high-recall
+# path). Both pair sets come from the session's existing pipelines
+# (memoized centroids, broadcast probes), so in-session this costs one
+# full-outer join of two ≤ probes×k row sets — no new corpus pass.
+
+
+def ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = (knn_bruteforce_cosine(spark, sf_dir)
+             .select("query_id", "vec_id", F.lit(1).alias("in_exact")))
+    ivf = (ivf_ann(spark, sf_dir)
+           .select("query_id", "vec_id", F.lit(1).alias("in_ivf")))
+    merged = exact.join(ivf, ["query_id", "vec_id"], "full_outer")
+    return (
+        merged.agg(
+            F.count("in_exact").alias("n_exact"),
+            F.count("in_ivf").alias("n_ivf"),
+            F.sum(F.when(F.col("in_exact").isNotNull()
+                         & F.col("in_ivf").isNotNull(), 1)
+                  .otherwise(0)).alias("n_common"))
+        .select(
+            "n_exact", "n_ivf", "n_common",
+            F.expr("CASE WHEN n_exact > 0 "
+                   "THEN n_common * 1000000 div n_exact END")
+            .alias("recall_e6"))
+    )
+
+
+IVF_RECALL_SQL = f"""
+WITH exact AS (
+  SELECT query_id, vec_id, 1 AS in_exact FROM ({KNN_SQL.strip()})
+),
+ivf AS (
+  SELECT query_id, vec_id, 1 AS in_ivf FROM ({IVF_ANN_SQL.strip()})
+),
+merged AS (
+  SELECT COALESCE(e.in_exact, 0) AS in_exact,
+         COALESCE(i.in_ivf, 0) AS in_ivf
+  FROM exact e FULL JOIN ivf i USING (query_id, vec_id)
+)
+SELECT SUM(in_exact)::BIGINT AS n_exact,
+       SUM(in_ivf)::BIGINT AS n_ivf,
+       SUM(in_exact * in_ivf)::BIGINT AS n_common,
+       CASE WHEN SUM(in_exact) > 0
+            THEN (SUM(in_exact * in_ivf) * 1000000 // SUM(in_exact))::BIGINT
+       END AS recall_e6
+FROM merged
+"""
+
+SPECS.append(
+    QuerySpec("ivf_recall_eval", ivf_recall_eval, IVF_RECALL_SQL,
+              "IVF-ANN recall@k vs exact brute-force kNN (e6)"))

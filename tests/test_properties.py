@@ -1321,3 +1321,28 @@ def test_lsh_dist_histogram_conserves_pairs(spark, sf_smoke_dir):
                .select("a.vec_id", "b.vec_id").distinct().count())
     assert sum(r.n_pairs for r in out) == n_pairs
     assert all(r.dist_digits >= 1 for r in out)
+
+
+def test_ivf_recall_consistent_with_sources(spark, sf_smoke_dir):
+    """Recall counts must agree with the two source pipelines, and the
+    e6 recall is the exact floor ratio; IVF stays at/above its pinned
+    operating point (the _IVF_NPROBE decision note)."""
+    r = QUERIES["ivf_recall_eval"].fn(spark, sf_smoke_dir).collect()[0]
+    n_exact = QUERIES["knn_bruteforce_cosine"].fn(
+        spark, sf_smoke_dir).count()
+    n_ivf = QUERIES["ivf_ann"].fn(spark, sf_smoke_dir).count()
+    assert r.n_exact == n_exact
+    assert r.n_ivf == n_ivf
+    assert 0 <= r.n_common <= min(r.n_exact, r.n_ivf)
+    assert r.recall_e6 == r.n_common * 1_000_000 // r.n_exact
+    assert r.recall_e6 >= 500_000
+
+
+def test_cross_source_matrix_conserves_pairs(spark, sf_smoke_dir):
+    """Matrix cell counts sum to the verified near-dup pair count and
+    every cell is lexicographically ordered (upper-triangular)."""
+    out = QUERIES["dedup_cross_source_matrix"].fn(
+        spark, sf_smoke_dir).collect()
+    n_pairs = QUERIES["dedup_ngram_jaccard"].fn(spark, sf_smoke_dir).count()
+    assert sum(r.n_pairs for r in out) == n_pairs
+    assert all(r.source_a <= r.source_b for r in out)
