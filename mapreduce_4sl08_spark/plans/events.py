@@ -899,41 +899,79 @@ SPECS.append(
 # ~days × |types| rows.
 
 
+#: (applicationId, "share_drift_daily", sf_dir) -> persisted per-(day,
+#: type) share relation (both sides of the calendar self-join read it)
+_SHARE_DRIFT_MEMO: SessionMemo = SessionMemo()
+
+
 def event_type_share_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = t(spark, sf_dir, "events")
-    daily = (
-        e.groupBy(F.date_trunc("DAY", F.col("ts")).alias("day"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    shared = daily.withColumn(
-        "share_e6",
-        F.expr("n * 1000000 div sum(n) over (partition by day)"))
-    wlag = Window.partitionBy("event_type").orderBy("day")
+    # r13 hardening, both of the ADVICE r12 classes pre-empted:
+    #  - the share is overflow-safe pure BIGINT (_share_e6_expr; a plain
+    #    n*1e6 overflows past ~9.2e12 events/day — the bot-flood regime
+    #    this monitor exists for);
+    #  - "day-over-day" is CALENDAR-true: the previous-day share comes
+    #    from a self-join on (type, epoch_day - 1), not a positional
+    #    lag — after a zero-traffic gap the drift is NULL (no
+    #    yesterday), never a silent pairing with an older day.
+    # The (day, type) aggregate is memoized+persisted (pareto idiom):
+    # the self-join reads it on both sides — unpersisted that would be
+    # two fact scans.
+    key = (spark.sparkContext.applicationId, "share_drift_daily", sf_dir)
+    shared = _SHARE_DRIFT_MEMO.get(key)
+    if shared is None:
+        e = t(spark, sf_dir, "events")
+        daily = (
+            e.groupBy(F.date_trunc("DAY", F.col("ts")).alias("day"),
+                      "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("_dkey",
+                        F.expr("unix_micros(day) div 86400000000"))
+        )
+        shared = (
+            daily.withColumn("_day_tot",
+                             F.sum("n").over(Window.partitionBy("day")))
+            .withColumn("share_e6",
+                        F.expr(_share_e6_expr("n", "_day_tot")))
+            .persist())
+        _SHARE_DRIFT_MEMO[key] = shared
+    a, b = shared.alias("a"), shared.alias("b")
     return (
-        shared.withColumn(
-            "drift_e6",
-            F.abs(F.col("share_e6") - F.lag("share_e6").over(wlag)))
-        .select("day", "event_type", "n", "share_e6", "drift_e6")
+        a.join(b, (F.col("a.event_type") == F.col("b.event_type"))
+               & (F.col("a._dkey") == F.col("b._dkey") + F.lit(1)),
+               "left")
+        .select(F.col("a.day").alias("day"),
+                F.col("a.event_type").alias("event_type"),
+                F.col("a.n").alias("n"),
+                F.col("a.share_e6").alias("share_e6"),
+                F.abs(F.col("a.share_e6") - F.col("b.share_e6"))
+                .alias("drift_e6"))
         .orderBy("day", "event_type")
     )
 
 
 SHARE_DRIFT_SQL = """
 WITH daily AS (
-  SELECT date_trunc('day', ts) AS day, event_type, COUNT(*) AS n
-  FROM events GROUP BY 1, 2
+  SELECT date_trunc('day', ts) AS day, event_type, COUNT(*) AS n,
+         epoch_us(date_trunc('day', ts)) // 86400000000 AS dkey
+  FROM events GROUP BY 1, 2, 4
 ),
 shared AS (
-  SELECT day, event_type, n,
-         (n * 1000000 // SUM(n) OVER (PARTITION BY day))::BIGINT
-           AS share_e6
+  SELECT day, event_type, n, dkey,
+         SUM(n) OVER (PARTITION BY day) AS day_tot
   FROM daily
+),
+scored AS (
+  SELECT day, event_type, n, dkey,
+         ((n * 1000 // day_tot) * 1000
+          + ((n * 1000 % day_tot) * 1000) // day_tot)::BIGINT AS share_e6
+  FROM shared
 )
-SELECT day, event_type, n, share_e6,
-       abs(share_e6 - lag(share_e6) OVER (
-           PARTITION BY event_type ORDER BY day))::BIGINT AS drift_e6
-FROM shared
-ORDER BY day, event_type
+SELECT s.day, s.event_type, s.n, s.share_e6,
+       abs(s.share_e6 - p.share_e6)::BIGINT AS drift_e6
+FROM scored s
+LEFT JOIN scored p
+  ON p.event_type = s.event_type AND p.dkey = s.dkey - 1
+ORDER BY s.day, s.event_type
 """
 
 SPECS.append(

@@ -64,6 +64,9 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     "events_power_users_pareto", "source_dup_quality_audit",
     "lsh_pair_distance_histogram", "ivf_recall_eval",
     "dedup_cross_source_matrix",
+    # r13 hardening of an r12-proven plan (calendar-true day lag +
+    # overflow-safe share): must be driver re-proven
+    "event_type_share_drift",
 )
 
 _HISTORY_PATH = Path(__file__).with_name("checked_history.json")

@@ -639,3 +639,28 @@ def test_monthly_yoy_calendar_true_on_gap(spark, tmp_path):
     assert out["1998-01"].yoy_delta == 0.0          # pairs with 1997-01
     assert out["1998-02"].yoy_delta is None         # 1997-02 absent
     assert out["1998-03"].yoy_delta == 0.0          # unshifted pairing
+
+
+def test_share_drift_calendar_true_on_gap(spark, tmp_path):
+    """r13 hardening: a zero-traffic day must yield NULL drift the day
+    after the gap (no calendar yesterday), never a silent pairing with
+    the last present day — the positional-lag failure mode fixed in
+    orders_monthly_yoy (ADVICE r12)."""
+    import datetime
+    from mapreduce_4sl08_spark.plans.events import event_type_share_drift
+    rows = []
+    k = 0
+    for d in (1, 2, 4):  # day 3 missing
+        for i in range(3):
+            k += 1
+            rows.append((k, datetime.datetime(2024, 1, d, 10, i), 1,
+                         "view", 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    out = {r.day.day: r for r in
+           event_type_share_drift(spark, str(tmp_path)).collect()}
+    assert out[1].drift_e6 is None          # first day
+    assert out[2].drift_e6 == 0             # day 1 -> 2, same 100% share
+    assert out[4].drift_e6 is None          # day 3 absent: no yesterday
