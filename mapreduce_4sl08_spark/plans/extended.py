@@ -415,9 +415,22 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     band join shared with ``lsh_bucket_ann`` (16 tables × 4-bit bands —
     a pair with angular agreement q collides with prob 1-(1-q⁴)¹⁶, ≈0.95+
     at the planted cos≥0.45 regime), distinct'd, then exact-verified by
-    cosine — an equi-join plan, never the O(n²) cross join. The oracle
-    replicates the identical deterministic bucketing, so the two engines
-    agree pair-for-pair."""
+    cosine — an equi-join plan, never the O(n²) cross join.
+
+    BAND-WIDTH-vs-N CONSTRAINT (r13, measured): the band key space is
+    2^w × tables = 256 keys at w=4, so bucket sizes — and the candidate
+    volume Σ nb·(nb-1)/2 — grow ~n²/2^w: tools/lsh_occupancy_probe.py
+    measured 2.1e6 / 2.1e8 / 1.9e9 candidate pairs at 1×/10×/30×. w=4
+    is the recall-correct setting for THIS fixture's angular statistics
+    (neighbors at cos≈0.45-0.6, barely above the near-orthogonal
+    background — wider bands collapse recall, see the _IVF_NPROBE
+    decision note for the same phenomenon). At real scale w must grow
+    ~log2(n) to hold bucket sizes constant, which real clustered
+    embeddings tolerate (their neighbor q is far higher); re-tune with
+    the occupancy probe (bucket sizes ARE the quadratic early warning)
+    and the recall monitors (ivf_recall_eval, the planted-pair tests).
+    The oracle replicates the identical deterministic bucketing, so the
+    two engines agree pair-for-pair."""
     from ..functions import cosine
     from .vectors import lsh_corpus_bands
     e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")

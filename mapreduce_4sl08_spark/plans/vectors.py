@@ -899,18 +899,28 @@ SPECS.append(
 
 
 # ------------------------------------------- LSH pair distance histogram
-# Distance distribution over the hyperplane-LSH candidate pairs — the
+# Distance distribution over hyperplane-LSH bucket NEIGHBORS — the
 # bucket-quality monitor for the ANN path (a healthy LSH index puts
-# most candidate mass at short distances; a flat histogram means the
+# most intra-bucket mass at short distances; a flat histogram means the
 # planes aren't separating the corpus and recall budget is being spent
-# on junk candidates). Candidates come from the SAME memoized band
-# relation every LSH consumer shares (one signature pass per session);
-# distances are exact e12-integer squared-L2 over e6-quantized vectors
+# on junk candidates). Pair selection is consecutive-by-vec_id WITHIN
+# each bucket (lead over (band_key → vec_id)), NOT the full bucket
+# self-join: tools/lsh_occupancy_probe.py measured the full candidate
+# set at 2.1e6 / 2.1e8 / 1.9e9 pairs at 1×/10×/30× — quadratic, because
+# the band space is fixed at 2^w·tables = 256 keys, so bucket sizes
+# grow ~n/16 (see the embedding_near_dup band-width note). The
+# consecutive form samples exactly Σ(nb-1) ≈ n·tables pairs — linear by
+# construction, deterministic, and it still sees every bucket in
+# proportion to its occupancy, which is what the monitor measures.
+# Distances are exact e12-integer squared-L2 over e6-quantized vectors
 # (the kmeans_lloyd_2iter idiom — zero floats, bit-equal across
 # engines; 64 dims × (3.2e7)² ≈ 6.6e16 per pair, inside BIGINT), and
 # buckets are the DECIMAL DIGIT COUNT of the distance (string length of
 # a BIGINT — the events_interarrival_histogram idiom; floor(log10) via
-# doubles can mis-round at powers of ten). Output ≤ ~18 rows.
+# doubles can mis-round at powers of ten). Output ≤ ~18 rows. Window
+# note: the per-bucket sort is n log n total, but with 2^w keys each
+# window partition holds ~n/2^w rows — at real scale widen the bands
+# (w ~ log2 n) before leaning on this plan, same as the near-dup op.
 
 
 def lsh_pair_distance_histogram(spark: SparkSession,
@@ -922,12 +932,12 @@ def lsh_pair_distance_histogram(spark: SparkSession,
                "cast(floor(cast(x as double) * 1000000) as bigint))")
         .alias("v"))
     bands = lsh_corpus_bands(spark, sf_dir)
-    a, b = bands.alias("a"), bands.alias("b")
+    wb = Window.partitionBy("band_key").orderBy("vec_id")
     pairs = (
-        a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
-               & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .select(F.col("a.vec_id").alias("id_a"),
-                F.col("b.vec_id").alias("id_b"))
+        bands.withColumn("_next", F.lead("vec_id").over(wb))
+        .filter(F.col("_next").isNotNull())
+        .select(F.col("vec_id").alias("id_a"),
+                F.col("_next").alias("id_b"))
         .distinct()
     )
     qa = q.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
@@ -947,9 +957,13 @@ def _lsh_dist_hist_sql() -> str:
     return f"""
 WITH {lsh_bands_cte_sql()},
 pairs AS (
-  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-  FROM bands a JOIN bands b
-    ON a.band_key = b.band_key AND a.vec_id < b.vec_id
+  SELECT DISTINCT vec_id AS id_a, nxt AS id_b
+  FROM (
+    SELECT vec_id,
+           LEAD(vec_id) OVER (PARTITION BY band_key ORDER BY vec_id) AS nxt
+    FROM bands
+  )
+  WHERE nxt IS NOT NULL
 ),
 q AS (
   SELECT vec_id,

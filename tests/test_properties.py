@@ -1309,18 +1309,24 @@ def test_source_audit_conserves_and_bounds(spark, sf_smoke_dir):
 
 
 def test_lsh_dist_histogram_conserves_pairs(spark, sf_smoke_dir):
-    """Bucket counts sum to the exact number of distinct LSH candidate
-    pairs; digit buckets are positive."""
+    """Bucket counts sum to the exact number of distinct consecutive
+    intra-bucket pairs (the linear sampling form — Σ(nb-1) before
+    cross-table dedup); digit buckets are positive."""
+    from pyspark.sql import Window
     from mapreduce_4sl08_spark.plans.vectors import lsh_corpus_bands
     out = QUERIES["lsh_pair_distance_histogram"].fn(
         spark, sf_smoke_dir).collect()
     bands = lsh_corpus_bands(spark, sf_smoke_dir)
-    a, b = bands.alias("a"), bands.alias("b")
-    n_pairs = (a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
-                      & (F.col("a.vec_id") < F.col("b.vec_id")))
-               .select("a.vec_id", "b.vec_id").distinct().count())
+    wb = Window.partitionBy("band_key").orderBy("vec_id")
+    n_pairs = (bands.withColumn("_n", F.lead("vec_id").over(wb))
+               .filter(F.col("_n").isNotNull())
+               .select("vec_id", "_n").distinct().count())
     assert sum(r.n_pairs for r in out) == n_pairs
     assert all(r.dist_digits >= 1 for r in out)
+    # the linear form's pair count is bounded by n x tables (the whole
+    # point of the r13 rewrite away from the quadratic bucket self-join)
+    n_vec = load_table(spark, sf_smoke_dir, "embeddings").count()
+    assert n_pairs <= n_vec * 16
 
 
 def test_ivf_recall_consistent_with_sources(spark, sf_smoke_dir):

@@ -1,0 +1,44 @@
+#!/usr/bin/env python
+"""Analytic LSH bucket-occupancy probe (r13): per scale, the number of
+band buckets, the largest bucket, and the exact candidate-pair upper
+bound Σ nb·(nb-1)/2 over buckets — computed from bucket SIZES, never by
+materializing the pair join. This is the cheap way to see whether the
+banded self-join is about to go quadratic (the 4-bit band space is
+fixed at 16 buckets/table, so bucket sizes — and the pair bound —
+grow ~linearly with corpus size; pairs grow ~n²/2^w per table).
+
+    python tools/lsh_occupancy_probe.py [sf_dir ...]
+"""
+import sys
+import time
+
+REPO = __file__.rsplit("/", 2)[0]
+sys.path.insert(0, REPO)
+
+from mapreduce_4sl08_spark.session import get_session            # noqa: E402
+from mapreduce_4sl08_spark.plans.vectors import lsh_corpus_bands  # noqa: E402
+from pyspark.sql import functions as F                            # noqa: E402
+
+
+def main() -> int:
+    dirs = sys.argv[1:] or ["/root/testdata/sf0.1",
+                            REPO + "/.benchdata/sf0.1x10",
+                            REPO + "/.benchdata/sf0.1x30"]
+    spark = get_session()
+    for sf in dirs:
+        n_vec = spark.read.parquet(f"{sf}/embeddings.parquet").count()
+        t0 = time.time()
+        bands = lsh_corpus_bands(spark, sf)
+        occ = (bands.groupBy("band_key").agg(F.count(F.lit(1)).alias("nb"))
+               .agg(F.count(F.lit(1)).alias("n_buckets"),
+                    F.max("nb").alias("max_bucket"),
+                    F.sum(F.expr("nb * (nb - 1) div 2")).alias("pair_ub"))
+               .collect()[0])
+        print(f"{sf.split('/')[-1]:10s} n={n_vec} buckets={occ.n_buckets} "
+              f"max_bucket={occ.max_bucket} pair_upper_bound={occ.pair_ub} "
+              f"({time.time() - t0:.1f}s)", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
