@@ -23,8 +23,16 @@ shifts its keys by copy_index × (max_key + 1):
   cross-copy Jaccard collapses to ~0 — near-dup cluster sizes stay
   constant as the corpus grows (the honest 100 TB shape: more docs,
   not more copies of each doc). n_chars re-derived from the new text.
-- embeddings: vec_id shifted, vectors kept (ANN probe cost depends on
-  row count, not vector values).
+- embeddings: vec_id shifted; for copies > 0 each vector's dimensions
+  are cyclically rotated by copy_index*7 mod dim (r13). The rotation is
+  a bijection WITHIN a copy, so every copy's intra-copy angular
+  structure (planted near-dup pairs, label geometry) is identical to
+  the original — while cross-copy cosine collapses to ~background, the
+  same honest-growth design as the documents token remap. Before r13
+  vectors were copied verbatim: every vector had copies-1 exact
+  cross-copy duplicates, which inflated embedding near-dup output
+  ~766x at 10x and made embedding scale checks measure fixture
+  artifacts (logs/lsh_occupancy_r13.txt).
 - region/nation: shared dimensions, copied once verbatim.
 
 Pure pyarrow (no JVM): preserves each column's physical parquet type —
@@ -89,6 +97,22 @@ def _transform(table: str, t: pa.Table, i: int,
         stripe = pa.scalar(i * EVENT_STRIPE_DAYS * per_day[ts_type.unit],
                            type=pa.duration(ts_type.unit))
         t = t.set_column(idx, t.schema.field("ts"), pc.add(t["ts"], stripe))
+    if table == "embeddings" and i > 0:
+        import numpy as np
+        idx = t.schema.get_field_index("embedding")
+        col = t["embedding"].combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        n = len(col)
+        if n and len(flat) % n == 0:
+            dim = len(flat) // n
+            k = (i * 7) % dim or 1
+            rolled = np.roll(flat.reshape(n, dim), k, axis=1).reshape(-1)
+            offsets = pa.array(np.arange(0, (n + 1) * dim, dim,
+                                         dtype=np.int32))
+            values = pa.array(rolled, type=col.type.value_type)
+            rotated = pa.ListArray.from_arrays(offsets, values)
+            t = t.set_column(idx, t.schema.field("embedding"),
+                             rotated.cast(t.schema.field("embedding").type))
     if table == "documents" and i > 0:
         idx = t.schema.get_field_index("text")
         text = pc.replace_substring_regex(
