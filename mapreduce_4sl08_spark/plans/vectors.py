@@ -944,12 +944,18 @@ def lsh_pair_distance_histogram(spark: SparkSession,
     qb = q.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
     d2 = F.expr("aggregate(zip_with(va, vb, (x, y) -> (x - y) * (x - y)), "
                 "cast(0 as bigint), (acc, x) -> acc + x)")
+    # bucket = (digit count, leading digit) — a base-10 log-scale bucket
+    # with one significant digit of resolution, still pure string ops on
+    # an exact BIGINT (this corpus's distances all share one digit
+    # count; the leading digit is what makes the histogram readable)
     return (
         pairs.join(qa, "id_a").join(qb, "id_b")
-        .select(F.length(d2.cast("string")).alias("dist_digits"))
-        .groupBy("dist_digits")
+        .select(d2.cast("string").alias("_d"))
+        .select(F.length("_d").alias("dist_digits"),
+                F.substring("_d", 1, 1).cast("int").alias("lead_digit"))
+        .groupBy("dist_digits", "lead_digit")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
-        .orderBy("dist_digits")
+        .orderBy("dist_digits", "lead_digit")
     )
 
 
@@ -972,18 +978,20 @@ q AS (
   FROM embeddings
 ),
 dists AS (
-  SELECT length(CAST(
+  SELECT CAST(
            list_sum(list_transform(range({_EMB_DIM}),
              i -> (qa.v[i+1] - qb.v[i+1]) * (qa.v[i+1] - qb.v[i+1])))
-           AS VARCHAR)) AS dist_digits
+           AS VARCHAR) AS d
   FROM pairs p
   JOIN q qa ON qa.vec_id = p.id_a
   JOIN q qb ON qb.vec_id = p.id_b
 )
-SELECT CAST(dist_digits AS INT) AS dist_digits, COUNT(*) AS n_pairs
+SELECT CAST(length(d) AS INT) AS dist_digits,
+       CAST(substr(d, 1, 1) AS INT) AS lead_digit,
+       COUNT(*) AS n_pairs
 FROM dists
-GROUP BY 1
-ORDER BY dist_digits
+GROUP BY 1, 2
+ORDER BY dist_digits, lead_digit
 """
 
 

@@ -1323,6 +1323,8 @@ def test_lsh_dist_histogram_conserves_pairs(spark, sf_smoke_dir):
                .select("vec_id", "_n").distinct().count())
     assert sum(r.n_pairs for r in out) == n_pairs
     assert all(r.dist_digits >= 1 for r in out)
+    assert all(1 <= r.lead_digit <= 9 or
+               (r.lead_digit == 0 and r.dist_digits == 1) for r in out)
     # the linear form's pair count is bounded by n x tables (the whole
     # point of the r13 rewrite away from the quadratic bucket self-join)
     n_vec = load_table(spark, sf_smoke_dir, "embeddings").count()
