@@ -46,27 +46,9 @@ _MODULE_SPECS: list[QuerySpec] = [
 # End-of-round ritual: append the new round's names to the JSON, then
 # rewrite this tuple for the next round's changed plans.
 _ROUND_PRIORITY: tuple[str, ...] = (
-    # round 13: plans whose shape or oracle changes this round (ADVICE
-    # r12 fixes + the agg_approx_distinct verification restructure,
-    # VERDICT r12 item 4). key_skew_profile is also one of the 5
-    # never-driver-sampled rows; listing it here keeps it at the very
-    # front even after its share expression changes.
-    "key_skew_profile",            # scale.py: exact-BIGINT top1 share
-    "tokenizer_fertility_by_lang",  # text.py: zero-token div guard
-    "orders_monthly_yoy",           # warehouse.py: calendar-true 12-mo lag
-    "events_burst_topk",            # events.py: pre-pruned global rank
-    "agg_approx_distinct",          # extended.py: single-EXPAND verify side
-    # new operators added in r13 — never driver-proven (they also sort
-    # into the never-checked bucket; listing them here permits in-round
-    # plan iteration under the fingerprint drift gate)
-    "zipf_rank_frequency", "oov_rate_by_lang", "token_pmi_top_pairs",
-    "weighted_median_price_by_nation", "orders_backlog_aging",
-    "events_power_users_pareto", "source_dup_quality_audit",
-    "lsh_pair_distance_histogram", "ivf_recall_eval",
-    "dedup_cross_source_matrix",
-    # r13 hardening of an r12-proven plan (calendar-true day lag +
-    # overflow-safe share): must be driver re-proven
-    "event_type_share_drift",
+    # round 14 starts empty — a depth round (VERDICT r13 item 2: drain
+    # the r10/r11 staleness tail; hold the registry cap at 168). Names
+    # are appended here in the SAME commit as each plan/oracle change.
 )
 
 _HISTORY_PATH = Path(__file__).with_name("checked_history.json")
