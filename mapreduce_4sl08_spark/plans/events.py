@@ -1186,7 +1186,11 @@ def events_power_users_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias(f"u{p}"),
             F.sum(F.when(F.col("n") >= F.col(f"_p{p}"), F.col("n"))
                   .otherwise(F.lit(0))).alias(f"e{p}"))])
-    share = _share_e6_expr  # overflow-safe exact e6
+    # overflow-safe exact e6; zero-total guard (ADVICE r13): Spark div
+    # yields NULL on /0 but DuckDB // raises — CASE in BOTH engines
+    # keeps the parity harness a value-compare, never a hard error
+    def share(a: str, tot: str) -> str:
+        return f"CASE WHEN {tot} > 0 THEN {_share_e6_expr(a, tot)} END"
     return tiers.select(F.expr(
         "stack(3,"
         f" 'top01', u99, e99, {share('e99', '_tot2')},"
@@ -1219,16 +1223,19 @@ tiers AS (
 )
 SELECT tier, n_users, n_events, share_e6 FROM (
   SELECT 'top01' AS tier, u99 AS n_users, e99 AS n_events,
-         ((e99 * 1000 // tot) * 1000 + ((e99 * 1000 % tot) * 1000) // tot)
-           ::BIGINT AS share_e6 FROM tiers
+         (CASE WHEN tot > 0 THEN
+            (e99 * 1000 // tot) * 1000 + ((e99 * 1000 % tot) * 1000) // tot
+          END)::BIGINT AS share_e6 FROM tiers
   UNION ALL
   SELECT 'top05', u95, e95,
-         ((e95 * 1000 // tot) * 1000 + ((e95 * 1000 % tot) * 1000) // tot)
-           ::BIGINT FROM tiers
+         (CASE WHEN tot > 0 THEN
+            (e95 * 1000 // tot) * 1000 + ((e95 * 1000 % tot) * 1000) // tot
+          END)::BIGINT FROM tiers
   UNION ALL
   SELECT 'top10', u90, e90,
-         ((e90 * 1000 // tot) * 1000 + ((e90 * 1000 % tot) * 1000) // tot)
-           ::BIGINT FROM tiers
+         (CASE WHEN tot > 0 THEN
+            (e90 * 1000 // tot) * 1000 + ((e90 * 1000 % tot) * 1000) // tot
+          END)::BIGINT FROM tiers
 )
 ORDER BY tier
 """

@@ -46,9 +46,11 @@ _MODULE_SPECS: list[QuerySpec] = [
 # End-of-round ritual: append the new round's names to the JSON, then
 # rewrite this tuple for the next round's changed plans.
 _ROUND_PRIORITY: tuple[str, ...] = (
-    # round 14 starts empty — a depth round (VERDICT r13 item 2: drain
-    # the r10/r11 staleness tail; hold the registry cap at 168). Names
-    # are appended here in the SAME commit as each plan/oracle change.
+    # round 14 is a depth round (VERDICT r13 item 2: drain the r10/r11
+    # staleness tail; hold the registry cap at 168). Names are appended
+    # here in the SAME commit as each plan/oracle change.
+    "events_power_users_pareto",  # events.py: zero-total share guard
+    "key_skew_profile",           # scale.py: zero-total share guard
 )
 
 _HISTORY_PATH = Path(__file__).with_name("checked_history.json")
@@ -148,12 +150,22 @@ def all_session_memos() -> dict[str, "SessionMemo"]:
     bench passes 2+, and the cause of the r13 validate_head flake
     (test_bench_isolation cleared the cache, then the pareto shape gate
     saw a raw scan where the persisted build should be). Hand-written
-    lists rot; walk the modules instead."""
+    lists rot; walk the modules instead — and the module list itself is
+    derived from the package via pkgutil (ADVICE r13: a hand-written
+    module tuple rots exactly the same way the memo list did; a future
+    plans module holding a SessionMemo must be found without editing
+    this function). A memo re-exported under two names dedups by object
+    identity at the consumer (reset tooling clears the same object
+    twice, harmlessly)."""
+    import importlib
+    import pkgutil
+
     from .base import SessionMemo
+    pkg = importlib.import_module(__package__)
     memos: dict[str, SessionMemo] = {}
-    for mod in (curation, events, extended, quality, relational, scale,
-                text, vectors, warehouse):
+    for info in pkgutil.iter_modules(pkg.__path__):
+        mod = importlib.import_module(f"{__package__}.{info.name}")
         for attr, val in vars(mod).items():
             if isinstance(val, SessionMemo):
-                memos[f"{mod.__name__.rsplit('.', 1)[-1]}.{attr}"] = val
+                memos[f"{info.name}.{attr}"] = val
     return memos

@@ -375,7 +375,11 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         " 'p50_cnt', round(p50, 4),"
         " 'p99_cnt', round(p99, 4),"
         " 'top1_share_e6',"
-        f"   cast({_share_e6_expr('max_cnt', 'n_rows')} as double)"
+        # zero-total guard (ADVICE r13): Spark div yields NULL on /0 but
+        # DuckDB // raises — CASE in BOTH engines keeps an empty-table
+        # run a value-compare, never a hard error
+        "   cast(CASE WHEN n_rows > 0 THEN "
+        f"     {_share_e6_expr('max_cnt', 'n_rows')} END as double)"
         ") as (stat, value)"
     )).orderBy("stat")
 
@@ -399,8 +403,9 @@ SELECT stat, value FROM (
   UNION ALL SELECT 'p50_cnt', ROUND(p50, 4) FROM prof
   UNION ALL SELECT 'p99_cnt', ROUND(p99, 4) FROM prof
   UNION ALL SELECT 'top1_share_e6',
-    ({_share_e6_expr('max_cnt', 'n_rows').replace(' div ', ' // ')}
-     )::DOUBLE FROM prof
+    (CASE WHEN n_rows > 0 THEN
+       {_share_e6_expr('max_cnt', 'n_rows').replace(' div ', ' // ')}
+     END)::DOUBLE FROM prof
 )
 ORDER BY stat
 """

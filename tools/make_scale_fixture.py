@@ -105,8 +105,24 @@ def _transform(table: str, t: pa.Table, i: int,
         n = len(col)
         if n and len(flat) % n == 0:
             dim = len(flat) // n
-            k = (i * 7) % dim or 1
-            rolled = np.roll(flat.reshape(n, dim), k, axis=1).reshape(-1)
+            # injective per-copy transform at ANY copy count (ADVICE
+            # r13: a bare roll cycles with period dim, so copies ≥ dim
+            # reintroduced exact cross-copy duplicates): roll by
+            # i mod dim, then flip signs by the bits of q = i // dim.
+            # (k1, q1) == (k2, q2) ⇒ i1 == i2, so no two copies share a
+            # transform; sign flips preserve norms, so distance-scale
+            # stats stay comparable across copies. Residual caveat: a
+            # row equal to another row's transform would still collide,
+            # but the source embeddings are dense random floats.
+            k = i % dim
+            q = i // dim
+            rolled = np.roll(flat.reshape(n, dim), k, axis=1)
+            if q:
+                signs = np.where(
+                    (q >> (np.arange(dim) % 32)) & 1, -1.0, 1.0
+                ).astype(rolled.dtype)
+                rolled = rolled * signs
+            rolled = rolled.reshape(-1)
             offsets = pa.array(np.arange(0, (n + 1) * dim, dim,
                                          dtype=np.int32))
             values = pa.array(rolled, type=col.type.value_type)
