@@ -412,25 +412,29 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors are near-orthogonal, so only planted outlier pairs match).
 
     Scale shape: candidate pairs come from the multi-table hyperplane-LSH
-    band join shared with ``lsh_bucket_ann`` (16 tables × 4-bit bands —
-    a pair with angular agreement q collides with prob 1-(1-q⁴)¹⁶, ≈0.95+
-    at the planted cos≥0.45 regime), distinct'd, then exact-verified by
-    cosine — an equi-join plan, never the O(n²) cross join.
+    band join shared with ``lsh_bucket_ann`` (L = 64//w tables of w-bit
+    bands — a pair with angular agreement q collides with prob
+    1-(1-q^w)^L, ≈0.95+ at the planted cos≥0.45 regime under the
+    small-corpus floor w=4), distinct'd, then exact-verified by cosine —
+    an equi-join plan, never the O(n²) cross join.
 
-    BAND-WIDTH-vs-N CONSTRAINT (r13, measured): the band key space is
-    2^w × tables = 256 keys at w=4, so bucket sizes — and the candidate
-    volume Σ nb·(nb-1)/2 — grow ~n²/2^w: tools/lsh_occupancy_probe.py
-    measured 2.1e6 / 2.1e8 / 1.9e9 candidate pairs at 1×/10×/30×. w=4
-    is the recall-correct setting for THIS fixture's angular statistics
-    (neighbors at cos≈0.45-0.6, barely above the near-orthogonal
-    background — wider bands collapse recall, see the _IVF_NPROBE
-    decision note for the same phenomenon). At real scale w must grow
-    ~log2(n) to hold bucket sizes constant, which real clustered
-    embeddings tolerate (their neighbor q is far higher); re-tune with
-    the occupancy probe (bucket sizes ARE the quadratic early warning)
-    and the recall monitors (ivf_recall_eval, the planted-pair tests).
-    The oracle replicates the identical deterministic bucketing, so the
-    two engines agree pair-for-pair."""
+    BAND WIDTH IS A FUNCTION OF CORPUS SIZE (r14; closes the r13
+    constraint): under fixed w=4 the 256-key band space made candidate
+    volume Σ nb·(nb-1)/2 quadratic — tools/lsh_occupancy_probe.py
+    measured 2.1e6 / 2.1e8 / 1.9e9 pairs at 1×/10×/30×. The shared
+    ``lsh_corpus_bands`` relation now derives w = ceil(log2(ceil(n/128)))
+    (clamped to [4, 16]) from the corpus row count in BOTH engines —
+    Python via a parquet-footer metadata read, the oracle via a 1-row
+    COUNT(*) params CTE, both through the same pure-integer bit-length
+    formula — holding expected bucket size ≤ 128 and candidate volume
+    O(n): re-measured 2.1e6 / 7.4e6 / 3.2e7 at 1×/10×/30× (w = 4/8/9),
+    pinned by the linearity property test. Every test SF stays in the
+    w=4 floor (n ≤ 2000), so the planted-pair recall monitors are
+    unchanged; at production similarity (cos ≥ 0.9, q ≥ 0.86) the wider
+    bands keep recall ≥ 0.9 per the S-curve. Above n ≈ 128·2^16 the
+    plane budget (n_planes) is the next knob — see the vectors.py band
+    note. The oracle replicates the identical deterministic bucketing,
+    so the two engines agree pair-for-pair (verified at 10×, w=8)."""
     from ..functions import cosine
     from .vectors import lsh_corpus_bands
     e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")

@@ -51,6 +51,12 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     # here in the SAME commit as each plan/oracle change.
     "events_power_users_pareto",  # events.py: zero-total share guard
     "key_skew_profile",           # scale.py: zero-total share guard
+    # corpus-size-adaptive LSH band width (VERDICT r13 item 3): the
+    # shared lsh_corpus_bands relation + oracle CTE changed for every
+    # LSH consumer
+    "embedding_near_dup",
+    "lsh_bucket_ann",
+    "lsh_pair_distance_histogram",
 )
 
 _HISTORY_PATH = Path(__file__).with_name("checked_history.json")

@@ -85,19 +85,77 @@ ORDER BY query_id, rk
 # any random state: plane p's weight for dimension d is +1/-1 from a bit
 # of md5(p:d) — deterministic in both engines → oracle-checkable.
 #
-# 64 planes split into L=16 tables of w=4 bits. A pair whose angular
-# agreement is q = 1 - θ/π collides in ≥1 table with prob 1-(1-q^w)^L:
-# the test corpus's planted neighbors sit at cos≈0.45-0.6 (q≈0.65-0.70)
-# → recall ≈0.95-0.99, while the ~0.37-cos background (q≈0.62) is mostly
-# pruned. For a production near-dup workload (cos ≥ 0.9, q ≥ 0.86) the
-# right operating point is wider bands and fewer tables (w=16, L=4-8 →
-# 65536 buckets/table); w and L are explicit parameters — the S-curve
-# 1-(1-q^w)^L is the tuning contract, the plan shape does not change.
+# 64 planes split into L = 64//w tables of w bits each, where the band
+# width w is a FUNCTION OF CORPUS SIZE (r14; VERDICT r13 item 3). A pair
+# whose angular agreement is q = 1 - θ/π collides in ≥1 table with prob
+# 1-(1-q^w)^L: at the small-corpus floor w=4, L=16, the test corpus's
+# planted neighbors (cos≈0.45-0.6, q≈0.65-0.70) land at recall
+# ≈0.95-0.99 while the ~0.37-cos background is mostly pruned.
+#
+# WHY w MUST GROW WITH n (r13, measured): a fixed band space of
+# 2^w·L keys makes expected bucket size n/2^w — and the banded
+# self-join's candidate volume Σ nb·(nb-1)/2 ≈ n²/2^(w+1) per table —
+# QUADRATIC in n (tools/lsh_occupancy_probe.py: 2.1e6 / 2.1e8 / 1.9e9
+# candidate pairs at 1×/10×/30× under fixed w=4). Holding expected
+# bucket size at _BUCKET_TARGET instead gives w = ceil(log2(n/B)):
+# candidates ≈ L·n·B/2 = O(n). The width is derived from the corpus
+# row count by BOTH engines (Python: parquet-footer count, a
+# metadata-only read even at 100 TB; oracle SQL: COUNT(*) in a 1-row
+# params CTE) through the same pure-integer formula, so band keys agree
+# bucket-for-bucket. Recall trade: wider bands need higher agreement
+# (S-curve 1-(1-q^w)^L) — fine for production near-dup (cos ≥ 0.9,
+# q ≥ 0.86 → recall 0.94 at w=8, L=8), while THIS fixture's low-q
+# planted pairs keep w=4 at every test SF (n ≤ 2000 → floor). Above
+# n = B·2^_MAX_BAND_W (~8.4M at the defaults) the plane budget itself
+# must grow — n_planes is the explicit next knob; the occupancy probe
+# and the recall monitors (minhash_recall_eval, ivf_recall_eval) are
+# the re-tuning instruments.
 
 _N_PLANES = 64
-_BAND_W = 4
-_N_TABLES = _N_PLANES // _BAND_W  # 16
+_BAND_W = 4            # MINIMUM width — the small-corpus recall floor
+_MAX_BAND_W = 16       # keeps L = 64//w ≥ 4 tables on one 64-plane sig
+_BUCKET_TARGET = 128   # expected-bucket-size bound the width defends
+_N_TABLES = _N_PLANES // _BAND_W  # 16 — table count in the w=4 regime
 _EMB_DIM = 64
+
+
+def adaptive_band_width(n: int, target: int = _BUCKET_TARGET,
+                        min_w: int = _BAND_W,
+                        max_w: int = _MAX_BAND_W) -> int:
+    """Smallest w with expected bucket size n/2^w ≤ target, clamped to
+    [min_w, max_w] — pure-integer ceil(log2(ceil(n/target))) via
+    bit_length so Python and the oracle SQL (LENGTH(BIN(...))) agree
+    exactly at every n, with no float-log boundary risk."""
+    m = (max(n, 1) + target - 1) // target
+    return min(max_w, max(min_w, (m - 1).bit_length()))
+
+
+def lsh_params(n: int) -> tuple[int, int]:
+    """(band_w, n_tables) for a corpus of n vectors: adaptive width over
+    the fixed 64-plane signature; tables are the full non-overlapping
+    split L = 64 // w."""
+    w = adaptive_band_width(n)
+    return w, _N_PLANES // w
+
+
+def corpus_vec_count(sf_dir: str) -> int:
+    """Embedding corpus row count from parquet FOOTER metadata only —
+    no Spark action, no data read (the no-driver-materialization gate
+    stays honest: this is the same metadata a NumRows pushdown serves).
+    Handles both a single file and a directory of part files."""
+    import os
+
+    import pyarrow.parquet as pq
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    if os.path.isdir(path):
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    total += pq.ParquetFile(
+                        os.path.join(root, f)).metadata.num_rows
+        return total
+    return pq.ParquetFile(path).metadata.num_rows
 
 
 def plane_matrix(n_planes: int = _N_PLANES, dim: int = _EMB_DIM) -> list[list[float]]:
@@ -170,11 +228,15 @@ def lsh_corpus_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, "lsh_bands", sf_dir)
     bands = _LSH_BANDS_MEMO.get(key)
     if bands is None:
+        # corpus-size-adaptive banding (r14): width from the parquet
+        # footer count — the oracle derives the SAME w from COUNT(*)
+        w, n_tables = lsh_params(corpus_vec_count(sf_dir))
         e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
         bands = e.select(
             "vec_id",
             F.explode(lsh_band_keys(lsh_signature(F.col("embedding"),
-                                                  plane_matrix())))
+                                                  plane_matrix()),
+                                    n_tables=n_tables, band_w=w))
             .alias("band_key")).persist()
         _LSH_BANDS_MEMO[key] = bands
     return bands
@@ -218,12 +280,23 @@ def lsh_bucket_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def lsh_bands_cte_sql(planes: list[list[float]] | None = None,
-                      n_tables: int = _N_TABLES, band_w: int = _BAND_W) -> str:
+def lsh_bands_cte_sql(planes: list[list[float]] | None = None) -> str:
     """Shared oracle CTEs: per-vector LSH band keys, identical to the
-    Spark side (same md5-derived planes, same band slicing)."""
+    Spark side (same md5-derived planes, same band slicing). The band
+    width is corpus-size-adaptive (r14): the 1-row params CTE computes
+    w = clamp(min_w, max_w, ceil(log2(ceil(n / target)))) from COUNT(*)
+    with the same pure-integer bit-length formula as
+    ``adaptive_band_width`` — LENGTH(BIN(m-1)) == (m-1).bit_length()
+    for m ≥ 2, and the min_w clamp absorbs the m=1 edge where BIN(0)
+    is '0' (length 1) but bit_length(0) is 0."""
     planes = planes or plane_matrix()
     return f"""
+params AS (
+  SELECT LEAST({_MAX_BAND_W}, GREATEST({_BAND_W},
+           LENGTH(BIN((GREATEST(COUNT(*), 1) + {_BUCKET_TARGET - 1})
+                      // {_BUCKET_TARGET} - 1)))) AS w
+  FROM embeddings
+),
 tagged AS (
   SELECT vec_id, embedding::DOUBLE[] AS emb,
          array_to_string(list_transform({_planes_sql_literal(planes)},
@@ -233,8 +306,10 @@ tagged AS (
 ),
 bands AS (
   SELECT vec_id, emb,
-         i::INT || ':' || substr(sig, i * {band_w} + 1, {band_w}) AS band_key
-  FROM tagged, UNNEST(range(0, {n_tables})) AS u(i)
+         i::INT || ':' || substr(sig, i * w + 1, w) AS band_key
+  FROM tagged, params,
+       UNNEST(range(0, {_N_PLANES // _BAND_W})) AS u(i)
+  WHERE i < {_N_PLANES} // w
 )"""
 
 
@@ -912,15 +987,18 @@ SPECS.append(
 # consecutive form samples exactly Σ(nb-1) ≈ n·tables pairs — linear by
 # construction, deterministic, and it still sees every bucket in
 # proportion to its occupancy, which is what the monitor measures.
+# (r14: the band space itself is now corpus-size-adaptive — see the
+# band note above lsh_params — so the underlying bucket sizes stay
+# ≤ ~_BUCKET_TARGET and the window partitions below stay bounded.)
 # Distances are exact e12-integer squared-L2 over e6-quantized vectors
 # (the kmeans_lloyd_2iter idiom — zero floats, bit-equal across
 # engines; 64 dims × (3.2e7)² ≈ 6.6e16 per pair, inside BIGINT), and
 # buckets are the DECIMAL DIGIT COUNT of the distance (string length of
 # a BIGINT — the events_interarrival_histogram idiom; floor(log10) via
 # doubles can mis-round at powers of ten). Output ≤ ~18 rows. Window
-# note: the per-bucket sort is n log n total, but with 2^w keys each
-# window partition holds ~n/2^w rows — at real scale widen the bands
-# (w ~ log2 n) before leaning on this plan, same as the near-dup op.
+# note: the per-bucket sort is n log n total, and since r14 the band
+# width is corpus-size-adaptive (see the band note above lsh_params),
+# each window partition holds ~_BUCKET_TARGET rows at any n.
 
 
 def lsh_pair_distance_histogram(spark: SparkSession,

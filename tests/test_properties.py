@@ -1326,9 +1326,11 @@ def test_lsh_dist_histogram_conserves_pairs(spark, sf_smoke_dir):
     assert all(1 <= r.lead_digit <= 9 or
                (r.lead_digit == 0 and r.dist_digits == 1) for r in out)
     # the linear form's pair count is bounded by n x tables (the whole
-    # point of the r13 rewrite away from the quadratic bucket self-join)
+    # point of the r13 rewrite away from the quadratic bucket self-join);
+    # tables = 64 // w with the r14 corpus-size-adaptive width
+    from mapreduce_4sl08_spark.plans.vectors import lsh_params
     n_vec = load_table(spark, sf_smoke_dir, "embeddings").count()
-    assert n_pairs <= n_vec * 16
+    assert n_pairs <= n_vec * lsh_params(n_vec)[1]
 
 
 def test_ivf_recall_consistent_with_sources(spark, sf_smoke_dir):
@@ -1354,3 +1356,76 @@ def test_cross_source_matrix_conserves_pairs(spark, sf_smoke_dir):
     n_pairs = QUERIES["dedup_ngram_jaccard"].fn(spark, sf_smoke_dir).count()
     assert sum(r.n_pairs for r in out) == n_pairs
     assert all(r.source_a <= r.source_b for r in out)
+
+
+def test_adaptive_band_width_cross_engine_and_bounds():
+    """The r14 corpus-size-adaptive LSH width: (1) the pure-integer
+    Python formula and the oracle SQL's LENGTH(BIN(...)) twin agree at
+    every n (the cross-engine contract — a 1-off w disagreement would
+    bucket the two engines differently and fail the driver loudly);
+    (2) the width actually defends the bucket target: below the max-w
+    clamp, expected bucket size n/2^w ≤ _BUCKET_TARGET; (3) width is
+    monotone in n and every test SF stays in the w=4 recall floor."""
+    import duckdb
+
+    from mapreduce_4sl08_spark.plans.vectors import (
+        _BUCKET_TARGET, _MAX_BAND_W, adaptive_band_width, lsh_params)
+    con = duckdb.connect()
+    ns = [0, 1, 127, 128, 129, 500, 2000, 2048, 2049, 5000, 15000,
+          20000, 60000, 200000, 128 * 2 ** 16, 10 ** 8]
+    prev_w = 0
+    for n in ns:
+        sql_w = con.execute(
+            f"SELECT LEAST({_MAX_BAND_W}, GREATEST(4, LENGTH(BIN("
+            f"(GREATEST({n}, 1) + {_BUCKET_TARGET - 1})"
+            f" // {_BUCKET_TARGET} - 1))))").fetchone()[0]
+        w = adaptive_band_width(n)
+        assert w == sql_w, f"n={n}: python w={w} != sql w={sql_w}"
+        if w < _MAX_BAND_W:
+            assert max(n, 1) <= _BUCKET_TARGET * 2 ** w
+        assert w >= prev_w, f"width not monotone at n={n}"
+        prev_w = w
+        # tables partition the 64-plane signature without overlap
+        bw, nt = lsh_params(n)
+        assert bw * nt <= 64 and nt >= 4
+    # every shipped test SF sits in the w=4 floor (recall monitors
+    # depend on the 16-table operating point at small n)
+    for n in (500, 2000):
+        assert adaptive_band_width(n) == 4
+
+
+def test_near_dup_candidates_linear_in_corpus(spark, tmp_path):
+    """VERDICT r13 item 3 done-condition: the near-dup op's OWN
+    candidate volume stays O(n) as the corpus grows. Builds 10x/30x
+    fixtures from sf0.001 (injective embedding copies) and counts the
+    exact distinct candidate set of embedding_near_dup's band
+    self-join: each scale must respect the analytic n * L * bucket
+    target bound, and candidates-per-vector may not grow more than 2x
+    from 10x to 30x (the fixed-w=4 quadratic gave exactly 3x here —
+    pairs ~ n^2 / 2^w makes per-vector volume track n)."""
+    import subprocess
+    import sys as _sys
+
+    from mapreduce_4sl08_spark.plans.vectors import (
+        _BUCKET_TARGET, corpus_vec_count, lsh_corpus_bands, lsh_params)
+    per_vec = {}
+    for copies in (10, 30):
+        out = str(tmp_path / f"x{copies}")
+        subprocess.run(
+            [_sys.executable, "tools/make_scale_fixture.py",
+             "/root/testdata/sf0.001", out, str(copies)],
+            check=True, capture_output=True, cwd="/root/repo")
+        n = corpus_vec_count(out)
+        assert n == 500 * copies
+        w, n_tables = lsh_params(n)
+        assert w > 4, "scale fixture must leave the small-corpus floor"
+        bands = lsh_corpus_bands(spark, out)
+        a, b = bands.alias("a"), bands.alias("b")
+        cand = (a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
+                       & (F.col("a.vec_id") < F.col("b.vec_id")))
+                .select("a.vec_id", "b.vec_id").distinct().count())
+        assert cand <= n * n_tables * _BUCKET_TARGET, \
+            f"{copies}x: {cand} candidates exceed the linear bound"
+        per_vec[copies] = cand / n
+    assert per_vec[30] <= 2 * per_vec[10], \
+        f"candidate volume superlinear: {per_vec}"

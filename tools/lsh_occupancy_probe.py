@@ -3,9 +3,11 @@
 band buckets, the largest bucket, and the exact candidate-pair upper
 bound Σ nb·(nb-1)/2 over buckets — computed from bucket SIZES, never by
 materializing the pair join. This is the cheap way to see whether the
-banded self-join is about to go quadratic (the 4-bit band space is
-fixed at 16 buckets/table, so bucket sizes — and the pair bound —
-grow ~linearly with corpus size; pairs grow ~n²/2^w per table).
+banded self-join is about to go quadratic. r13 measured the fixed-w=4
+band space at 2.1e6 / 2.1e8 / 1.9e9 pairs at 1×/10×/30× (quadratic);
+the r14 corpus-size-adaptive width (vectors.adaptive_band_width) holds
+the same probe at 2.1e6 / 7.4e6 / 3.2e7 (w = 4/8/9 — O(n)). Re-run
+after any banding change; bucket sizes ARE the quadratic early warning.
 
     python tools/lsh_occupancy_probe.py [sf_dir ...]
 """
