@@ -57,6 +57,12 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     "embedding_near_dup",
     "lsh_bucket_ann",
     "lsh_pair_distance_histogram",
+    # MinHash production operating point (VERDICT r13 item 5): recall
+    # eval now reports fixture_t04 + production_t08 rows; the minhash
+    # SQL generator was parameterized (dedup_minhash_lsh text is
+    # byte-identical at the defaults but must be re-proven with it)
+    "minhash_recall_eval",
+    "dedup_minhash_lsh",
 )
 
 _HISTORY_PATH = Path(__file__).with_name("checked_history.json")

@@ -1076,16 +1076,28 @@ def test_dim_stats_bounds_and_counts(spark, sf_smoke_dir):
 
 
 def test_minhash_recall_eval_consistent_with_sources(spark, sf_smoke_dir):
-    """The eval row must agree with the two source pipelines it joins,
-    and recall is the exact floor ratio."""
-    row = QUERIES["minhash_recall_eval"].fn(spark, sf_smoke_dir).collect()[0]
-    n_exact = QUERIES["dedup_ngram_jaccard"].fn(spark, sf_smoke_dir).count()
+    """Each operating-point row must agree with the source pipelines it
+    joins, and recall is the exact floor ratio. The r14 production_t08
+    row (16 perms, 4x4 bands, J>=0.8) must hold recall in envelope —
+    the S-curve at j>=0.8 collides with prob >= 0.88 per pair, and the
+    planted dups sit well above threshold (measured 1.0 on this
+    fixture; pinned >= 0.85 so the contract survives corpus tweaks)."""
+    rows = {r.op_point: r for r in
+            QUERIES["minhash_recall_eval"].fn(spark, sf_smoke_dir).collect()}
+    assert set(rows) == {"fixture_t04", "production_t08"}
+    exact = QUERIES["dedup_ngram_jaccard"].fn(spark, sf_smoke_dir)
+    n_exact = exact.count()
     n_lsh = QUERIES["dedup_minhash_lsh"].fn(spark, sf_smoke_dir).count()
-    assert row.n_exact == n_exact
-    assert row.n_lsh == n_lsh
-    assert row.n_common <= min(n_exact, n_lsh)
-    if n_exact:
-        assert row.recall_e6 == row.n_common * 1_000_000 // n_exact
+    t04 = rows["fixture_t04"]
+    assert t04.n_exact == n_exact
+    assert t04.n_lsh == n_lsh
+    t08 = rows["production_t08"]
+    assert t08.n_exact == exact.filter(F.col("jaccard") >= 0.8).count()
+    for row in rows.values():
+        assert row.n_common <= min(row.n_exact, row.n_lsh)
+        if row.n_exact:
+            assert row.recall_e6 == row.n_common * 1_000_000 // row.n_exact
+            assert row.recall_e6 >= 850_000
 
 
 def test_new_vs_returning_conserves_daily_actives(spark, sf_smoke_dir):
