@@ -412,29 +412,35 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors are near-orthogonal, so only planted outlier pairs match).
 
     Scale shape: candidate pairs come from the multi-table hyperplane-LSH
-    band join shared with ``lsh_bucket_ann`` (L = 64//w tables of w-bit
+    band join shared with ``lsh_bucket_ann`` (L = 16 tables of w-bit
     bands — a pair with angular agreement q collides with prob
     1-(1-q^w)^L, ≈0.95+ at the planted cos≥0.45 regime under the
     small-corpus floor w=4), distinct'd, then exact-verified by cosine —
     an equi-join plan, never the O(n²) cross join.
 
-    BAND WIDTH IS A FUNCTION OF CORPUS SIZE (r14; closes the r13
-    constraint): under fixed w=4 the 256-key band space made candidate
-    volume Σ nb·(nb-1)/2 quadratic — tools/lsh_occupancy_probe.py
-    measured 2.1e6 / 2.1e8 / 1.9e9 pairs at 1×/10×/30×. The shared
-    ``lsh_corpus_bands`` relation now derives w = ceil(log2(ceil(n/128)))
-    (clamped to [4, 16]) from the corpus row count in BOTH engines —
-    Python via a parquet-footer metadata read, the oracle via a 1-row
-    COUNT(*) params CTE, both through the same pure-integer bit-length
-    formula — holding expected bucket size ≤ 128 and candidate volume
-    O(n): re-measured 2.1e6 / 7.4e6 / 3.2e7 at 1×/10×/30× (w = 4/8/9),
-    pinned by the linearity property test. Every test SF stays in the
-    w=4 floor (n ≤ 2000), so the planted-pair recall monitors are
-    unchanged; at production similarity (cos ≥ 0.9, q ≥ 0.86) the wider
-    bands keep recall ≥ 0.9 per the S-curve. Above n ≈ 128·2^16 the
-    plane budget (n_planes) is the next knob — see the vectors.py band
-    note. The oracle replicates the identical deterministic bucketing,
-    so the two engines agree pair-for-pair (verified at 10×, w=8)."""
+    BAND WIDTH IS A FUNCTION OF CORPUS SIZE, TABLE COUNT IS NOT (r14;
+    closes the r13 constraint): under fixed w=4 the 256-key band space
+    made candidate volume Σ nb·(nb-1)/2 quadratic —
+    tools/lsh_occupancy_probe.py measured 2.1e6 / 2.1e8 / 1.9e9 pairs
+    at 1×/10×/30×. The shared ``lsh_corpus_bands`` relation now derives
+    w = ceil(log2(ceil(n/128))) (clamped to [4, 16]) from the corpus
+    row count in BOTH engines — Python via a parquet-footer metadata
+    read, the oracle via a 1-row COUNT(*) params CTE, both through the
+    same pure-integer bit-length formula — while the signature budget
+    grows to w·16 planes so L (where recall lives — see the vectors.py
+    band note for the measured L-shrink cliff) stays constant. Result:
+    expected bucket size ≤ 128 per table and candidate volume O(n)
+    with ~constant per-vector cost — occupancy pair bound re-measured
+    2.1e6 / 1.5e7 / 7.1e7 / 2.2e8 at 1×/10×/30×/100× (w = 4/8/9/11,
+    ~1000 candidates/vec throughout), pinned by the linearity property
+    test; measured recall tracks the S-curve to 3 decimals
+    (logs/lsh_recall_at_scale_r14.txt). Every test SF stays in the
+    w=4 floor (n ≤ 2000, 64 planes), so the planted-pair recall
+    monitors are unchanged; at production similarity (cos ≥ 0.9,
+    q ≥ 0.86) the constant-L S-curve holds recall ≈ 0.96 at every n
+    below the w clamp. The oracle replicates the identical
+    deterministic bucketing, so the two engines agree pair-for-pair
+    (verified at 10×: w=8, 128 planes)."""
     from ..functions import cosine
     from .vectors import lsh_corpus_bands
     e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")

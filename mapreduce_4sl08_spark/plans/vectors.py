@@ -85,12 +85,13 @@ ORDER BY query_id, rk
 # any random state: plane p's weight for dimension d is +1/-1 from a bit
 # of md5(p:d) — deterministic in both engines → oracle-checkable.
 #
-# 64 planes split into L = 64//w tables of w bits each, where the band
-# width w is a FUNCTION OF CORPUS SIZE (r14; VERDICT r13 item 3). A pair
-# whose angular agreement is q = 1 - θ/π collides in ≥1 table with prob
-# 1-(1-q^w)^L: at the small-corpus floor w=4, L=16, the test corpus's
-# planted neighbors (cos≈0.45-0.6, q≈0.65-0.70) land at recall
-# ≈0.95-0.99 while the ~0.37-cos background is mostly pruned.
+# L = _N_TABLES tables of w bits each, where the band width w is a
+# FUNCTION OF CORPUS SIZE and the signature plane budget w·L grows with
+# it (r14; VERDICT r13 item 3). A pair whose angular agreement is
+# q = 1 - θ/π collides in ≥1 table with prob 1-(1-q^w)^L: at the
+# small-corpus floor w=4 (w·L = 64 planes), the test corpus's planted
+# neighbors (cos≈0.45-0.6, q≈0.65-0.70) land at recall ≈0.95-0.99
+# while the ~0.37-cos background is mostly pruned.
 #
 # WHY w MUST GROW WITH n (r13, measured): a fixed band space of
 # 2^w·L keys makes expected bucket size n/2^w — and the banded
@@ -98,24 +99,36 @@ ORDER BY query_id, rk
 # QUADRATIC in n (tools/lsh_occupancy_probe.py: 2.1e6 / 2.1e8 / 1.9e9
 # candidate pairs at 1×/10×/30× under fixed w=4). Holding expected
 # bucket size at _BUCKET_TARGET instead gives w = ceil(log2(n/B)):
-# candidates ≈ L·n·B/2 = O(n). The width is derived from the corpus
-# row count by BOTH engines (Python: parquet-footer count, a
-# metadata-only read even at 100 TB; oracle SQL: COUNT(*) in a 1-row
-# params CTE) through the same pure-integer formula, so band keys agree
-# bucket-for-bucket. Recall trade: wider bands need higher agreement
-# (S-curve 1-(1-q^w)^L) — fine for production near-dup (cos ≥ 0.9,
-# q ≥ 0.86 → recall 0.94 at w=8, L=8), while THIS fixture's low-q
-# planted pairs keep w=4 at every test SF (n ≤ 2000 → floor). Above
-# n = B·2^_MAX_BAND_W (~8.4M at the defaults) the plane budget itself
-# must grow — n_planes is the explicit next knob; the occupancy probe
-# and the recall monitors (minhash_recall_eval, ivf_recall_eval) are
-# the re-tuning instruments.
+# candidates ≈ L·n·B/2 = O(n) with CONSTANT per-vector volume.
+#
+# WHY L MUST NOT SHRINK AS w GROWS (r14, measured): the first adaptive
+# cut kept a fixed 64-plane budget and split it L = 64//w ways; the
+# recall-at-scale probe (tools/lsh_recall_at_scale.py) showed measured
+# recall tracking the S-curve to 3 decimals — and the S-curve says
+# w=11, L=5 gives a PRODUCTION pair (cos 0.9, q 0.856) only
+# 1-(1-q^11)^5 ≈ 0.63. Recall lives in L: holding L = 16 and growing
+# the signature to w·L planes keeps that same pair at ≈ 0.96 at every
+# n below the w clamp, while per-vector candidate volume stays
+# ≈ L·B/2, independent of n. Signature cost is one dim×(w·L) matmul
+# per vector — 256 planes at the clamp, still a single Arrow-batched
+# pass. The width is derived from the corpus row count by BOTH engines
+# (Python: parquet-footer count, a metadata-only read even at 100 TB;
+# oracle SQL: COUNT(*) in a 1-row params CTE) through the same
+# pure-integer formula, and the md5 plane construction is independent
+# of the total plane count, so plane p is the same vector at every
+# operating point and band keys agree bucket-for-bucket. THIS fixture's
+# low-q planted pairs (q ≤ 0.70) still lose recall at wide w — that is
+# the honest S-curve price on near-threshold pairs, recorded in
+# logs/lsh_recall_at_scale_r14.txt; production near-dup similarity
+# (q ≥ 0.86) is what the design point defends. Above the w=16 clamp
+# (n ≈ 8.4M·B/128) grow L — the parameter exists; the occupancy probe
+# and the recall monitors are the re-tuning instruments.
 
-_N_PLANES = 64
+_N_PLANES = 64         # plane count in the w=4 floor regime (w·L)
 _BAND_W = 4            # MINIMUM width — the small-corpus recall floor
-_MAX_BAND_W = 16       # keeps L = 64//w ≥ 4 tables on one 64-plane sig
+_MAX_BAND_W = 16       # clamp: 2^16 buckets/table, 256-plane signature
 _BUCKET_TARGET = 128   # expected-bucket-size bound the width defends
-_N_TABLES = _N_PLANES // _BAND_W  # 16 — table count in the w=4 regime
+_N_TABLES = 16         # L — constant; recall lives here
 _EMB_DIM = 64
 
 
@@ -131,11 +144,10 @@ def adaptive_band_width(n: int, target: int = _BUCKET_TARGET,
 
 
 def lsh_params(n: int) -> tuple[int, int]:
-    """(band_w, n_tables) for a corpus of n vectors: adaptive width over
-    the fixed 64-plane signature; tables are the full non-overlapping
-    split L = 64 // w."""
-    w = adaptive_band_width(n)
-    return w, _N_PLANES // w
+    """(band_w, n_tables) for a corpus of n vectors: adaptive width,
+    CONSTANT table count — the signature grows to band_w · n_tables
+    planes (64 at the w=4 floor, 256 at the w=16 clamp)."""
+    return adaptive_band_width(n), _N_TABLES
 
 
 def corpus_vec_count(sf_dir: str) -> int:
@@ -229,14 +241,17 @@ def lsh_corpus_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = _LSH_BANDS_MEMO.get(key)
     if bands is None:
         # corpus-size-adaptive banding (r14): width from the parquet
-        # footer count — the oracle derives the SAME w from COUNT(*)
+        # footer count — the oracle derives the SAME w from COUNT(*);
+        # the signature grows to w·L planes so table count (= recall)
+        # is independent of corpus size
         w, n_tables = lsh_params(corpus_vec_count(sf_dir))
         e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
         bands = e.select(
             "vec_id",
-            F.explode(lsh_band_keys(lsh_signature(F.col("embedding"),
-                                                  plane_matrix()),
-                                    n_tables=n_tables, band_w=w))
+            F.explode(lsh_band_keys(
+                lsh_signature(F.col("embedding"),
+                              plane_matrix(n_planes=w * n_tables)),
+                n_tables=n_tables, band_w=w))
             .alias("band_key")).persist()
         _LSH_BANDS_MEMO[key] = bands
     return bands
@@ -288,8 +303,12 @@ def lsh_bands_cte_sql(planes: list[list[float]] | None = None) -> str:
     with the same pure-integer bit-length formula as
     ``adaptive_band_width`` — LENGTH(BIN(m-1)) == (m-1).bit_length()
     for m ≥ 2, and the min_w clamp absorbs the m=1 edge where BIN(0)
-    is '0' (length 1) but bit_length(0) is 0."""
-    planes = planes or plane_matrix()
+    is '0' (length 1) but bit_length(0) is 0. The plane literal holds
+    the full {max_w}·L matrix and the signature slices the first w·L
+    entries — the md5 plane construction is count-independent, so
+    plane p here is the same vector Python builds at any operating
+    point."""
+    planes = planes or plane_matrix(n_planes=_MAX_BAND_W * _N_TABLES)
     return f"""
 params AS (
   SELECT LEAST({_MAX_BAND_W}, GREATEST({_BAND_W},
@@ -299,17 +318,17 @@ params AS (
 ),
 tagged AS (
   SELECT vec_id, embedding::DOUBLE[] AS emb,
-         array_to_string(list_transform({_planes_sql_literal(planes)},
-                        p -> CASE WHEN list_dot_product(p, embedding::DOUBLE[]) >= 0
-                             THEN '1' ELSE '0' END), '') AS sig
-  FROM embeddings
+         array_to_string(list_transform(
+             ({_planes_sql_literal(planes)})[1 : w * {_N_TABLES}],
+             p -> CASE WHEN list_dot_product(p, embedding::DOUBLE[]) >= 0
+                  THEN '1' ELSE '0' END), '') AS sig
+  FROM embeddings, params
 ),
 bands AS (
   SELECT vec_id, emb,
          i::INT || ':' || substr(sig, i * w + 1, w) AS band_key
   FROM tagged, params,
-       UNNEST(range(0, {_N_PLANES // _BAND_W})) AS u(i)
-  WHERE i < {_N_PLANES} // w
+       UNNEST(range(0, {_N_TABLES})) AS u(i)
 )"""
 
 

@@ -1397,9 +1397,12 @@ def test_adaptive_band_width_cross_engine_and_bounds():
             assert max(n, 1) <= _BUCKET_TARGET * 2 ** w
         assert w >= prev_w, f"width not monotone at n={n}"
         prev_w = w
-        # tables partition the 64-plane signature without overlap
+        # table count is CONSTANT (recall lives in L — the r14 probe
+        # showed L = 64//w giving production pairs 0.63 recall at
+        # w=11); the signature budget w*L grows instead, capped at
+        # the 256-plane clamp
         bw, nt = lsh_params(n)
-        assert bw * nt <= 64 and nt >= 4
+        assert nt == 16 and bw * nt <= 256
     # every shipped test SF sits in the w=4 floor (recall monitors
     # depend on the 16-table operating point at small n)
     for n in (500, 2000):
@@ -1441,3 +1444,23 @@ def test_near_dup_candidates_linear_in_corpus(spark, tmp_path):
         per_vec[copies] = cand / n
     assert per_vec[30] <= 2 * per_vec[10], \
         f"candidate volume superlinear: {per_vec}"
+
+
+def test_corpus_vec_count_file_and_directory(tmp_path):
+    """corpus_vec_count must read ONLY parquet footers and must handle
+    both the fixture shape (single embeddings.parquet file) and the
+    at-scale shape (a directory of part files, nested ok) — the band
+    width derives from this count, so a miscount re-tunes the LSH."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mapreduce_4sl08_spark.plans.vectors import corpus_vec_count
+    assert corpus_vec_count("/root/testdata/sf0.001") == 500
+    d = tmp_path / "embeddings.parquet" / "sub"
+    d.mkdir(parents=True)
+    t1 = pa.table({"vec_id": pa.array([1, 2, 3], type=pa.int64())})
+    t2 = pa.table({"vec_id": pa.array([4, 5], type=pa.int64())})
+    pq.write_table(t1, tmp_path / "embeddings.parquet" / "part-0.parquet")
+    pq.write_table(t2, d / "part-1.parquet")
+    (d / "_SUCCESS").write_text("")  # non-parquet sidecars must be skipped
+    assert corpus_vec_count(str(tmp_path)) == 5
