@@ -1435,6 +1435,10 @@ def test_near_dup_candidates_linear_in_corpus(spark, tmp_path):
         w, n_tables = lsh_params(n)
         assert w > 4, "scale fixture must leave the small-corpus floor"
         bands = lsh_corpus_bands(spark, out)
+        # constant-L contract: every vector lands in exactly L = 16
+        # band rows regardless of corpus size (the signature budget
+        # grows with w instead — recall lives in L)
+        assert bands.count() == n * n_tables
         a, b = bands.alias("a"), bands.alias("b")
         cand = (a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
                        & (F.col("a.vec_id") < F.col("b.vec_id")))
