@@ -46,23 +46,17 @@ _MODULE_SPECS: list[QuerySpec] = [
 # End-of-round ritual: append the new round's names to the JSON, then
 # rewrite this tuple for the next round's changed plans.
 _ROUND_PRIORITY: tuple[str, ...] = (
-    # round 14 is a depth round (VERDICT r13 item 2: drain the r10/r11
-    # staleness tail; hold the registry cap at 168). Names are appended
-    # here in the SAME commit as each plan/oracle change.
-    "events_power_users_pareto",  # events.py: zero-total share guard
-    "key_skew_profile",           # scale.py: zero-total share guard
-    # corpus-size-adaptive LSH band width (VERDICT r13 item 3): the
-    # shared lsh_corpus_bands relation + oracle CTE changed for every
-    # LSH consumer
-    "embedding_near_dup",
-    "lsh_bucket_ann",
-    "lsh_pair_distance_histogram",
-    # MinHash production operating point (VERDICT r13 item 5): recall
-    # eval now reports fixture_t04 + production_t08 rows; the minhash
-    # SQL generator was parameterized (dedup_minhash_lsh text is
-    # byte-identical at the defaults but must be re-proven with it)
+    # round 15 is a depth round (VERDICT r14 items 2-7: production-band
+    # LSH recall, above-clamp L derivation, >16-perm MinHash, the
+    # zero-denominator sweep; cap held at 168). Names are appended here
+    # in the SAME commit as each plan/oracle change.
+    #
+    # ritual find: the fingerprint canonicalizer renumbered the MinHash
+    # chained-digest STRING LITERAL '#2' as if it were an expression id,
+    # making this query's fingerprint depend on the session counter
+    # state (build order). The plan itself is unchanged; the snapshot
+    # was re-minted under the fixed (?<=[\w)`])#\d+ regex.
     "minhash_recall_eval",
-    "dedup_minhash_lsh",
 )
 
 _HISTORY_PATH = Path(__file__).with_name("checked_history.json")

@@ -186,12 +186,14 @@ _PLANES = plane_matrix()
 
 
 def _make_sig_udf(planes: list[list[float]]):
-    """64-plane signature as an Arrow-batched pandas UDF: the per-row
-    work is a dense 64×64 matmul — numpy/BLAS over Arrow batches is the
-    right tool (an interpreted higher-order-function fold is ~100×
-    slower and a fully unrolled codegen expression blows up the plan;
-    both were measured before landing here). Returns the 64-char
-    '0'/'1' bitstring so band keys are plain substrings."""
+    """Hyperplane signature as an Arrow-batched pandas UDF: the per-row
+    work is a dense dim×len(planes) matmul — numpy/BLAS over Arrow
+    batches is the right tool (an interpreted higher-order-function
+    fold is ~100× slower and a fully unrolled codegen expression blows
+    up the plan; both were measured before landing here). Returns a
+    len(planes)-char '0'/'1' bitstring (w·L chars under the r14
+    adaptive width: 64 at the w=4 floor, 256 at the w=16 clamp) so
+    band keys are plain substrings."""
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import StringType
 
@@ -207,7 +209,9 @@ def _make_sig_udf(planes: list[list[float]]):
 
 
 def lsh_signature(emb, planes: list[list[float]] | None = None):
-    """Signature column: 64-char bitstring of hyperplane signs."""
+    """Signature column: len(planes)-char bitstring of hyperplane signs
+    (w·L planes under the adaptive width — 64 at the floor, 256 at the
+    clamp)."""
     return _make_sig_udf(planes or _PLANES)(emb)
 
 

@@ -1339,7 +1339,8 @@ def test_lsh_dist_histogram_conserves_pairs(spark, sf_smoke_dir):
                (r.lead_digit == 0 and r.dist_digits == 1) for r in out)
     # the linear form's pair count is bounded by n x tables (the whole
     # point of the r13 rewrite away from the quadratic bucket self-join);
-    # tables = 64 // w with the r14 corpus-size-adaptive width
+    # tables = lsh_params(n)[1] — constant L = 16 under the r14
+    # adaptive width (the plane budget grows to w*L, not L shrinking)
     from mapreduce_4sl08_spark.plans.vectors import lsh_params
     n_vec = load_table(spark, sf_smoke_dir, "embeddings").count()
     assert n_pairs <= n_vec * lsh_params(n_vec)[1]

@@ -47,10 +47,21 @@ def fingerprint(df) -> str:
     class the gate exists to catch in this self-join-heavy registry.
     First-occurrence order is a function of the plan tree alone, so the
     canonical form is stable across sessions regardless of where each
-    session's global counters started."""
+    session's global counters started.
+
+    The id pattern requires a preceding identifier char (or ')' for
+    unaliased exprs, backtick for quoted names): expression ids always
+    print attached to a name (``shingle#277``), while a STRING LITERAL
+    that happens to look like one — e.g. the MinHash chained-digest
+    suffix ``'#2'``, which the analyzed plan prints unquoted as a bare
+    ``#2`` after ``concat(shingle#277, `` — must stay literal text. A
+    bare ``#\\d+`` regex renumbered that literal, and whether it COLLIDED
+    with a real low-numbered expression id depended on the session's
+    global counter state, making r14's minhash fingerprints depend on
+    build order (found in the r15 ritual; ROUND_NOTES r15 item 1)."""
     plan = df._jdf.queryExecution().analyzed().toString()
     ids: dict[str, int] = {}
-    norm = re.sub(r"#\d+",
+    norm = re.sub(r"(?<=[\w)`])#\d+",
                   lambda m: f"#{ids.setdefault(m.group(), len(ids))}", plan)
     lam: dict[str, int] = {}
     norm = re.sub(

@@ -9,10 +9,13 @@ FUNNEL COUNTS. Done-condition: 100x funnel counts within ~3.3x of the
 
     python tools/scale_check_100x_r14.py [fixture_dir ...]
 """
+import os
 import sys
 import time
 
-REPO = __file__.rsplit("/", 2)[0]
+# abspath, not __file__.rsplit: a relative invocation like
+# `python tools/scale_check_100x_r14.py` would otherwise yield 'tools'
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 from pyspark.sql import functions as F                         # noqa: E402
