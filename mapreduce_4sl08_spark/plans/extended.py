@@ -418,7 +418,8 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     small-corpus floor w=4), distinct'd, then exact-verified by cosine —
     an equi-join plan, never the O(n²) cross join.
 
-    BAND WIDTH IS A FUNCTION OF CORPUS SIZE, TABLE COUNT IS NOT (r14;
+    BAND WIDTH IS A FUNCTION OF CORPUS SIZE; TABLE COUNT IS CONSTANT
+    BELOW THE w=16 CLAMP AND GROWS PAST IT (r14 width / r15 tables;
     closes the r13 constraint): under fixed w=4 the 256-key band space
     made candidate volume Σ nb·(nb-1)/2 quadratic —
     tools/lsh_occupancy_probe.py measured 2.1e6 / 2.1e8 / 1.9e9 pairs
@@ -438,9 +439,14 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     w=4 floor (n ≤ 2000, 64 planes), so the planted-pair recall
     monitors are unchanged; at production similarity (cos ≥ 0.9,
     q ≥ 0.86) the constant-L S-curve holds recall ≈ 0.96 at every n
-    below the w clamp. The oracle replicates the identical
-    deterministic bucketing, so the two engines agree pair-for-pair
-    (verified at 10×: w=8, 128 planes)."""
+    below the w clamp; ABOVE it (n > 2^16·128 ≈ 8.4M vectors) L grows
+    by 8 tables per corpus doubling — each step halves the design
+    point's miss probability (see the vectors.py above-clamp note).
+    Sign dots are FLOOR(x·1e6)-quantized in both engines (r15) so no
+    near-zero hyperplane dot can flip sign on summation order alone.
+    The oracle replicates the identical deterministic bucketing, so
+    the two engines agree pair-for-pair (verified at 10×: w=8, 128
+    planes)."""
     from ..functions import cosine
     from .vectors import lsh_corpus_bands
     e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")

@@ -57,6 +57,14 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     # state (build order). The plan itself is unchanged; the snapshot
     # was re-minted under the fixed (?<=[\w)`])#\d+ regex.
     "minhash_recall_eval",
+    # r15 LSH changes (VERDICT r14 item 3 + ADVICE item 4): L grows +8
+    # per corpus doubling above the w=16 clamp (both engines derive
+    # (w, L) from the corpus count), and hyperplane sign dots are now
+    # FLOOR(x·1e6)-quantized in both engines (summation-order-proof) —
+    # every lsh_corpus_bands consumer must be driver re-proven
+    "embedding_near_dup",
+    "lsh_bucket_ann",
+    "lsh_pair_distance_histogram",
 )
 
 _HISTORY_PATH = Path(__file__).with_name("checked_history.json")

@@ -120,34 +120,74 @@ ORDER BY query_id, rk
 # low-q planted pairs (q ≤ 0.70) still lose recall at wide w — that is
 # the honest S-curve price on near-threshold pairs, recorded in
 # logs/lsh_recall_at_scale_r14.txt; production near-dup similarity
-# (q ≥ 0.86) is what the design point defends. Above the w=16 clamp
-# (n ≈ 8.4M·B/128) grow L — the parameter exists; the occupancy probe
-# and the recall monitors are the re-tuning instruments.
+# (q ≥ 0.86) is what the design point defends.
+#
+# ABOVE THE w=16 CLAMP (r15; VERDICT r14 item 3): w stops growing (the
+# band-key space is capped at 2^16/table), so expected bucket size —
+# and with it per-vector verify cost — inevitably grows as n/2^16.
+# Recall at fixed (w=16, L=16) would stay frozen at its clamp-edge
+# value (1-(1-q^16)^16 ≈ 0.754 for the cos-0.9 design point, q=0.856).
+# The r15 rule spends part of that unavoidable extra verify work on
+# recall instead: L grows by _TABLES_PER_DOUBLING = 8 tables per
+# corpus DOUBLING past the clamp, i.e. per unit of unclamped width
+# beyond 16. Eight is not arbitrary — (1-q^16)^8 = 0.9162^8 ≈ 0.497,
+# so each doubling of n HALVES the design point's miss probability:
+# recall 0.754 at the clamp edge (n = 2^16·B ≈ 8.39M vectors), then
+# 0.878 / 0.939 / 0.970 / 0.985 at 2×/4×/8×/16× that. Per-vector
+# candidate volume above the clamp is L(n)·n/2^16 — the linear-in-n
+# factor is forced by the capped key space; the L(n) factor is the
+# explicit recall knob, derived by BOTH engines from the same
+# pure-integer formula (Python bit_length == SQL LENGTH(BIN(·))), so
+# band keys and table counts agree cross-engine at every n. Analytic
+# table past the clamp: tools/lsh_occupancy_probe.py.
 
 _N_PLANES = 64         # plane count in the w=4 floor regime (w·L)
 _BAND_W = 4            # MINIMUM width — the small-corpus recall floor
-_MAX_BAND_W = 16       # clamp: 2^16 buckets/table, 256-plane signature
+_MAX_BAND_W = 16       # clamp: 2^16 buckets/table
 _BUCKET_TARGET = 128   # expected-bucket-size bound the width defends
-_N_TABLES = 16         # L — constant; recall lives here
+_N_TABLES = 16         # L at/below the clamp; recall lives here
+_TABLES_PER_DOUBLING = 8   # ΔL per corpus doubling past the clamp —
+                           # halves the cos-0.9 miss prob per doubling
 _EMB_DIM = 64
+
+
+def unclamped_band_width(n: int, target: int = _BUCKET_TARGET,
+                         min_w: int = _BAND_W) -> int:
+    """ceil(log2(ceil(n/target))) with only the small-corpus floor —
+    the width the occupancy bound WANTS before the 2^16 key-space
+    clamp; its excess over _MAX_BAND_W counts corpus doublings past
+    the clamp (the above-clamp L schedule's input). Pure-integer
+    bit_length so Python and the oracle SQL (LENGTH(BIN(...))) agree
+    exactly at every n, with no float-log boundary risk."""
+    m = (max(n, 1) + target - 1) // target
+    return max(min_w, (m - 1).bit_length())
 
 
 def adaptive_band_width(n: int, target: int = _BUCKET_TARGET,
                         min_w: int = _BAND_W,
                         max_w: int = _MAX_BAND_W) -> int:
     """Smallest w with expected bucket size n/2^w ≤ target, clamped to
-    [min_w, max_w] — pure-integer ceil(log2(ceil(n/target))) via
-    bit_length so Python and the oracle SQL (LENGTH(BIN(...))) agree
-    exactly at every n, with no float-log boundary risk."""
-    m = (max(n, 1) + target - 1) // target
-    return min(max_w, max(min_w, (m - 1).bit_length()))
+    [min_w, max_w]."""
+    return min(max_w, unclamped_band_width(n, target, min_w))
+
+
+def lsh_tables(n: int) -> int:
+    """L for a corpus of n vectors: constant _N_TABLES at/below the
+    width clamp, +_TABLES_PER_DOUBLING per corpus doubling past it
+    (see the design note above — each step halves the cos-0.9 design
+    point's miss probability)."""
+    return _N_TABLES + _TABLES_PER_DOUBLING * max(
+        0, unclamped_band_width(n) - _MAX_BAND_W)
 
 
 def lsh_params(n: int) -> tuple[int, int]:
-    """(band_w, n_tables) for a corpus of n vectors: adaptive width,
-    CONSTANT table count — the signature grows to band_w · n_tables
-    planes (64 at the w=4 floor, 256 at the w=16 clamp)."""
-    return adaptive_band_width(n), _N_TABLES
+    """(band_w, n_tables) for a corpus of n vectors: adaptive width
+    with a constant table count below the w=16 clamp (the signature
+    grows to band_w · n_tables planes — 64 at the w=4 floor, 256 at
+    the clamp edge), then constant width with a growing table count
+    above it (+8 tables per corpus doubling; 272 planes one doubling
+    past the clamp, 384 at 4×, ...)."""
+    return adaptive_band_width(n), lsh_tables(n)
 
 
 def corpus_vec_count(sf_dir: str) -> int:
@@ -193,7 +233,17 @@ def _make_sig_udf(planes: list[list[float]]):
     up the plan; both were measured before landing here). Returns a
     len(planes)-char '0'/'1' bitstring (w·L chars under the r14
     adaptive width: 64 at the w=4 floor, 256 at the w=16 clamp) so
-    band keys are plain substrings."""
+    band keys are plain substrings.
+
+    Signs are computed over FLOOR(x·1e6)-quantized components (r15;
+    the same tie-free fixed-point recipe as the e6 centroid plans):
+    with ±1 plane weights the dot is then a sum of integers bounded
+    well under 2^53, EXACT in float64 regardless of summation order —
+    so numpy's BLAS-order matmul and DuckDB's left-to-right
+    list_dot_product can never disagree on a sign. Under raw-float
+    dots a near-zero dot could flip sign between engines on rounding
+    alone, and the adaptive design grows the exposure with the plane
+    budget (up to 256+ per vector)."""
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import StringType
 
@@ -201,7 +251,7 @@ def _make_sig_udf(planes: list[list[float]]):
 
     @pandas_udf(StringType())
     def sig_udf(emb: pd.Series) -> pd.Series:
-        X = np.stack(emb.to_numpy()).astype(np.float64)
+        X = np.floor(np.stack(emb.to_numpy()).astype(np.float64) * 1e6)
         S = X @ M
         return pd.Series(["".join(row) for row in np.where(S >= 0, "1", "0")])
 
@@ -244,10 +294,10 @@ def lsh_corpus_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, "lsh_bands", sf_dir)
     bands = _LSH_BANDS_MEMO.get(key)
     if bands is None:
-        # corpus-size-adaptive banding (r14): width from the parquet
-        # footer count — the oracle derives the SAME w from COUNT(*);
-        # the signature grows to w·L planes so table count (= recall)
-        # is independent of corpus size
+        # corpus-size-adaptive banding (r14 width / r15 tables): both
+        # knobs from the parquet footer count — the oracle derives the
+        # SAME (w, l) from COUNT(*); the signature grows to w·L planes
+        # (L constant below the w clamp, +8/doubling past it)
         w, n_tables = lsh_params(corpus_vec_count(sf_dir))
         e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
         bands = e.select(
@@ -299,40 +349,88 @@ def lsh_bucket_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def lsh_bands_cte_sql(planes: list[list[float]] | None = None) -> str:
+#: corpus doublings past the w clamp the ORACLE plane literal covers
+#: (n ≤ 2^(16+_ORACLE_DOUBLINGS)·B ≈ 33.5M vectors). The oracle is a
+#: test harness — DuckDB never sees a larger corpus than the scale
+#: fixtures — and it ERRORS (loudly, via the params-CTE guard) rather
+#: than silently slicing short if one ever exceeds the cover. The
+#: Spark side builds exactly w·L planes for any n and is unbounded.
+_ORACLE_DOUBLINGS = 2
+
+
+def lsh_params_select_sql(n_sql: str, from_sql: str = "",
+                          max_l: int | None = None) -> str:
+    """The 1-row params SELECT deriving (w, l) from a row-count SQL
+    expression — the single source of truth for the oracle twin of
+    ``lsh_params``, so the cross-engine parity tests exercise the
+    EXACT text the band CTE embeds (n_sql = 'COUNT(*)' there, a
+    literal in tests). ``max_l`` arms the plane-literal exhaustion
+    guard; None leaves l unguarded (formula-parity tests)."""
+    l_expr = (f"{_N_TABLES} + {_TABLES_PER_DOUBLING}"
+              f" * GREATEST(0, wu - {_MAX_BAND_W})")
+    if max_l is not None:
+        l_expr = (f"CASE WHEN {l_expr} > {max_l}"
+                  f" THEN CAST(error('lsh oracle plane literal exhausted:"
+                  f" corpus needs more than {max_l} tables"
+                  f" (raise _ORACLE_DOUBLINGS)') AS INT)"
+                  f" ELSE {l_expr} END")
+    return f"""SELECT LEAST({_MAX_BAND_W}, wu) AS w,
+         {l_expr} AS l
+  FROM (SELECT GREATEST({_BAND_W},
+           LENGTH(BIN((GREATEST({n_sql}, 1) + {_BUCKET_TARGET - 1})
+                      // {_BUCKET_TARGET} - 1))) AS wu{from_sql})"""
+
+
+def lsh_bands_cte_sql(planes: list[list[float]] | None = None,
+                      n_sql: str = "COUNT(*)",
+                      from_sql: str = " FROM embeddings") -> str:
     """Shared oracle CTEs: per-vector LSH band keys, identical to the
-    Spark side (same md5-derived planes, same band slicing). The band
-    width is corpus-size-adaptive (r14): the 1-row params CTE computes
-    w = clamp(min_w, max_w, ceil(log2(ceil(n / target)))) from COUNT(*)
-    with the same pure-integer bit-length formula as
-    ``adaptive_band_width`` — LENGTH(BIN(m-1)) == (m-1).bit_length()
+    Spark side (same md5-derived planes, same band slicing, same
+    FLOOR(x·1e6) sign quantization). The 1-row params CTE computes the
+    UNCLAMPED width wu = max(min_w, ceil(log2(ceil(n / target)))) from
+    COUNT(*) with the same pure-integer bit-length formula as
+    ``unclamped_band_width`` — LENGTH(BIN(m-1)) == (m-1).bit_length()
     for m ≥ 2, and the min_w clamp absorbs the m=1 edge where BIN(0)
-    is '0' (length 1) but bit_length(0) is 0. The plane literal holds
-    the full {max_w}·L matrix and the signature slices the first w·L
-    entries — the md5 plane construction is count-independent, so
-    plane p here is the same vector Python builds at any operating
-    point."""
-    planes = planes or plane_matrix(n_planes=_MAX_BAND_W * _N_TABLES)
+    is '0' (length 1) but bit_length(0) is 0 — then derives both
+    knobs: w = min(max_w, wu) and l = L + ΔL·max(0, wu - max_w) (the
+    r15 above-clamp table schedule, mirroring ``lsh_tables``). The
+    plane literal holds the {max_w}·(L + ΔL·_ORACLE_DOUBLINGS) matrix
+    and the signature slices the first w·l entries — the md5 plane
+    construction is count-independent, so plane p here is the same
+    vector Python builds at any operating point. Sign dots run over
+    FLOOR(x·1e6)-quantized components (integer-valued, exact in
+    float64 at any summation order — see ``_make_sig_udf``); the raw
+    ``emb`` column is kept alongside for downstream exact-cosine
+    verify/rerank.
+
+    ``n_sql``/``from_sql`` override the corpus-count derivation —
+    tests force an above-clamp operating point onto a small corpus by
+    passing a literal n (with from_sql='' so the params subselect
+    stays 1-row) and a wide-enough plane literal."""
+    planes = planes or plane_matrix(
+        n_planes=_MAX_BAND_W
+        * (_N_TABLES + _TABLES_PER_DOUBLING * _ORACLE_DOUBLINGS))
+    max_l = len(planes) // _MAX_BAND_W
     return f"""
 params AS (
-  SELECT LEAST({_MAX_BAND_W}, GREATEST({_BAND_W},
-           LENGTH(BIN((GREATEST(COUNT(*), 1) + {_BUCKET_TARGET - 1})
-                      // {_BUCKET_TARGET} - 1)))) AS w
-  FROM embeddings
+  {lsh_params_select_sql(n_sql, from_sql=from_sql, max_l=max_l)}
 ),
 tagged AS (
-  SELECT vec_id, embedding::DOUBLE[] AS emb,
+  SELECT vec_id, emb,
          array_to_string(list_transform(
-             ({_planes_sql_literal(planes)})[1 : w * {_N_TABLES}],
-             p -> CASE WHEN list_dot_product(p, embedding::DOUBLE[]) >= 0
+             ({_planes_sql_literal(planes)})[1 : w * l],
+             p -> CASE WHEN list_dot_product(p, emb_e6) >= 0
                   THEN '1' ELSE '0' END), '') AS sig
-  FROM embeddings, params
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS emb,
+               list_transform(embedding::DOUBLE[],
+                              x -> FLOOR(x * 1e6)) AS emb_e6
+        FROM embeddings), params
 ),
 bands AS (
   SELECT vec_id, emb,
          i::INT || ':' || substr(sig, i * w + 1, w) AS band_key
   FROM tagged, params,
-       UNNEST(range(0, {_N_TABLES})) AS u(i)
+       UNNEST(range(0, l)) AS u(i)
 )"""
 
 

@@ -1372,42 +1372,113 @@ def test_cross_source_matrix_conserves_pairs(spark, sf_smoke_dir):
 
 
 def test_adaptive_band_width_cross_engine_and_bounds():
-    """The r14 corpus-size-adaptive LSH width: (1) the pure-integer
-    Python formula and the oracle SQL's LENGTH(BIN(...)) twin agree at
-    every n (the cross-engine contract — a 1-off w disagreement would
-    bucket the two engines differently and fail the driver loudly);
-    (2) the width actually defends the bucket target: below the max-w
-    clamp, expected bucket size n/2^w ≤ _BUCKET_TARGET; (3) width is
-    monotone in n and every test SF stays in the w=4 recall floor."""
+    """The corpus-size-adaptive LSH knobs (r14 width, r15 tables):
+    (1) the pure-integer Python formulas and the EXACT oracle params
+    SELECT (``lsh_params_select_sql`` — the text the band CTE embeds)
+    agree on BOTH (w, L) at every n, including the floor edge
+    (n = 2048/2049, where w leaves 4) and the clamp edge
+    (n = 2^16·128 and +1, where w freezes at 16 and L starts growing)
+    — a 1-off disagreement on either knob would bucket the two engines
+    differently and fail the driver loudly; (2) the width defends the
+    bucket target below the clamp: expected bucket size
+    n/2^w ≤ _BUCKET_TARGET; (3) both knobs are monotone in n, L is
+    exactly _N_TABLES at/below the clamp and +8 per doubling past it,
+    and every test SF stays in the w=4 recall floor."""
     import duckdb
 
     from mapreduce_4sl08_spark.plans.vectors import (
-        _BUCKET_TARGET, _MAX_BAND_W, adaptive_band_width, lsh_params)
+        _BUCKET_TARGET, _MAX_BAND_W, _N_TABLES, _TABLES_PER_DOUBLING,
+        adaptive_band_width, lsh_params, lsh_params_select_sql,
+        unclamped_band_width)
     con = duckdb.connect()
+    clamp_n = _BUCKET_TARGET * 2 ** _MAX_BAND_W  # 8,388,608: last L=16 n
     ns = [0, 1, 127, 128, 129, 500, 2000, 2048, 2049, 5000, 15000,
-          20000, 60000, 200000, 128 * 2 ** 16, 10 ** 8]
-    prev_w = 0
+          20000, 60000, 200000, 128 * 2 ** 15 + 1, clamp_n,
+          clamp_n + 1, 2 * clamp_n, 2 * clamp_n + 1, 4 * clamp_n + 1,
+          10 ** 8, 10 ** 10]
+    prev_w = prev_l = 0
     for n in ns:
-        sql_w = con.execute(
-            f"SELECT LEAST({_MAX_BAND_W}, GREATEST(4, LENGTH(BIN("
-            f"(GREATEST({n}, 1) + {_BUCKET_TARGET - 1})"
-            f" // {_BUCKET_TARGET} - 1))))").fetchone()[0]
-        w = adaptive_band_width(n)
-        assert w == sql_w, f"n={n}: python w={w} != sql w={sql_w}"
+        sql_w, sql_l = con.execute(lsh_params_select_sql(str(n))).fetchone()
+        w, l = lsh_params(n)
+        assert (w, l) == (sql_w, sql_l), \
+            f"n={n}: python (w,L)=({w},{l}) != sql ({sql_w},{sql_l})"
+        assert w == adaptive_band_width(n)
         if w < _MAX_BAND_W:
             assert max(n, 1) <= _BUCKET_TARGET * 2 ** w
-        assert w >= prev_w, f"width not monotone at n={n}"
-        prev_w = w
-        # table count is CONSTANT (recall lives in L — the r14 probe
-        # showed L = 64//w giving production pairs 0.63 recall at
-        # w=11); the signature budget w*L grows instead, capped at
-        # the 256-plane clamp
-        bw, nt = lsh_params(n)
-        assert nt == 16 and bw * nt <= 256
+        assert w >= prev_w and l >= prev_l, f"knob not monotone at n={n}"
+        prev_w, prev_l = w, l
+        # L contract: constant below/at the clamp (recall lives in L —
+        # the r14 probe showed L = 64//w giving production pairs 0.63
+        # recall at w=11); +8 tables per corpus doubling past it (each
+        # step halves the cos-0.9 design point's miss probability)
+        if n <= clamp_n:
+            assert l == _N_TABLES and w * l <= 256
+        else:
+            doublings = unclamped_band_width(n) - _MAX_BAND_W
+            assert l == _N_TABLES + _TABLES_PER_DOUBLING * doublings
+            assert w == _MAX_BAND_W
+    # exact clamp-edge step: one vector past clamp_n adds exactly one
+    # doubling's worth of tables
+    assert lsh_params(clamp_n) == (16, 16)
+    assert lsh_params(clamp_n + 1) == (16, 24)
+    assert lsh_params(2 * clamp_n) == (16, 24)
+    assert lsh_params(2 * clamp_n + 1) == (16, 32)
+    # the oracle plane literal's exhaustion guard: within cover it is
+    # silent; one doubling past _ORACLE_DOUBLINGS it ERRORS rather than
+    # silently slicing a short signature
+    from mapreduce_4sl08_spark.plans.vectors import _ORACLE_DOUBLINGS
+    max_l = _N_TABLES + _TABLES_PER_DOUBLING * _ORACLE_DOUBLINGS
+    covered = clamp_n * 2 ** _ORACLE_DOUBLINGS
+    assert con.execute(
+        lsh_params_select_sql(str(covered), max_l=max_l)).fetchone()[1] \
+        == max_l
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="plane literal exhausted"):
+        con.execute(lsh_params_select_sql(str(covered + 1), max_l=max_l))
     # every shipped test SF sits in the w=4 floor (recall monitors
     # depend on the 16-table operating point at small n)
     for n in (500, 2000):
         assert adaptive_band_width(n) == 4
+
+
+def test_lsh_band_keys_cross_engine_above_clamp(spark, sf_smoke_dir):
+    """Band-key CONSTRUCTION parity in the above-clamp regime, row for
+    row: force the (w=16, L=24) operating point — one doubling past the
+    clamp — onto the 500-vector corpus in BOTH engines (Python passes
+    lsh_params(n) for a literal n > clamp; the oracle CTE takes the
+    same n as a literal with from_sql=''), and require the exact same
+    (vec_id, band_key) set. This pins everything the >clamp path adds
+    on real data without an 8.4M-row DuckDB run: the 384-plane
+    signature, the 16-char band slicing, the 24-table explode, AND the
+    r15 FLOOR(x·1e6) sign quantization (384 dots/vector × 500 vectors
+    of cross-engine sign agreement — exact-integer sums, so agreement
+    is by construction, not luck)."""
+    import duckdb
+
+    from mapreduce_4sl08_spark.plans.vectors import (
+        _BUCKET_TARGET, _MAX_BAND_W, lsh_band_keys, lsh_bands_cte_sql,
+        lsh_params, lsh_signature, plane_matrix)
+    forced_n = _BUCKET_TARGET * 2 ** _MAX_BAND_W + 1  # one past the clamp
+    w, n_tables = lsh_params(forced_n)
+    assert (w, n_tables) == (16, 24)
+    planes = plane_matrix(n_planes=w * n_tables)
+    e = load_table(spark, sf_smoke_dir, "embeddings")
+    spark_rows = set(
+        (r.vec_id, r.band_key)
+        for r in e.select(
+            "vec_id",
+            F.explode(lsh_band_keys(
+                lsh_signature(F.col("embedding"), planes),
+                n_tables=n_tables, band_w=w)).alias("band_key"))
+        .collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"'{sf_smoke_dir}/embeddings.parquet'")
+    sql_rows = set(map(tuple, con.execute(
+        f"WITH {lsh_bands_cte_sql(planes=planes, n_sql=str(forced_n), from_sql='')} "
+        f"SELECT vec_id, band_key FROM bands").fetchall()))
+    assert len(spark_rows) == 500 * n_tables
+    assert spark_rows == sql_rows
 
 
 def test_near_dup_candidates_linear_in_corpus(spark, tmp_path):

@@ -10,12 +10,44 @@ the same probe at 2.1e6 / 7.4e6 / 3.2e7 (w = 4/8/9 — O(n)). Re-run
 after any banding change; bucket sizes ARE the quadratic early warning.
 
     python tools/lsh_occupancy_probe.py [sf_dir ...]
+    python tools/lsh_occupancy_probe.py --analytic   # formula-only table
+
+--analytic prints the closed-form schedule across the full n range
+INCLUDING the above-clamp regime (r15): (w, L), expected bucket size
+n/2^w, per-vector candidate bound L·n/2^w, total candidate bound
+L·n²/2^(w+1), and the cos-0.9 design point's S-curve recall
+1-(1-q^w)^L. No Spark session, no fixture — this is the table that
+shows WHERE the capped key space makes verify cost grow linearly and
+how the +8-tables-per-doubling schedule buys recall back
+(0.754 → 0.878 → 0.939 → 0.970 → 0.985 ...).
 """
+import math
+import os
 import sys
 import time
 
-REPO = __file__.rsplit("/", 2)[0]
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+
+
+def analytic_table() -> int:
+    from mapreduce_4sl08_spark.plans.vectors import (
+        _BUCKET_TARGET, _MAX_BAND_W, lsh_params)
+    q = 1 - math.acos(0.9) / math.pi  # design point: cos 0.9 neighbor
+    clamp_n = _BUCKET_TARGET * 2 ** _MAX_BAND_W
+    print(f"design point cos=0.9 (q={q:.4f}); clamp at n={clamp_n:,}")
+    print(f"{'n':>15} {'w':>3} {'L':>3} {'E[bucket]':>10} "
+          f"{'cand/vec':>10} {'cand total':>12} {'recall@.9':>9}")
+    ns = ([2_000, 20_000, 200_000, 2_000_000, clamp_n]
+          + [clamp_n * 2 ** k + 1 for k in range(0, 5)])
+    for n in ns:
+        w, L = lsh_params(n)
+        eb = n / 2 ** w
+        recall = 1 - (1 - q ** w) ** L
+        print(f"{n:>15,} {w:>3} {L:>3} {eb:>10.1f} {L * eb:>10.0f} "
+              f"{L * n * eb / 2:>12.3g} {recall:>9.3f}")
+    return 0
+
 
 from mapreduce_4sl08_spark.session import get_session            # noqa: E402
 from mapreduce_4sl08_spark.plans.vectors import lsh_corpus_bands  # noqa: E402
@@ -23,6 +55,8 @@ from pyspark.sql import functions as F                            # noqa: E402
 
 
 def main() -> int:
+    if "--analytic" in sys.argv[1:]:
+        return analytic_table()
     dirs = sys.argv[1:] or ["/root/testdata/sf0.1",
                             REPO + "/.benchdata/sf0.1x10",
                             REPO + "/.benchdata/sf0.1x30"]
