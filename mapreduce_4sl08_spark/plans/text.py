@@ -735,6 +735,23 @@ _MINHASH_ROWS_T08 = 4
 _JACCARD_THRESHOLD_T08 = 0.8
 
 
+def _minhash_signatures(sh: DataFrame, perms: int) -> DataFrame:
+    """Per-doc MinHash signature (doc_id, mh0..mh{perms-1}, n_sh) from
+    the distinct (doc_id, shingle) relation — split from
+    ``_minhash_candidates`` (r15) so the cross-engine signature test
+    exercises the served expressions directly at 24 perms."""
+    digested = sh.withColumn("dg", F.md5(F.col("shingle")))
+    for k in range(2, (perms + 7) // 8 + 1):
+        digested = digested.withColumn(
+            f"dg{k}", F.md5(F.concat(F.col("shingle"), F.lit(f"#{k}"))))
+    return digested.groupBy("doc_id").agg(
+        *[F.min(F.substring(F.col("dg" if p < 8 else f"dg{p // 8 + 1}"),
+                            1 + 3 * (p % 8), 8)).alias(f"mh{p}")
+          for p in range(perms)],
+        F.count(F.lit(1)).alias("n_sh"),
+    )
+
+
 def _minhash_candidates(spark: SparkSession, sf_dir: str,
                         perms: int = _MINHASH_PERMS,
                         bands: int = _MINHASH_BANDS,
@@ -745,25 +762,20 @@ def _minhash_candidates(spark: SparkSession, sf_dir: str,
     `_jaccard_candidates` (r6/r7). Parameterized over (perms, bands,
     rows) since r14 — the fixture and production operating points run
     the same plan. Returns (candidates, shingle_sets)."""
-    assert bands * rows == perms and perms <= 16
+    assert bands * rows == perms and perms <= 24
     sh, sets = _shingle_sets(spark, sf_dir, 3)
     # signature: per doc, min over shingles of 8-hex slices (stride 3)
     # of ONE md5 — one hash per row instead of `perms` hashes
     # (aggregate exprs are not CSE'd, hence the withColumn). A 32-hex
     # digest only holds eight stride-3 8-hex windows, so signatures
-    # wider than 8 perms chain a SECOND deterministic digest
-    # md5(shingle || '#2'); slices of a cryptographic digest are
-    # independent enough for LSH banding. Mirrored in _minhash_sql.
-    digested = sh.withColumn("dg", F.md5(F.col("shingle")))
-    if perms > 8:
-        digested = digested.withColumn(
-            "dg2", F.md5(F.concat(F.col("shingle"), F.lit("#2"))))
-    sig = digested.groupBy("doc_id").agg(
-        *[F.min(F.substring(F.col("dg" if p < 8 else "dg2"),
-                            1 + 3 * (p % 8), 8)).alias(f"mh{p}")
-          for p in range(perms)],
-        F.count(F.lit(1)).alias("n_sh"),
-    )
+    # wider than 8 perms CHAIN further deterministic digests
+    # md5(shingle || '#k') — k=2 for perms 9-16, k=3 for 17-24 (r15
+    # lifts the former 16-perm ceiling, which sat exactly at the
+    # production arm's operating point); slices of a cryptographic
+    # digest are independent enough for LSH banding. Mirrored
+    # expression-for-expression in _minhash_sql and pinned
+    # cross-engine at 24 perms by test_minhash_signature_cross_engine.
+    sig = _minhash_signatures(sh, perms)
     # banding: hash the concatenation of each band's rows → bucket key
     band_cols = []
     for b in range(bands):
@@ -798,14 +810,43 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_mh_exprs_sql(perms: int) -> str:
+    """The oracle's per-permutation MIN(substr(md5(...))) expression
+    list — the exact twin of the Spark aggregate in
+    ``_minhash_candidates`` (same chained '#k' digest suffixes, same
+    stride-3 slice offsets). Shared by ``_minhash_sql`` and the
+    standalone signature SQL the 24-perm cross-engine test runs."""
+    return ", ".join(
+        "MIN(substr(md5(shingle"
+        + ("" if p < 8 else f" || '#{p // 8 + 1}'")
+        + f"), {1 + 3 * (p % 8)}, 8)) AS mh{p}"
+        for p in range(perms))
+
+
+def minhash_signature_sql(perms: int) -> str:
+    """Standalone oracle SQL for the raw per-doc MinHash signature
+    (doc_id, mh0..mh{perms-1}, n_sh) — the cross-engine
+    signature-equality surface (r15, VERDICT r14 item 6)."""
+    return rf"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, shingle
+  FROM (
+    SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+    FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+          FROM documents),
+         UNNEST(range(1, len(toks) - 1)) AS u(i)
+    WHERE len(toks) >= 3
+  )
+)
+SELECT doc_id, {_minhash_mh_exprs_sql(perms)}, COUNT(*) AS n_sh
+FROM sh GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def _minhash_sql(perms: int = _MINHASH_PERMS, bands: int = _MINHASH_BANDS,
                  rows: int = _MINHASH_ROWS,
                  threshold: float = _JACCARD_THRESHOLD) -> str:
-    suffix2 = " || '#2'"
-    mh_exprs = ", ".join(
-        f"MIN(substr(md5(shingle{'' if p < 8 else suffix2}), "
-        f"{1 + 3 * (p % 8)}, 8)) AS mh{p}"
-        for p in range(perms))
+    mh_exprs = _minhash_mh_exprs_sql(perms)
     band_exprs = ", ".join(
         "md5(" + " || '|' || ".join(f"mh{b * rows + r}" for r in range(rows))
         + f") AS band{b}" for b in range(bands))

@@ -22,7 +22,14 @@ q = 1 - arccos(c)/pi and collides in >= 1 of L w-bit tables with
 P = 1 - (1 - q^w)^L; the expected recall is the mean of P over the
 planted pairs' cosines.
 
-    python tools/lsh_recall_at_scale.py [fixture_dir ...]
+r15: recall is reported PER COSINE BAND, and --base=<dir> points the
+ground truth at an augmented source (make_scale_fixture --plant plants
+companions at exact cosines 0.86-0.98). The production band
+(cos >= 0.86) is the envelope the constant-L design defends — before
+r15 the fixture's planted pairs all sat at cos 0.45-0.60, so the
+production-band claim was analytic-only (VERDICT r14 item 2).
+
+    python tools/lsh_recall_at_scale.py [--base=<dir>] [fixture_dir ...]
 """
 from __future__ import annotations
 
@@ -39,9 +46,15 @@ sys.path.insert(0, REPO)
 BASE = "/root/testdata/sf0.1"
 THRESHOLD = 0.45
 
+#: cosine bands for per-band recall: the fixture's legacy near-threshold
+#: pairs land in the first three; --plant companions fill the last (the
+#: production envelope). Upper edge 1.01 so exact-1.0 pairs count.
+COS_BANDS = [(0.45, 0.55), (0.55, 0.70), (0.70, 0.86), (0.86, 1.01)]
 
-def base_truth() -> tuple[np.ndarray, list[tuple[int, int]], np.ndarray]:
-    tbl = pq.read_table(os.path.join(BASE, "embeddings.parquet"),
+
+def base_truth(base: str) -> tuple[np.ndarray, list[tuple[int, int]],
+                                   np.ndarray]:
+    tbl = pq.read_table(os.path.join(base, "embeddings.parquet"),
                         columns=["vec_id", "embedding"])
     ids = tbl["vec_id"].to_numpy()
     X = np.stack(tbl["embedding"].to_pylist()).astype(np.float64)
@@ -57,22 +70,34 @@ def base_truth() -> tuple[np.ndarray, list[tuple[int, int]], np.ndarray]:
 
 
 def main() -> int:
-    dirs = sys.argv[1:] or [BASE,
-                            REPO + "/.benchdata/sf0.1x10",
-                            REPO + "/.benchdata/sf0.1x30",
-                            REPO + "/.benchdata/sf0.1x100"]
+    args = sys.argv[1:]
+    base = BASE
+    dirs = []
+    for a in args:
+        if a.startswith("--base="):
+            base = a.split("=", 1)[1]
+        else:
+            dirs.append(a)
+    dirs = dirs or [base,
+                    REPO + "/.benchdata/sf0.1x10",
+                    REPO + "/.benchdata/sf0.1x30",
+                    REPO + "/.benchdata/sf0.1x100"]
     from mapreduce_4sl08_spark.plans import QUERIES, all_session_memos
     from mapreduce_4sl08_spark.plans.vectors import (
         corpus_vec_count, lsh_params)
     from mapreduce_4sl08_spark.session import get_session
 
-    X, pairs, cosines = base_truth()
+    X, pairs, cosines = base_truth(base)
     n_base = len(X)
     q = 1.0 - np.arccos(np.clip(cosines, -1, 1)) / np.pi
-    print(f"base truth: {len(pairs)} within-copy pairs at cos >= "
-          f"{THRESHOLD} over {n_base} vectors "
+    print(f"base truth ({base}): {len(pairs)} within-copy pairs at "
+          f"cos >= {THRESHOLD} over {n_base} vectors "
           f"(cos range {cosines.min():.3f}-{cosines.max():.3f})",
           flush=True)
+    band_idx = [np.nonzero((cosines >= lo) & (cosines < hi))[0]
+                for lo, hi in COS_BANDS]
+    for (lo, hi), idx in zip(COS_BANDS, band_idx):
+        print(f"  band [{lo:.2f},{hi:.2f}): {len(idx)} base pairs")
 
     spark = get_session()
     for sf in dirs:
@@ -83,18 +108,28 @@ def main() -> int:
         n = corpus_vec_count(sf)
         copies = n // n_base
         w, L = lsh_params(n)
-        expected = float(np.mean(1.0 - (1.0 - q ** w) ** L))
         t0 = time.time()
         found = {(r.id_a, r.id_b) for r in
                  QUERIES["embedding_near_dup"].fn(spark, sf).collect()}
         wall = time.time() - t0
-        hits = sum((a + c * n_base, b + c * n_base) in found
-                   for c in range(copies) for a, b in pairs)
+        hit_mask = np.array(
+            [[(a + c * n_base, b + c * n_base) in found for a, b in pairs]
+             for c in range(copies)])
+        hits = int(hit_mask.sum())
         planted = copies * len(pairs)
+        expected = float(np.mean(1.0 - (1.0 - q ** w) ** L))
         print(f"{tag}: n={n} w={w} L={L} (sig {w * L} planes)  "
               f"recall {hits}/{planted} = {hits / planted:.3f}  "
               f"S-curve predicts {expected:.3f}  "
               f"output pairs {len(found)}  ({wall:.1f}s)", flush=True)
+        for (lo, hi), idx in zip(COS_BANDS, band_idx):
+            if not len(idx):
+                continue
+            bh = int(hit_mask[:, idx].sum())
+            bp = copies * len(idx)
+            exp_b = float(np.mean(1.0 - (1.0 - q[idx] ** w) ** L))
+            print(f"    cos [{lo:.2f},{hi:.2f}): recall {bh}/{bp} = "
+                  f"{bh / bp:.3f}  S-curve {exp_b:.3f}", flush=True)
     return 0
 
 

@@ -35,6 +35,23 @@ shifts its keys by copy_index × (max_key + 1):
   artifacts (logs/lsh_occupancy_r13.txt).
 - region/nation: shared dimensions, copied once verbatim.
 
+Flags (r15):
+- --plant=N appends N PRODUCTION-BAND companion vectors to the
+  embeddings table before copying: companion j is an exact-angle
+  rotation of base vector j%n toward a deterministic orthogonal
+  direction, with target cosines spread linspace(0.86, 0.98) — the
+  similarity envelope a real near-dup corpus carries, which the
+  original fixture lacks (its planted pairs sit at cos 0.45-0.60, so
+  production-band recall was only ever ANALYTIC — VERDICT r14 item 2).
+  The per-copy signed-permutation transform preserves within-copy
+  cosines, so every copy carries the same planted production pairs.
+  Intended composition: build an augmented 1-copy source first
+  (copies=1 --plant=N), then scale THAT dir without --plant — planting
+  twice would double-append.
+- --tables=a,b,c restricts output to a table subset (e.g. embeddings-
+  only recall fixtures — 100x of just embeddings is ~100 MB vs 1.5 GB
+  for the full warehouse).
+
 Pure pyarrow (no JVM): preserves each column's physical parquet type —
 notably events.ts TIMESTAMP(NANOS), which the engine's load_table
 special-cases (sources/tables.py).
@@ -66,14 +83,69 @@ KEYED = {
 
 EVENT_STRIPE_DAYS = 32
 
+PLANT_COS_LO, PLANT_COS_HI = 0.86, 0.98
 
-def _shift_units(src: str) -> dict[str, int]:
+
+def _plant_production_pairs(t: pa.Table, n_plant: int) -> pa.Table:
+    """Append n_plant companion vectors with EXACT target cosines to
+    their base vectors, spread linspace(0.86, 0.98) — the production
+    near-dup band. Companion j pairs with base row j % n: rotate the
+    base vector by angle arccos(c_j) toward a deterministic orthogonal
+    direction (roll-by-1, Gram-Schmidt against the base), keeping the
+    norm. cos(base, companion) == c_j by construction (to float32
+    storage precision, ~1e-7 — three decimals finer than any band
+    boundary the recall probes use). No RNG anywhere: the fixture is a
+    pure function of the source. Non-embedding columns are copied from
+    the base row; vec_ids continue after the source max (and the shift
+    units are computed AFTER planting, so copies stay disjoint)."""
+    import numpy as np
+    ids = t["vec_id"].to_numpy()
+    col = t["embedding"].combine_chunks()
+    X = np.stack(col.to_pylist()).astype(np.float64)
+    n, dim = X.shape
+    cos_targets = np.linspace(PLANT_COS_LO, PLANT_COS_HI, n_plant)
+    base_idx = np.arange(n_plant) % n
+    V = X[base_idx]
+    norms = np.linalg.norm(V, axis=1, keepdims=True)
+    vh = V / norms
+    U = np.roll(V, 1, axis=1)
+    U = U - (U * vh).sum(axis=1, keepdims=True) * vh
+    U = U / np.linalg.norm(U, axis=1, keepdims=True)
+    c = cos_targets[:, None]
+    planted = norms * (c * vh + np.sqrt(1.0 - c * c) * U)
+    base_rows = t.take(pa.array(base_idx, type=pa.int32()))
+    next_id = int(ids.max()) + 1
+    new_ids = pa.array(np.arange(next_id, next_id + n_plant),
+                       type=t.schema.field("vec_id").type)
+    flat = planted.reshape(-1)
+    offsets = pa.array(np.arange(0, (n_plant + 1) * dim, dim,
+                                 dtype=np.int32))
+    values = pa.array(flat.astype(np.float64),
+                      type=col.type.value_type)
+    emb = pa.ListArray.from_arrays(offsets, values) \
+        .cast(t.schema.field("embedding").type)
+    appended = base_rows \
+        .set_column(t.schema.get_field_index("vec_id"),
+                    t.schema.field("vec_id"), new_ids) \
+        .set_column(t.schema.get_field_index("embedding"),
+                    t.schema.field("embedding"), emb)
+    return pa.concat_tables([t, appended])
+
+
+def _shift_units(src: str, tables: list[str],
+                 planted_emb: pa.Table | None = None) -> dict[str, int]:
     """One shift unit per key space = max over every column using it + 1
-    (so shifted copies are disjoint AND referentially consistent)."""
+    (so shifted copies are disjoint AND referentially consistent).
+    When embeddings were planted, the unit must come from the AUGMENTED
+    table or copy 1's ids would collide with copy 0's planted rows."""
     units: dict[str, int] = {}
-    for table, cols in KEYED.items():
-        t = pq.read_table(os.path.join(src, f"{table}.parquet"),
-                          columns=list(cols))
+    for table in tables:
+        cols = KEYED[table]
+        if table == "embeddings" and planted_emb is not None:
+            t = planted_emb
+        else:
+            t = pq.read_table(os.path.join(src, f"{table}.parquet"),
+                              columns=list(cols))
         for col, space in cols.items():
             hi = pc.max(t[col]).as_py() or 0
             units[space] = max(units.get(space, 0), hi + 1)
@@ -144,14 +216,26 @@ def _transform(table: str, t: pa.Table, i: int,
 def main() -> None:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     args = sys.argv[1:]
-    # positional-only CLI: a flag-like arg means the caller expected
-    # option parsing — fail with usage instead of an obscure
-    # FileNotFoundError("--mult/customer.parquet") deep in pyarrow.
-    # Purely numeric negatives (e.g. copies=-3) are NOT flags — let them
-    # reach the dedicated copies validation below (ADVICE r7).
-    if any(a.startswith("-") and not a.lstrip("-").isdigit() for a in args):
-        sys.exit(f"usage: {sys.argv[0]} [src_sf_dir] [out_dir] [copies]\n"
-                 f"(positional args only; got {args!r})")
+    plant = 0
+    subset: list[str] | None = None
+    positional = []
+    for a in args:
+        if a.startswith("--plant="):
+            plant = int(a.split("=", 1)[1])
+        elif a.startswith("--tables="):
+            subset = [s for s in a.split("=", 1)[1].split(",") if s]
+        elif a.startswith("-") and not a.lstrip("-").isdigit():
+            # unknown flag: fail with usage instead of an obscure
+            # FileNotFoundError("--mult/customer.parquet") deep in
+            # pyarrow. Purely numeric negatives (e.g. copies=-3) are
+            # NOT flags — the copies validation below owns those
+            # (ADVICE r7).
+            sys.exit(f"usage: {sys.argv[0]} [src_sf_dir] [out_dir] "
+                     f"[copies] [--plant=N] [--tables=a,b,c]\n"
+                     f"(got {a!r})")
+        else:
+            positional.append(a)
+    args = positional
     src = args[0] if len(args) > 0 else "/root/testdata/sf0.1"
     if not os.path.isdir(src):
         sys.exit(f"src dir not found: {src!r} — pass an existing "
@@ -162,16 +246,37 @@ def main() -> None:
     copies = int(args[2]) if len(args) > 2 else 10
     if copies < 1:
         sys.exit(f"copies must be >= 1, got {copies}")
+    if plant < 0:
+        sys.exit(f"--plant must be >= 0, got {plant}")
+    keyed_tables = list(KEYED)
+    verbatim_tables = list(VERBATIM)
+    if subset is not None:
+        unknown = set(subset) - set(KEYED) - set(VERBATIM)
+        if unknown:
+            sys.exit(f"--tables: unknown {sorted(unknown)!r}")
+        keyed_tables = [t for t in keyed_tables if t in subset]
+        verbatim_tables = [t for t in verbatim_tables if t in subset]
+    if plant and "embeddings" not in keyed_tables:
+        sys.exit("--plant requires embeddings in the table set")
     os.makedirs(out, exist_ok=True)
 
-    units = _shift_units(src)
+    planted_emb = None
+    if plant:
+        planted_emb = _plant_production_pairs(
+            pq.read_table(os.path.join(src, "embeddings.parquet")), plant)
+        print(f"embeddings: planted {plant} production-band companions "
+              f"(cos {PLANT_COS_LO}-{PLANT_COS_HI})")
+    units = _shift_units(src, keyed_tables, planted_emb)
     print("shift units:", units)
-    for table in VERBATIM:
+    for table in verbatim_tables:
         t = pq.read_table(os.path.join(src, f"{table}.parquet"))
         pq.write_table(t, os.path.join(out, f"{table}.parquet"))
         print(f"{table}: {t.num_rows} rows (shared dim, 1 copy)")
-    for table in KEYED:
-        t = pq.read_table(os.path.join(src, f"{table}.parquet"))
+    for table in keyed_tables:
+        if table == "embeddings" and planted_emb is not None:
+            t = planted_emb
+        else:
+            t = pq.read_table(os.path.join(src, f"{table}.parquet"))
         parts = [_transform(table, t, i, units) for i in range(copies)]
         merged = pa.concat_tables(parts)
         pq.write_table(merged, os.path.join(out, f"{table}.parquet"))
