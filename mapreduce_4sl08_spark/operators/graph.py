@@ -38,6 +38,11 @@ def pagerank(edges: DataFrame, iterations: int = 10,
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct())
     n_nodes = nodes.count()
+    if n_nodes == 0:
+        # empty graph (an empty partition/tenant at scale, sf0 in
+        # tests): zero ranked nodes, same schema — the driver-side
+        # 1/n seed would otherwise ZeroDivisionError (r15 sf0 sweep)
+        return nodes.withColumn("rank", F.lit(0.0))
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     links = truncate_lineage(edges.join(outdeg, "src"))
 
