@@ -34,6 +34,30 @@ with open(_SNAPSHOT_PATH) as _f:
     _SNAPSHOT = json.load(_f)
 
 
+def test_normalize_plan_renumbers_ids_but_not_string_literals():
+    """The canonicalizer must renumber expression ids by first
+    occurrence while leaving id-LOOKING STRING LITERALS untouched —
+    the r15 ritual found the bare #\\d+ regex renumbering the MinHash
+    chained-digest literal '#2' (printed unquoted after a comma), so
+    whether it collided with a real low id depended on the session's
+    global counter, i.e. fingerprints depended on build order."""
+    norm = _tool.normalize_plan
+    a = "Project [md5(concat(shingle#277, #2)) AS dg2#276]"
+    b = "Project [md5(concat(shingle#35, #2)) AS dg2#36]"
+    # same tree, different session counters -> identical canonical form
+    assert norm(a) == norm(b)
+    # the literal survives verbatim; attached ids are renumbered
+    assert ", #2)" in norm(a) and "shingle#0" in norm(a)
+    # distinct ids keep distinct canonical numbers (no blanking):
+    # swapping join sides must NOT normalize to the same form
+    assert (norm("Join (a.doc_id#10 < b.doc_id#20)")
+            != norm("Join (b.doc_id#10 < a.doc_id#20)"))
+    # unaliased-expression ids (after ')') and backtick-quoted names
+    # are still renumbered
+    assert "#0" in norm("Aggregate [count(1)#5L]")
+    assert "#0" in norm("Project [`my col`#7]")
+
+
 def test_fingerprint_snapshot_covers_exactly_the_registry():
     assert set(_SNAPSHOT) == set(QUERIES), (
         "plan_fingerprints.json out of sync with the registry — run "

@@ -60,6 +60,13 @@ def fingerprint(df) -> str:
     global counter state, making r14's minhash fingerprints depend on
     build order (found in the r15 ritual; ROUND_NOTES r15 item 1)."""
     plan = df._jdf.queryExecution().analyzed().toString()
+    return hashlib.md5(normalize_plan(plan).encode()).hexdigest()
+
+
+def normalize_plan(plan: str) -> str:
+    """The canonical form ``fingerprint`` hashes — split out so the
+    literal-vs-id discrimination is unit-testable without a Spark
+    session (tests/test_plan_fingerprints.py)."""
     ids: dict[str, int] = {}
     norm = re.sub(r"(?<=[\w)`])#\d+",
                   lambda m: f"#{ids.setdefault(m.group(), len(ids))}", plan)
@@ -73,7 +80,7 @@ def fingerprint(df) -> str:
         r"\b(CTERelationDef|CTERelationRef|UnionLoop|UnionLoopRef) (\d+)",
         lambda m: f"{m.group(1)} {cte.setdefault(m.group(2), len(cte))}",
         norm)
-    return hashlib.md5(norm.encode()).hexdigest()
+    return norm
 
 
 def main() -> None:
