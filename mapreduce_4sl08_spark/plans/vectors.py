@@ -13,6 +13,8 @@
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -281,39 +283,76 @@ def _planes_sql_literal(planes: list[list[float]]) -> str:
         "[" + ", ".join(str(v) for v in row) + "]" for row in planes) + "]"
 
 
-#: (applicationId, "lsh_bands", sf_dir) -> persisted corpus (vec_id,
-#: band_key) relation. The hyperplane-signature projection is the
-#: expensive per-vector step; unmemoized it re-ran for every reference
-#: (twice inside lsh_bucket_ann, twice more in embedding_near_dup's
-#: band self-join — tools/audit_plan_scans.py). One signature pass now
-#: serves every LSH consumer in the session.
-_LSH_BANDS_MEMO: SessionMemo = SessionMemo()
+#: (applicationId, "lsh_sigs", sf_dir) -> persisted corpus (vec_id,
+#: sig) SIGNATURE relation. The hyperplane-signature projection is the
+#: expensive per-vector step (the only Python/Arrow stage); unmemoized
+#: it re-ran for every reference (twice inside lsh_bucket_ann, twice
+#: more in embedding_near_dup's band self-join —
+#: tools/audit_plan_scans.py). One signature pass serves every LSH
+#: consumer in the session.
+#:
+#: The memo holds SIGNATURES, not the exploded (vec_id, band_key)
+#: relation (r15): the band relation is L× the rows and, persisted,
+#: its columnar string cache build OOM'd a 537M-row build at the
+#: measured L=32 point (16.78M vectors × 32 tables —
+#: logs/lsh_above_clamp2_probe_r15.txt's first run). The explode +
+#: substring banding is pure whole-stage codegen over the cached
+#: signatures — recomputing it per consumer costs no Python and no
+#: shuffle, while the cache stays n rows at any L. Same reasoning a
+#: real cluster needs: cache the narrow product of the expensive
+#: stage, never a multiplied expansion of it.
+_LSH_SIGS_MEMO: SessionMemo = SessionMemo()
+
+#: persist the signature relation only while its estimated size fits
+#: comfortably in this process's share of memory; above that,
+#: RECOMPUTE-not-cache (the memo still shares the plan object, so
+#: within one action the UDF runs once; a second action pays one more
+#: streamed UDF pass instead of an OOM). On a real cluster executor
+#: memory scales with the data and this threshold scales with it via
+#: the env override; the 16.78M-vector probe point (8.9 GB of
+#: signatures vs an 8 GB local JVM) is exactly the regime this guard
+#: exists for — both the banded and the signature cache OOM'd there
+#: before it (logs/lsh_above_clamp2_probe_r15.txt history).
+_LSH_CACHE_MAX_BYTES = int(os.environ.get(
+    "SPARK_GRAFT_LSH_CACHE_MAX_BYTES", str(2 * 1024 ** 3)))
+
+
+def lsh_corpus_sigs(spark: SparkSession, sf_dir: str,
+                    w: int, n_tables: int, n_vecs: int) -> DataFrame:
+    key = (spark.sparkContext.applicationId, "lsh_sigs", sf_dir)
+    sigs = _LSH_SIGS_MEMO.get(key)
+    if sigs is None:
+        e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        sigs = e.select(
+            "vec_id",
+            lsh_signature(F.col("embedding"),
+                          plane_matrix(n_planes=w * n_tables))
+            .alias("sig"))
+        # per-row: w·L sig chars + vec_id + row overhead
+        if n_vecs * (w * n_tables + 16) <= _LSH_CACHE_MAX_BYTES:
+            sigs = sigs.persist()
+        _LSH_SIGS_MEMO[key] = sigs
+    return sigs
 
 
 def lsh_corpus_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, "lsh_bands", sf_dir)
-    bands = _LSH_BANDS_MEMO.get(key)
-    if bands is None:
-        # corpus-size-adaptive banding (r14 width / r15 tables): both
-        # knobs from the parquet footer count — the oracle derives the
-        # SAME (w, l) from COUNT(*); the signature grows to w·L planes
-        # (L constant below the w clamp, +8/doubling past it)
-        w, n_tables = lsh_params(corpus_vec_count(sf_dir))
-        e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-        bands = e.select(
-            "vec_id",
-            F.explode(lsh_band_keys(
-                lsh_signature(F.col("embedding"),
-                              plane_matrix(n_planes=w * n_tables)),
-                n_tables=n_tables, band_w=w))
-            .alias("band_key")).persist()
-        _LSH_BANDS_MEMO[key] = bands
-    return bands
+    # corpus-size-adaptive banding (r14 width / r15 tables): both
+    # knobs from the parquet footer count — the oracle derives the
+    # SAME (w, l) from COUNT(*); the signature grows to w·L planes
+    # (L constant below the w clamp, +8/doubling past it)
+    n_vecs = corpus_vec_count(sf_dir)
+    w, n_tables = lsh_params(n_vecs)
+    sigs = lsh_corpus_sigs(spark, sf_dir, w, n_tables, n_vecs)
+    return sigs.select(
+        "vec_id",
+        F.explode(lsh_band_keys(F.col("sig"), n_tables=n_tables,
+                                band_w=w)).alias("band_key"))
 
 
 def lsh_bucket_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-k: candidates = vectors sharing ≥1 of the probe's 16 LSH
-    table buckets, then exact-cosine rerank of the (deduplicated)
+    """ANN top-k: candidates = vectors sharing ≥1 of the probe's L LSH
+    table buckets (L = lsh_params(n)[1] — 16 up to the w clamp,
+    growing past it), then exact-cosine rerank of the (deduplicated)
     candidate set. Candidate generation is a band-key equi-join — never
     a cross join; the pair set is distinct'd BEFORE the embedding
     joins so each candidate's exact cosine is computed once."""
