@@ -1523,6 +1523,53 @@ def test_lsh_band_keys_cross_engine_above_clamp(spark, sf_smoke_dir):
     assert spark_rows == sql_rows
 
 
+def test_above_clamp_recall_schedule_on_planted_pairs(spark, tmp_path):
+    """The +8-tables-per-doubling schedule must actually deliver its
+    recall past the clamp, pinned in CI (the probes measured it on
+    8.4M/16.8M-vector fixtures; this is the cheap regression guard):
+    band-collision of a planted pair depends only on the pair's own
+    signatures, so 60 production-band companions (cos 0.86-0.98) on
+    the 500-vector corpus measure the (w=16, L) operating points
+    exactly. Expected band-collision recall ~0.90 at L=24 and ~0.95
+    at L=32 (measured 0.907/0.950 on the big fixtures); with 60 pairs
+    the >= 0.75 floor is ~4 sigma. Also pins monotonicity: L=32 must
+    not recall fewer planted pairs than its L=24 prefix (the first 24
+    tables are the same planes, so collisions can only be added)."""
+    import subprocess
+    import sys as _sys
+
+    from mapreduce_4sl08_spark.plans.vectors import (
+        lsh_band_keys, lsh_signature, plane_matrix)
+    src = str(tmp_path / "planted")
+    subprocess.run(
+        [_sys.executable, "tools/make_scale_fixture.py",
+         "/root/testdata/sf0.001", src, "1", "--plant=60",
+         "--tables=embeddings"],
+        check=True, capture_output=True, cwd="/root/repo")
+    e = spark.read.parquet(f"{src}/embeddings.parquet")
+    w = 16
+    recalls = {}
+    keysets_by_l = {}
+    for n_tables in (24, 32):
+        planes = plane_matrix(n_planes=w * n_tables)
+        rows = e.select(
+            "vec_id",
+            F.explode(lsh_band_keys(
+                lsh_signature(F.col("embedding"), planes),
+                n_tables=n_tables, band_w=w)).alias("band_key")).collect()
+        keys: dict[int, set] = {}
+        for r in rows:
+            keys.setdefault(r.vec_id, set()).add(r.band_key)
+        hits = [bool(keys[j % 500] & keys[500 + j]) for j in range(60)]
+        recalls[n_tables] = sum(hits) / 60
+        keysets_by_l[n_tables] = hits
+        assert recalls[n_tables] >= 0.75, \
+            f"above-clamp recall {recalls[n_tables]} at L={n_tables}"
+    # prefix property: every pair caught at L=24 is caught at L=32
+    for h24, h32 in zip(keysets_by_l[24], keysets_by_l[32]):
+        assert h32 or not h24
+
+
 def test_near_dup_candidates_linear_in_corpus(spark, tmp_path):
     """VERDICT r13 item 3 done-condition: the near-dup op's OWN
     candidate volume stays O(n) as the corpus grows. Builds 10x/30x
