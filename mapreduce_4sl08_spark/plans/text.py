@@ -823,12 +823,11 @@ def _minhash_mh_exprs_sql(perms: int) -> str:
         for p in range(perms))
 
 
-def minhash_signature_sql(perms: int) -> str:
-    """Standalone oracle SQL for the raw per-doc MinHash signature
-    (doc_id, mh0..mh{perms-1}, n_sh) — the cross-engine
-    signature-equality surface (r15, VERDICT r14 item 6)."""
-    return rf"""
-WITH sh AS (
+#: the minhash generators' shared shingle CTE — ONE definition so the
+#: served oracle (_minhash_sql) and the standalone signature SQL the
+#: 24-perm cross-engine test runs can never drift apart on the token
+#: regex / shingle width / min-length filter (r15 review finding)
+_MINHASH_SH_CTE = r"""sh AS (
   SELECT DISTINCT doc_id, shingle
   FROM (
     SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
@@ -837,7 +836,15 @@ WITH sh AS (
          UNNEST(range(1, len(toks) - 1)) AS u(i)
     WHERE len(toks) >= 3
   )
-)
+)"""
+
+
+def minhash_signature_sql(perms: int) -> str:
+    """Standalone oracle SQL for the raw per-doc MinHash signature
+    (doc_id, mh0..mh{perms-1}, n_sh) — the cross-engine
+    signature-equality surface (r15, VERDICT r14 item 6)."""
+    return f"""
+WITH {_MINHASH_SH_CTE}
 SELECT doc_id, {_minhash_mh_exprs_sql(perms)}, COUNT(*) AS n_sh
 FROM sh GROUP BY doc_id ORDER BY doc_id
 """
@@ -852,17 +859,8 @@ def _minhash_sql(perms: int = _MINHASH_PERMS, bands: int = _MINHASH_BANDS,
         + f") AS band{b}" for b in range(bands))
     bucket_union = " UNION ALL ".join(
         f"SELECT doc_id, 'b{b}:' || band{b} AS bucket FROM banded" for b in range(bands))
-    return rf"""
-WITH sh AS (
-  SELECT DISTINCT doc_id, shingle
-  FROM (
-    SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
-    FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
-          FROM documents),
-         UNNEST(range(1, len(toks) - 1)) AS u(i)
-    WHERE len(toks) >= 3
-  )
-),
+    return f"""
+WITH {_MINHASH_SH_CTE},
 sig AS (
   SELECT doc_id, {mh_exprs}, COUNT(*) AS n_sh
   FROM sh GROUP BY doc_id

@@ -192,11 +192,29 @@ def lsh_params(n: int) -> tuple[int, int]:
     return adaptive_band_width(n), lsh_tables(n)
 
 
+#: sf_dir -> footer row count. Fixture dirs are immutable once built
+#: (testdata is read-only; probe/test fixtures get fresh paths), so a
+#: plain process-lifetime cache is safe — without it every
+#: lsh_corpus_bands call re-walked the parquet footers (thousands of
+#: metadata opens per call on a directory-shaped 100 TB corpus).
+_VEC_COUNT_CACHE: dict[str, int] = {}
+
+
 def corpus_vec_count(sf_dir: str) -> int:
     """Embedding corpus row count from parquet FOOTER metadata only —
     no Spark action, no data read (the no-driver-materialization gate
     stays honest: this is the same metadata a NumRows pushdown serves).
-    Handles both a single file and a directory of part files."""
+    Handles both a single file and a directory of part files; cached
+    per sf_dir for the process lifetime (fixtures are immutable)."""
+    cached = _VEC_COUNT_CACHE.get(sf_dir)
+    if cached is not None:
+        return cached
+    n = _read_vec_count(sf_dir)
+    _VEC_COUNT_CACHE[sf_dir] = n
+    return n
+
+
+def _read_vec_count(sf_dir: str) -> int:
     import os
 
     import pyarrow.parquet as pq
@@ -319,7 +337,13 @@ _LSH_CACHE_MAX_BYTES = int(os.environ.get(
 
 def lsh_corpus_sigs(spark: SparkSession, sf_dir: str,
                     w: int, n_tables: int, n_vecs: int) -> DataFrame:
-    key = (spark.sparkContext.applicationId, "lsh_sigs", sf_dir)
+    # (w, n_tables) are part of the key: a caller forcing a different
+    # operating point onto an already-memoized sf_dir must get planes
+    # built for ITS parameters, never the first caller's (the served
+    # path always derives them from the corpus count, so in normal use
+    # the key is one entry per sf_dir as before)
+    key = (spark.sparkContext.applicationId, "lsh_sigs", sf_dir,
+           w, n_tables)
     sigs = _LSH_SIGS_MEMO.get(key)
     if sigs is None:
         e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")

@@ -22,8 +22,8 @@ import pyarrow.parquet as pq
 import pytest
 
 from mapreduce_4sl08_spark.plans import QUERIES
+from tests.conftest import SF_SMOKE as SRC
 
-SRC = "/root/testdata/sf0.001"
 TABLES = ("region nation customer supplier part orders lineitem "
           "events documents embeddings").split()
 

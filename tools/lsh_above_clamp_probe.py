@@ -35,12 +35,14 @@ import sys
 import time
 
 import numpy as np
-import pyarrow.parquet as pq
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-COS_BANDS = [(0.45, 0.55), (0.55, 0.70), (0.70, 0.86), (0.86, 1.01)]
+# one definition of the truth extraction and the band edges for BOTH
+# recall probes — diverging copies would let the two tools report
+# inconsistent recall for the same fixture (r15 review finding)
+from tools.lsh_recall_at_scale import COS_BANDS, base_truth  # noqa: E402
 
 
 def main() -> int:
@@ -74,17 +76,7 @@ def main() -> int:
                  ">= 8,388,609 vectors (see module docstring)")
 
     # ---- recall on the base copy's planted pairs at the derived (w,L)
-    tbl = pq.read_table(os.path.join(base, "embeddings.parquet"),
-                        columns=["vec_id", "embedding"])
-    ids = tbl["vec_id"].to_numpy()
-    X = np.stack(tbl["embedding"].to_pylist()).astype(np.float64)
-    X = X[np.argsort(ids)]
-    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
-    C = Xn @ Xn.T
-    iu = np.triu_indices(len(X), k=1)
-    mask = C[iu] >= 0.45
-    pairs = list(zip(iu[0][mask].tolist(), iu[1][mask].tolist()))
-    cosines = C[iu][mask]
+    X, pairs, cosines = base_truth(base)
     q = 1.0 - np.arccos(np.clip(cosines, -1, 1)) / np.pi
     print(f"base truth ({base}): {len(pairs)} pairs at cos >= 0.45 "
           f"over {len(X)} vectors", flush=True)

@@ -110,7 +110,19 @@ def _plant_production_pairs(t: pa.Table, n_plant: int) -> pa.Table:
     vh = V / norms
     U = np.roll(V, 1, axis=1)
     U = U - (U * vh).sum(axis=1, keepdims=True) * vh
-    U = U / np.linalg.norm(U, axis=1, keepdims=True)
+    u_norms = np.linalg.norm(U, axis=1, keepdims=True)
+    # fail LOUDLY rather than writing NaN companions: a zero or
+    # constant-component base vector makes roll(V,1) parallel to V and
+    # the Gram-Schmidt direction collapses (r15 review finding) — the
+    # shipped corpora are dense random floats, so this is a guard, not
+    # a code path
+    if not (u_norms > 1e-12).all():
+        bad = int(base_idx[np.nonzero(u_norms.ravel() <= 1e-12)[0][0]])
+        raise SystemExit(
+            f"--plant: base vector row {bad} is degenerate (zero or "
+            f"constant components) — cannot build an orthogonal "
+            f"companion direction deterministically")
+    U = U / u_norms
     c = cos_targets[:, None]
     planted = norms * (c * vh + np.sqrt(1.0 - c * c) * U)
     base_rows = t.take(pa.array(base_idx, type=pa.int32()))
