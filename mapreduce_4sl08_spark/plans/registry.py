@@ -46,25 +46,18 @@ _MODULE_SPECS: list[QuerySpec] = [
 # End-of-round ritual: append the new round's names to the JSON, then
 # rewrite this tuple for the next round's changed plans.
 _ROUND_PRIORITY: tuple[str, ...] = (
-    # round 15 is a depth round (VERDICT r14 items 2-7: production-band
-    # LSH recall, above-clamp L derivation, >16-perm MinHash, the
-    # zero-denominator sweep; cap held at 168). Names are appended here
-    # in the SAME commit as each plan/oracle change.
+    # round 16 is a depth round (VERDICT r15 items 2-8: de-correlated
+    # above-clamp overdispersion measurement, end-to-end above-clamp
+    # embedding_near_dup, DISK_ONLY over-limit signature-cache tier,
+    # one-row fixture sweep, third (w,L) parity point; cap held at
+    # 168). Names are appended here in the SAME commit as each
+    # plan/oracle change.
     #
-    # ritual find: the fingerprint canonicalizer renumbered the MinHash
-    # chained-digest STRING LITERAL '#2' as if it were an expression id,
-    # making this query's fingerprint depend on the session counter
-    # state (build order). The plan itself is unchanged; the snapshot
-    # was re-minted under the fixed (?<=[\w)`])#\d+ regex.
-    "minhash_recall_eval",
-    # r15 LSH changes (VERDICT r14 item 3 + ADVICE item 4): L grows +8
-    # per corpus doubling above the w=16 clamp (both engines derive
-    # (w, L) from the corpus count), and hyperplane sign dots are now
-    # FLOOR(x·1e6)-quantized in both engines (summation-order-proof) —
-    # every lsh_corpus_bands consumer must be driver re-proven
-    "embedding_near_dup",
-    "lsh_bucket_ann",
-    "lsh_pair_distance_histogram",
+    # ADVICE r15 item 1: pagerank's r15 empty-graph guard
+    # (operators/graph.py) changed this query's code path without a
+    # priority entry (inert on non-empty data — fingerprint unchanged).
+    # Re-proving it here closes the process gap.
+    "graph_pagerank_purchases",
 )
 
 _HISTORY_PATH = Path(__file__).with_name("checked_history.json")
