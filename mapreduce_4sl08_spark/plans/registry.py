@@ -58,6 +58,16 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     # priority entry (inert on non-empty data — fingerprint unchanged).
     # Re-proving it here closes the process gap.
     "graph_pagerank_purchases",
+    # r16 LSH cache changes (VERDICT r15 item 4 + ADVICE items 3-4):
+    # over-budget signature relations persist DISK_ONLY instead of
+    # recompute-per-consumer, and the footer-count cache is stamped by
+    # the fixture file's (mtime_ns, size). Analyzed plans (and so
+    # fingerprints) are unchanged — persist tier and count caching are
+    # execution-side — but every lsh_corpus_bands consumer gets driver
+    # re-proof per the changed-code-path ritual.
+    "embedding_near_dup",
+    "lsh_bucket_ann",
+    "lsh_pair_distance_histogram",
 )
 
 _HISTORY_PATH = Path(__file__).with_name("checked_history.json")

