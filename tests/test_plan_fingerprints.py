@@ -56,6 +56,13 @@ def test_normalize_plan_renumbers_ids_but_not_string_literals():
     # are still renumbered
     assert "#0" in norm("Aggregate [count(1)#5L]")
     assert "#0" in norm("Project [`my col`#7]")
+    # ADVICE r15 item 2: extraction-shaped names printed unquoted can
+    # end in ']' or '.' — their ids must renumber too, or the
+    # fingerprint would carry a raw session-counter number
+    assert norm("Project [x[0]#9]") == norm("Project [x[0]#41]")
+    assert norm("Project [col.#9]") == norm("Project [col.#41]")
+    # while an id-looking literal after '(' stays verbatim
+    assert "(#2," in norm("Project [concat(#2, a#7)]")
 
 
 def test_fingerprint_snapshot_covers_exactly_the_registry():

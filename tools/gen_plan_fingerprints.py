@@ -68,7 +68,14 @@ def normalize_plan(plan: str) -> str:
     literal-vs-id discrimination is unit-testable without a Spark
     session (tests/test_plan_fingerprints.py)."""
     ids: dict[str, int] = {}
-    norm = re.sub(r"(?<=[\w)`])#\d+",
+    # an expression id directly follows the thing it numbers: a word
+    # char (plain name), ')' (unaliased expression), backtick (quoted
+    # name), ']' or '.' (extraction-shaped names printed unquoted —
+    # ADVICE r15 item 2 widened the class so such an id can't slip
+    # through as a raw session-counter number). A LITERAL that merely
+    # looks like an id (the MinHash '#2' digest suffix) prints after
+    # '(' or ', ' and stays verbatim.
+    norm = re.sub(r"(?<=[\w)`\].])#\d+",
                   lambda m: f"#{ids.setdefault(m.group(), len(ids))}", plan)
     lam: dict[str, int] = {}
     norm = re.sub(
