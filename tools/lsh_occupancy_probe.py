@@ -14,12 +14,23 @@ after any banding change; bucket sizes ARE the quadratic early warning.
 
 --analytic prints the closed-form schedule across the full n range
 INCLUDING the above-clamp regime (r15): (w, L), expected bucket size
-n/2^w, per-vector candidate bound L·n/2^w, total candidate bound
-L·n²/2^(w+1), and the cos-0.9 design point's S-curve recall
-1-(1-q^w)^L. No Spark session, no fixture — this is the table that
-shows WHERE the capped key space makes verify cost grow linearly and
-how the +8-tables-per-doubling schedule buys recall back
-(0.754 → 0.878 → 0.939 → 0.970 → 0.985 ...).
+n/2^w, per-vector candidate bound, total candidate bound, and the
+cos-0.9 design point's S-curve recall 1-(1-q^w)^L. No Spark session,
+no fixture — this is the table that shows WHERE the capped key space
+makes verify cost grow linearly and how the +8-tables-per-doubling
+schedule buys recall back (0.754 → 0.878 → 0.939 → 0.970 → 0.985 ...).
+
+The candidate columns carry the ANGULAR-DISPERSION factor ρ(w, dim)
+(r16; VERDICT r15 item 1): two i.i.d. directions on S^(dim-1) are NOT
+uniformly hashed over the 2^w band keys — their per-plane agreement is
+1-θ/π with θ spread around π/2 by the cos θ ~ f(c) ∝ (1-c²)^((dim-3)/2)
+law, and Jensen makes E[(1-θ/π)^w] > 2^-w. ρ is that ratio, computed by
+exact quadrature (no sampling): ρ(16, 64) = 2.029. The r15 above-clamp
+probes measured cand/vec at 2.01×/2.00× the then-uniform analytic —
+within 1.5 % of ρ — so the "overdispersion" was real geometry, not the
+copy-concentrated fixture (confirmed on the i.i.d. fixture,
+logs/lsh_iid_overdispersion_r16.txt). Capacity plans sized off this
+table now include it.
 """
 import math
 import os
@@ -30,22 +41,42 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
+def band_dispersion(w: int, dim: int = 64, steps: int = 2_000_001) -> float:
+    """ρ(w, dim) = 2^w · P[two i.i.d. S^(dim-1) directions share one
+    w-plane band] — exact quadrature over the cos θ density
+    f(c) ∝ (1-c²)^((dim-3)/2), no sampling. ρ(16, 64) = 2.029: the
+    factor by which real background candidate volume exceeds the
+    uniform-bucket n/2^w estimate (measured 2.00-2.01× in the r15/r16
+    probes)."""
+    import numpy as np
+    c = np.linspace(-1.0, 1.0, steps)[1:-1]
+    f = (1.0 - c * c) ** ((dim - 3) / 2.0)
+    p = (np.trapz((1.0 - np.arccos(c) / np.pi) ** w * f, c)
+         / np.trapz(f, c))
+    return p * 2.0 ** w
+
+
 def analytic_table() -> int:
     from mapreduce_4sl08_spark.plans.vectors import (
         _BUCKET_TARGET, _MAX_BAND_W, lsh_params)
     q = 1 - math.acos(0.9) / math.pi  # design point: cos 0.9 neighbor
     clamp_n = _BUCKET_TARGET * 2 ** _MAX_BAND_W
-    print(f"design point cos=0.9 (q={q:.4f}); clamp at n={clamp_n:,}")
-    print(f"{'n':>15} {'w':>3} {'L':>3} {'E[bucket]':>10} "
+    print(f"design point cos=0.9 (q={q:.4f}); clamp at n={clamp_n:,}; "
+          f"candidate columns include the i.i.d.-direction dispersion "
+          f"rho(w, dim=64)")
+    print(f"{'n':>15} {'w':>3} {'L':>3} {'rho':>6} {'E[bucket]':>10} "
           f"{'cand/vec':>10} {'cand total':>12} {'recall@.9':>9}")
     ns = ([2_000, 20_000, 200_000, 2_000_000, clamp_n]
           + [clamp_n * 2 ** k + 1 for k in range(0, 5)])
+    rho_cache: dict[int, float] = {}
     for n in ns:
         w, L = lsh_params(n)
+        rho = rho_cache.setdefault(w, band_dispersion(w))
         eb = n / 2 ** w
         recall = 1 - (1 - q ** w) ** L
-        print(f"{n:>15,} {w:>3} {L:>3} {eb:>10.1f} {L * eb:>10.0f} "
-              f"{L * n * eb / 2:>12.3g} {recall:>9.3f}")
+        print(f"{n:>15,} {w:>3} {L:>3} {rho:>6.3f} {eb:>10.1f} "
+              f"{rho * L * eb:>10.0f} {rho * L * n * eb / 2:>12.3g} "
+              f"{recall:>9.3f}")
     return 0
 
 

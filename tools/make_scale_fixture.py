@@ -52,6 +52,24 @@ Flags (r15):
   only recall fixtures — 100x of just embeddings is ~100 MB vs 1.5 GB
   for the full warehouse).
 
+Flags (r16):
+- --iid=N writes an embeddings-only fixture of N i.i.d.-DIRECTION unit
+  vectors (dim 64, schema-identical to the testdata table) instead of
+  copying a source — the de-correlated corpus VERDICT r15 item 2 needs
+  to split the measured above-clamp bucket overdispersion into fixture
+  artifact vs real angular-spread dispersion (the copy fixtures
+  concentrate 3,496 signed-permutation images of one 2,400-vector
+  source into correlated buckets). Deterministic and seedless per repo
+  rules: component (i, d) comes from splitmix64 of the flat counter —
+  two 64-bit hashes -> Box-Muller -> exact i.i.d. Gaussian components
+  -> row-normalized, so directions are exactly uniform on S^63.
+  Vectorized uint64 numpy; ~8.4M rows stream in row-group chunks.
+- --force overrides the refuse-to-overwrite guard on an existing
+  embeddings.parquet output (ADVICE r15 item 4: the engine's footer
+  row-count cache keys on the file's stat stamp — which a same-named
+  part-file rewrite inside a DIRECTORY output can evade, so fixture
+  dirs stay immutable-by-default instead).
+
 Pure pyarrow (no JVM): preserves each column's physical parquet type —
 notably events.ts TIMESTAMP(NANOS), which the engine's load_table
 special-cases (sources/tables.py).
@@ -84,6 +102,65 @@ KEYED = {
 EVENT_STRIPE_DAYS = 32
 
 PLANT_COS_LO, PLANT_COS_HI = 0.86, 0.98
+
+IID_DIM = 64          # matches every shipped embeddings corpus
+IID_CHUNK = 1 << 18   # rows per generated parquet row group
+
+
+def _splitmix64(x):
+    """Vectorized splitmix64 over a uint64 ndarray — full-avalanche
+    counter hash, the standard seedless way to turn a flat index into
+    64 i.i.d.-looking bits (numpy uint64 arithmetic wraps mod 2^64,
+    which is exactly the splitmix recurrence)."""
+    import numpy as np
+    x = x + np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def _iid_chunk(lo: int, hi: int):
+    """Rows [lo, hi) of the i.i.d.-direction corpus: two counter hashes
+    per component -> Box-Muller -> exact i.i.d. N(0,1) components ->
+    row-normalize. Directions are then exactly uniform on the sphere
+    (the property the de-correlation probe needs); no RNG state, the
+    fixture is a pure function of the row index."""
+    import numpy as np
+    idx = (np.arange(lo, hi, dtype=np.uint64)[:, None] * np.uint64(2 * IID_DIM)
+           + np.uint64(2) * np.arange(IID_DIM, dtype=np.uint64)[None, :])
+    # u1 in (0,1] (log-safe), u2 in [0,1): top 53 bits of each hash
+    u1 = ((_splitmix64(idx) >> np.uint64(11)).astype(np.float64) + 1.0) * 2.0 ** -53
+    u2 = (_splitmix64(idx + np.uint64(1)) >> np.uint64(11)).astype(np.float64) * 2.0 ** -53
+    z = np.sqrt(-2.0 * np.log(u1)) * np.cos(2.0 * np.pi * u2)
+    z /= np.linalg.norm(z, axis=1, keepdims=True)
+    return z.astype(np.float32)
+
+
+def _write_iid_fixture(out: str, n: int) -> None:
+    import numpy as np
+    schema = pa.schema([
+        pa.field("vec_id", pa.int64()),
+        pa.field("embedding", pa.list_(pa.field("element", pa.float32()))),
+        pa.field("label", pa.int32()),
+    ])
+    path = os.path.join(out, "embeddings.parquet")
+    with pq.ParquetWriter(path, schema) as writer:
+        for lo in range(0, n, IID_CHUNK):
+            hi = min(lo + IID_CHUNK, n)
+            z = _iid_chunk(lo, hi)
+            offsets = pa.array(
+                np.arange(0, (hi - lo + 1) * IID_DIM, IID_DIM, dtype=np.int32))
+            emb = pa.ListArray.from_arrays(
+                offsets, pa.array(z.reshape(-1), type=pa.float32())) \
+                .cast(schema.field("embedding").type)
+            ids = np.arange(lo, hi, dtype=np.int64)
+            writer.write_table(pa.table({
+                "vec_id": pa.array(ids, type=pa.int64()),
+                "embedding": emb,
+                "label": pa.array((ids % 16).astype(np.int32), type=pa.int32()),
+            }, schema=schema))
+    print(f"embeddings: {n} i.i.d.-direction unit vectors (dim {IID_DIM}) "
+          f"at {path}")
 
 
 def _plant_production_pairs(t: pa.Table, n_plant: int) -> pa.Table:
@@ -229,11 +306,17 @@ def main() -> None:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     args = sys.argv[1:]
     plant = 0
+    iid = 0
+    force = False
     subset: list[str] | None = None
     positional = []
     for a in args:
         if a.startswith("--plant="):
             plant = int(a.split("=", 1)[1])
+        elif a.startswith("--iid="):
+            iid = int(a.split("=", 1)[1])
+        elif a == "--force":
+            force = True
         elif a.startswith("--tables="):
             subset = [s for s in a.split("=", 1)[1].split(",") if s]
         elif a.startswith("-") and not a.lstrip("-").isdigit():
@@ -243,11 +326,25 @@ def main() -> None:
             # NOT flags — the copies validation below owns those
             # (ADVICE r7).
             sys.exit(f"usage: {sys.argv[0]} [src_sf_dir] [out_dir] "
-                     f"[copies] [--plant=N] [--tables=a,b,c]\n"
-                     f"(got {a!r})")
+                     f"[copies] [--plant=N] [--tables=a,b,c] [--iid=N] "
+                     f"[--force]\n(got {a!r})")
         else:
             positional.append(a)
     args = positional
+    if iid:
+        # i.i.d. mode is embeddings-only and sourceless: the single
+        # positional is the OUTPUT dir
+        if len(args) != 1 or plant or subset is not None:
+            sys.exit("--iid=N takes exactly one positional (out_dir) "
+                     "and composes with no other mode flag")
+        out = args[0]
+        emb_out = os.path.join(out, "embeddings.parquet")
+        if os.path.exists(emb_out) and not force:
+            sys.exit(f"refusing to overwrite {emb_out} (fixture dirs "
+                     f"are immutable-by-default — pass --force)")
+        os.makedirs(out, exist_ok=True)
+        _write_iid_fixture(out, iid)
+        return
     src = args[0] if len(args) > 0 else "/root/testdata/sf0.1"
     if not os.path.isdir(src):
         sys.exit(f"src dir not found: {src!r} — pass an existing "
@@ -270,6 +367,15 @@ def main() -> None:
         verbatim_tables = [t for t in verbatim_tables if t in subset]
     if plant and "embeddings" not in keyed_tables:
         sys.exit("--plant requires embeddings in the table set")
+    emb_out = os.path.join(out, "embeddings.parquet")
+    if ("embeddings" in keyed_tables and os.path.exists(emb_out)
+            and not force):
+        # ADVICE r15 item 4: the engine's footer-count cache stamps the
+        # embeddings file's stat, which a same-named part-file rewrite
+        # inside a DIRECTORY output can evade — fixture dirs therefore
+        # stay immutable-by-default
+        sys.exit(f"refusing to overwrite {emb_out} (fixture dirs are "
+                 f"immutable-by-default — pass --force)")
     os.makedirs(out, exist_ok=True)
 
     planted_emb = None
