@@ -68,6 +68,13 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     "embedding_near_dup",
     "lsh_bucket_ann",
     "lsh_pair_distance_histogram",
+    # r16 one-row sweep find (VERDICT r15 item 6): on a pair-less
+    # corpus the recall monitors' merged relation is EMPTY, where SUM
+    # returns NULL but count returns 0 — Spark and the oracle split on
+    # n_exact/n_lsh/n_ivf/n_common. Both engines now COALESCE the sums
+    # to 0 (recall_e6 stays NULL — no denominator).
+    "minhash_recall_eval",
+    "ivf_recall_eval",
 )
 
 _HISTORY_PATH = Path(__file__).with_name("checked_history.json")

@@ -1904,9 +1904,15 @@ def _recall_arm(label: str, exact: DataFrame, lsh: DataFrame) -> DataFrame:
         merged.agg(
             F.count("in_exact").alias("n_exact"),
             F.count("in_lsh").alias("n_lsh"),
-            F.sum(F.when(F.col("in_exact").isNotNull()
-                         & F.col("in_lsh").isNotNull(), 1)
-                  .otherwise(0)).alias("n_common"))
+            # coalesce: on a pair-less corpus the merged relation is
+            # EMPTY and SUM returns NULL where count returns 0 — the
+            # r16 one-row sweep caught the two engines splitting on
+            # exactly this (counts must be 0, only recall_e6 is NULL)
+            F.coalesce(
+                F.sum(F.when(F.col("in_exact").isNotNull()
+                             & F.col("in_lsh").isNotNull(), 1)
+                      .otherwise(0)),
+                F.lit(0)).alias("n_common"))
         .select(
             F.lit(label).alias("op_point"),
             "n_exact", "n_lsh", "n_common",
@@ -1934,9 +1940,9 @@ def _minhash_recall_arm_sql(label: str, exact_sql: str,
                             lsh_sql: str) -> str:
     return f"""
 SELECT '{label}' AS op_point,
-       SUM(in_exact)::BIGINT AS n_exact,
-       SUM(in_lsh)::BIGINT AS n_lsh,
-       SUM(in_exact * in_lsh)::BIGINT AS n_common,
+       COALESCE(SUM(in_exact), 0)::BIGINT AS n_exact,
+       COALESCE(SUM(in_lsh), 0)::BIGINT AS n_lsh,
+       COALESCE(SUM(in_exact * in_lsh), 0)::BIGINT AS n_common,
        CASE WHEN SUM(in_exact) > 0
             THEN (SUM(in_exact * in_lsh) * 1000000 // SUM(in_exact))::BIGINT
        END AS recall_e6

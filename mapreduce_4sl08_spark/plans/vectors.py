@@ -1327,9 +1327,15 @@ def ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged.agg(
             F.count("in_exact").alias("n_exact"),
             F.count("in_ivf").alias("n_ivf"),
-            F.sum(F.when(F.col("in_exact").isNotNull()
-                         & F.col("in_ivf").isNotNull(), 1)
-                  .otherwise(0)).alias("n_common"))
+            # coalesce: on a pair-less corpus the merged relation is
+            # EMPTY and SUM returns NULL where count returns 0 — the
+            # r16 one-row sweep caught the two engines splitting on
+            # exactly this (counts must be 0, only recall_e6 is NULL)
+            F.coalesce(
+                F.sum(F.when(F.col("in_exact").isNotNull()
+                             & F.col("in_ivf").isNotNull(), 1)
+                      .otherwise(0)),
+                F.lit(0)).alias("n_common"))
         .select(
             "n_exact", "n_ivf", "n_common",
             F.expr("CASE WHEN n_exact > 0 "
@@ -1350,9 +1356,9 @@ merged AS (
          COALESCE(i.in_ivf, 0) AS in_ivf
   FROM exact e FULL JOIN ivf i USING (query_id, vec_id)
 )
-SELECT SUM(in_exact)::BIGINT AS n_exact,
-       SUM(in_ivf)::BIGINT AS n_ivf,
-       SUM(in_exact * in_ivf)::BIGINT AS n_common,
+SELECT COALESCE(SUM(in_exact), 0)::BIGINT AS n_exact,
+       COALESCE(SUM(in_ivf), 0)::BIGINT AS n_ivf,
+       COALESCE(SUM(in_exact * in_ivf), 0)::BIGINT AS n_common,
        CASE WHEN SUM(in_exact) > 0
             THEN (SUM(in_exact * in_ivf) * 1000000 // SUM(in_exact))::BIGINT
        END AS recall_e6
