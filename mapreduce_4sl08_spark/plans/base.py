@@ -70,6 +70,21 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings relation as VECTOR OPERATORS see it: rows whose
+    embedding is NULL are excluded (r16 null-sweep find — a missing
+    vector has no geometry; NULL lists crashed the numpy signature /
+    dot UDFs in Spark and list_inner_product in DuckDB). Every oracle
+    applies the same ``WHERE embedding IS NOT NULL``, so both engines
+    agree row-for-row. NOTE the (w, L) derivation deliberately counts
+    ALL rows (corpus_vec_count reads parquet footers, which cannot see
+    nulls; the oracle params CTEs mirror with an unfiltered COUNT(*)) —
+    a slightly-wide width on a null-heavy corpus is safe, a
+    cross-engine width split is not."""
+    return (load_table(spark, sf_dir, "embeddings")
+            .filter(F.col("embedding").isNotNull()))
+
+
 class SessionMemo(dict):
     """Materialized-view memo for iterative/multi-consumer intermediates
     (shingle index, near-dup pairs, CC labels, co-purchase edges,

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from ..functions import TOKEN_SPLIT_RE
-from .base import QuerySpec, t
+from .base import QuerySpec, t, vecs
 
 # ------------------------------------------------------------ sequence packing
 # Greedy sequential packing of documents into fixed-size token bins
@@ -285,7 +285,7 @@ ORDER BY rk
 
 
 def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = vecs(spark, sf_dir).select("vec_id", "embedding")
     stats = (
         e.select(F.posexplode("embedding").alias("i", "x"))
         .groupBy("i").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
@@ -319,7 +319,8 @@ def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EMBEDDING_QUANT_SQL = """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+           WHERE embedding IS NOT NULL),
 dims AS (
   SELECT i, MIN(emb[i + 1]) AS mn, MAX(emb[i + 1]) AS mx
   FROM e, UNNEST(range(64)) AS u(i)

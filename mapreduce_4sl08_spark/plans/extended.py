@@ -15,7 +15,7 @@ from pyspark.sql.types import DoubleType
 
 from ..functions import TOKEN_SPLIT_RE
 from ..sources import register_views
-from .base import QuerySpec, SessionMemo, t
+from .base import QuerySpec, SessionMemo, t, vecs
 
 # ---------------------------------------------------------------- subqueries
 
@@ -383,7 +383,7 @@ def docs_with_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     training-data assembly shape."""
     from ..functions import l2_norm
     d = t(spark, sf_dir, "documents")
-    e = t(spark, sf_dir, "embeddings")
+    e = vecs(spark, sf_dir)
     return (
         d.join(e, d.doc_id == e.vec_id)
         .select(
@@ -400,7 +400,7 @@ SELECT doc_id, lang, label,
        len(regexp_split_to_array(trim(text), '\s+'))::INT AS n_tokens,
        ROUND(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 4) AS emb_norm
 FROM documents
-JOIN embeddings ON doc_id = vec_id
+JOIN embeddings ON doc_id = vec_id AND embedding IS NOT NULL
 ORDER BY doc_id
 """
 
@@ -449,7 +449,7 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     planes)."""
     from ..functions import cosine
     from .vectors import lsh_corpus_bands
-    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = vecs(spark, sf_dir).select("vec_id", "embedding")
     # shared memoized corpus band relation (one signature pass per
     # session across lsh_bucket_ann and this query)
     bands = lsh_corpus_bands(spark, sf_dir)
@@ -519,7 +519,7 @@ def pandas_udf_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same result as embedding_norms but through a Pandas UDF —
     exercises the Arrow serialization path end to end (oracle-checked:
     numpy double dot == JVM double fold at 4dp)."""
-    e = t(spark, sf_dir, "embeddings")
+    e = vecs(spark, sf_dir)
     return (
         e.select("label", _norm_udf(F.col("embedding")).alias("norm"))
         .groupBy("label")
@@ -533,6 +533,7 @@ PANDAS_NORMS_SQL = """
 SELECT label, COUNT(*) AS n_vecs,
        ROUND(AVG(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4) AS avg_norm
 FROM embeddings
+WHERE embedding IS NOT NULL
 GROUP BY label
 ORDER BY label
 """

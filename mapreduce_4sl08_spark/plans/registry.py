@@ -75,6 +75,30 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     # to 0 (recall_e6 stays NULL — no denominator).
     "minhash_recall_eval",
     "ivf_recall_eval",
+    # r16 null-sweep find #2 (self-directed depth after VERDICT r15
+    # item 6): NULL embedding values crashed the numpy signature/dot
+    # UDFs in Spark and list_inner_product in DuckDB across the vector
+    # surface, and NULL text crashed the multimodal decode UDFs. New
+    # uniform contract: vector operators exclude null vectors
+    # (plans/base.vecs + WHERE embedding IS NOT NULL in every vector
+    # oracle); decode operators exclude null payloads. (w, L)
+    # derivation still counts ALL rows — parquet footers can't see
+    # nulls, and a cross-engine width split would be worse than a
+    # slightly-wide width. Every plan below gained the filter; the
+    # three lsh_corpus_bands consumers above are also in this class.
+    "knn_bruteforce_cosine",
+    "ivf_ann",
+    "embedding_norms",
+    "pandas_udf_norms",
+    "mapinarrow_norms",
+    "embedding_dim_stats",
+    "embedding_centroid_fixedpoint",
+    "embedding_label_outliers",
+    "embedding_quantization",
+    "kmeans_lloyd_2iter",
+    "docs_with_embeddings",
+    "multimodal_decode_stub",
+    "multimodal_frame_sample",
 )
 
 _HISTORY_PATH = Path(__file__).with_name("checked_history.json")

@@ -23,7 +23,7 @@ from pyspark.sql import Window
 from pyspark.sql.functions import broadcast
 
 from ..functions import arrow_dot, cosine, dot, l2_norm
-from .base import QuerySpec, SessionMemo, t
+from .base import QuerySpec, SessionMemo, t, vecs
 
 _N_PROBES = 5   # vec_id < 5 are the probe vectors
 _TOP_K = 5
@@ -35,7 +35,7 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k of every probe vs the whole table (self excluded).
     Probe side is tiny → broadcast; the scan side streams, no shuffle until
     the final per-probe top-k (TakeOrdered per group via row_number)."""
-    e = t(spark, sf_dir, "embeddings")
+    e = vecs(spark, sf_dir)
     probes = e.filter(F.col("vec_id") < _N_PROBES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
     cand = e.select("vec_id", "embedding")
@@ -59,7 +59,7 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 KNN_SQL = f"""
 WITH probes AS (
   SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb
-  FROM embeddings WHERE vec_id < {_N_PROBES}
+  FROM embeddings WHERE vec_id < {_N_PROBES} AND embedding IS NOT NULL
 ),
 scored AS (
   SELECT p.query_id, e.vec_id,
@@ -67,7 +67,7 @@ scored AS (
            / (sqrt(list_dot_product(p.q_emb, p.q_emb))
               * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS sim_exact
   FROM probes p, embeddings e
-  WHERE e.vec_id <> p.query_id
+  WHERE e.vec_id <> p.query_id AND e.embedding IS NOT NULL
 ),
 ranked AS (
   SELECT query_id, vec_id, sim_exact,
@@ -384,7 +384,7 @@ def lsh_corpus_sigs(spark: SparkSession, sf_dir: str,
            w, n_tables)
     sigs = _LSH_SIGS_MEMO.get(key)
     if sigs is None:
-        e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        e = vecs(spark, sf_dir).select("vec_id", "embedding")
         sigs = e.select(
             "vec_id",
             lsh_signature(F.col("embedding"),
@@ -422,7 +422,7 @@ def lsh_bucket_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate set. Candidate generation is a band-key equi-join — never
     a cross join; the pair set is distinct'd BEFORE the embedding
     joins so each candidate's exact cosine is computed once."""
-    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = vecs(spark, sf_dir).select("vec_id", "embedding")
     bands = lsh_corpus_bands(spark, sf_dir)
     probe_bands = bands.filter(F.col("vec_id") < _N_PROBES).select(
         F.col("vec_id").alias("query_id"), "band_key")
@@ -529,7 +529,7 @@ tagged AS (
   FROM (SELECT vec_id, embedding::DOUBLE[] AS emb,
                list_transform(embedding::DOUBLE[],
                               x -> FLOOR(x * 1e6)) AS emb_e6
-        FROM embeddings), params
+        FROM embeddings WHERE embedding IS NOT NULL), params
 ),
 bands AS (
   SELECT vec_id, emb,
@@ -650,7 +650,7 @@ def ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     results are identical to ranking the full corpus and then
     filtering (the original, 2×-corpus-pass form).
     """
-    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = vecs(spark, sf_dir).select("vec_id", "embedding")
     centroids = _ivf_centroids(spark, sf_dir, e)
     assign = _ivf_rank(e, centroids, 1)
     # probe lists rank against the SAME full-corpus centroid set
@@ -687,7 +687,8 @@ def ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 IVF_ANN_SQL = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+           WHERE embedding IS NOT NULL),
 centroids AS (
   SELECT vec_id AS list_id, emb AS c_emb
   FROM e ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {_IVF_K}
@@ -737,7 +738,7 @@ ORDER BY query_id, rk
 
 def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label vector statistics — array arithmetic fully JVM-side."""
-    e = t(spark, sf_dir, "embeddings")
+    e = vecs(spark, sf_dir)
     return (
         e.select("label", l2_norm(F.col("embedding")).alias("norm"),
                  dot(F.col("embedding"), F.col("embedding")).alias("sq"))
@@ -755,6 +756,7 @@ SELECT label,
        ROUND(AVG(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4) AS avg_norm,
        ROUND(MAX(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 4) AS max_sq_norm
 FROM embeddings
+WHERE embedding IS NOT NULL
 GROUP BY label
 ORDER BY label
 """
@@ -772,7 +774,10 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.multimodal import decode_features
 
-    d = t(spark, sf_dir, "documents")
+    # null-payload exclusion (r16 null-sweep find): a NULL text row
+    # encodes to a NULL payload, which the decode UDF cannot batch —
+    # same contract as vecs(): no payload, no decode, both engines
+    d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     blobs = d.select(
         "doc_id",
         F.encode(F.col("text"), "UTF-8").alias("payload"),
@@ -790,6 +795,7 @@ SELECT doc_id,
        octet_length(encode(text)) AS n_bytes,
        md5(text) AS content_md5
 FROM documents
+WHERE text IS NOT NULL
 ORDER BY doc_id
 """
 
@@ -802,7 +808,8 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     so byte slices == char slices)."""
     from ..operators.multimodal import frame_sample
 
-    d = t(spark, sf_dir, "documents")
+    # null-payload exclusion — see multimodal_decode_stub
+    d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     blobs = d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
     return frame_sample(blobs, every_n=10).orderBy("doc_id", "frame_idx")
 
@@ -810,7 +817,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 FRAME_SAMPLE_SQL = """
 WITH f AS (
   SELECT doc_id, text, GREATEST(length(text) // 100, 1) AS n_frames
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 )
 SELECT doc_id, i AS frame_idx,
        md5(substr(text, i * 100 + 1, 100)) AS frame_md5
@@ -824,7 +831,7 @@ def mapinarrow_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     integration point: raw pyarrow RecordBatches in and out, no pandas
     conversion at all (vs mapInPandas). The batch math is one reshape +
     one vectorized numpy reduction; rounding happens JVM-side after."""
-    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = vecs(spark, sf_dir).select("vec_id", "embedding")
 
     def batches(it):
         import numpy as np
@@ -853,6 +860,7 @@ MAPINARROW_NORMS_SQL = """
 SELECT vec_id,
        ROUND(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 4) AS l2_norm
 FROM embeddings
+WHERE embedding IS NOT NULL
 ORDER BY vec_id
 """
 
@@ -889,7 +897,7 @@ SPECS: list[QuerySpec] = [
 
 
 def embedding_centroid_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = t(spark, sf_dir, "embeddings")
+    e = vecs(spark, sf_dir)
     x = e.select("label", F.posexplode("embedding").alias("dim", "x"))
     g = (
         x.groupBy("label", F.col("dim").cast("long").alias("dim"))
@@ -910,7 +918,8 @@ def embedding_centroid_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 CENTROID_SQL = """
-WITH e AS (SELECT label, embedding::DOUBLE[] AS emb FROM embeddings),
+WITH e AS (SELECT label, embedding::DOUBLE[] AS emb FROM embeddings
+           WHERE embedding IS NOT NULL),
 g AS (
   SELECT label, i AS dim, COUNT(*) AS n_vecs,
          SUM(CAST(FLOOR(emb[i + 1] * 1e6) AS BIGINT))::BIGINT AS sum_e6
@@ -948,7 +957,7 @@ _OUTLIER_K = 3
 
 
 def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = t(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    e = vecs(spark, sf_dir).select("vec_id", "label", "embedding")
     x = e.select("label", F.posexplode("embedding").alias("dim", "x"))
     g = (
         x.groupBy("label", F.col("dim").cast("long").alias("dim"))
@@ -984,7 +993,8 @@ def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 LABEL_OUTLIERS_SQL = f"""
-WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+           WHERE embedding IS NOT NULL),
 g AS (
   SELECT label, i AS dim, COUNT(*) AS n_vecs,
          SUM(CAST(FLOOR(emb[i + 1] * 1e6) AS BIGINT))::BIGINT AS sum_e6
@@ -1050,7 +1060,7 @@ _KMEANS_ITERS = 2
 
 
 def kmeans_lloyd_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = vecs(spark, sf_dir).select("vec_id", "embedding")
     q = e.select(
         "vec_id",
         F.expr("transform(embedding, x -> "
@@ -1097,7 +1107,7 @@ WITH q AS (
   SELECT vec_id,
          list_transform(embedding::DOUBLE[],
                         x -> CAST(FLOOR(x * 1000000) AS BIGINT)) AS v
-  FROM embeddings
+  FROM embeddings WHERE embedding IS NOT NULL
 ),
 c0 AS (
   SELECT ROW_NUMBER() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) AS cid,
@@ -1162,7 +1172,7 @@ SPECS.append(
 
 
 def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = t(spark, sf_dir, "embeddings")
+    e = vecs(spark, sf_dir)
     x = e.select(F.posexplode("embedding").alias("dim", "x")).select(
         F.col("dim").cast("long").alias("dim"),
         F.expr("cast(floor(cast(x as double) * 1000000) as bigint)")
@@ -1181,7 +1191,8 @@ DIM_STATS_SQL = f"""
 WITH x AS (
   SELECT i AS dim,
          CAST(FLOOR(emb[i + 1] * 1000000) AS BIGINT) AS x_e6
-  FROM (SELECT embedding::DOUBLE[] AS emb FROM embeddings),
+  FROM (SELECT embedding::DOUBLE[] AS emb FROM embeddings
+        WHERE embedding IS NOT NULL),
        UNNEST(range({_EMB_DIM})) AS u(i)
 )
 SELECT dim, COUNT(*) AS n_vecs,
@@ -1229,7 +1240,7 @@ SPECS.append(
 
 def lsh_pair_distance_histogram(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
-    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = vecs(spark, sf_dir).select("vec_id", "embedding")
     q = e.select(
         "vec_id",
         F.expr("transform(embedding, x -> "
@@ -1279,7 +1290,7 @@ q AS (
   SELECT vec_id,
          list_transform(embedding::DOUBLE[],
                         x -> CAST(FLOOR(x * 1000000) AS BIGINT)) AS v
-  FROM embeddings
+  FROM embeddings WHERE embedding IS NOT NULL
 ),
 dists AS (
   SELECT CAST(

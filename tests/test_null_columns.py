@@ -1,0 +1,95 @@
+"""Every registry query must survive NULL values in non-key columns —
+and, outside a documented divergence list, agree with its oracle on
+them (r16, self-directed after the VERDICT r15 item 6 sweeps; at
+100 TB, rows with a missing embedding / text / timestamp are routine,
+not exotic).
+
+The fixture is two rows per table with every non-key column of row 1
+nulled. The r16 census on it:
+
+- 12 CRASHES, all one class — NULL embedding values crashed the numpy
+  signature/dot UDFs (np.stack over None) in Spark and
+  list_inner_product in DuckDB; NULL text crashed the multimodal
+  decode UDFs on a NULL payload. CLOSED this round by a uniform
+  contract: vector operators exclude null vectors (plans/base.vecs +
+  WHERE embedding IS NOT NULL in every vector oracle), decode
+  operators exclude null payloads. This test pins the class shut with
+  full value equality.
+
+- 14 residual VALUE divergences in two classes, recorded below and
+  asserted EXECUTION-ONLY here (the r17 agenda, one contract decision
+  per query): the null-TIMESTAMP class (Spark's window()/
+  session_window drop null-ts rows where DuckDB's time_bucket(NULL)
+  keeps a NULL group) and the null-TEXT class (split/size/concat_ws
+  NULL propagation differs). Shrink this list by aligning engines,
+  never by relaxing the compare.
+"""
+import os
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from mapreduce_4sl08_spark.plans import QUERIES
+from tests.conftest import SF_SMOKE as SRC
+from tests.oracle import compare_frames
+
+TABLES = ("region nation customer supplier part orders lineitem "
+          "events documents embeddings").split()
+
+KEY_COLS = {"doc_id", "vec_id", "event_id", "user_id"}
+
+#: r16 census residual — null-ts and null-text contract divergences,
+#: execution-only until each gets an aligned cross-engine contract
+KNOWN_DIVERGENT = {
+    # null-TIMESTAMP class (Spark windowing drops null ts; DuckDB
+    # time_bucket/date_trunc keep a NULL group)
+    "agg_approx_distinct", "daily_new_vs_returning",
+    "events_session_window_native", "events_sliding_windows",
+    "events_tumbling_hourly", "events_user_features",
+    "events_windowed_topk", "latest_event_per_user",
+    "rolling_active_users",
+    # null-TEXT class (split/size/concat_ws/percentile NULL
+    # propagation differs)
+    "approx_percentile_check", "map_functions_showcase",
+    "sequence_packing_bins", "session_path_topk",
+    "text_token_positions",
+}
+
+
+@pytest.fixture(scope="module")
+def sfnull_dir(tmp_path_factory):
+    out = tmp_path_factory.mktemp("sfnull")
+    for t in TABLES:
+        tab = pq.read_table(os.path.join(SRC, f"{t}.parquet")).slice(0, 2)
+        d = tab.to_pydict()
+        for col in tab.column_names:
+            if col.endswith("key") or col in KEY_COLS:
+                continue
+            d[col][1] = None
+        pq.write_table(pa.table(d, schema=tab.schema),
+                       os.path.join(str(out), f"{t}.parquet"))
+    return str(out)
+
+
+@pytest.fixture(scope="module")
+def duck_sfnull(sfnull_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"'{sfnull_dir}/{t}.parquet'")
+    return con
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_handles_null_columns(spark, sfnull_dir, duck_sfnull, name):
+    spec = QUERIES[name]
+    spark_pdf = spec.fn(spark, sfnull_dir).toPandas()
+    if spec.oracle is None:
+        assert spark_pdf is not None
+        return
+    oracle_pdf = duck_sfnull.execute(spec.oracle).fetchdf()
+    if name in KNOWN_DIVERGENT:
+        return  # executed in both engines; value contract is r17 work
+    compare_frames(spark_pdf, oracle_pdf, name)
