@@ -300,9 +300,17 @@ def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     # divide by zero — Spark yields NaN→NULL silently while DuckDB's
     # CAST raises, a latent cross-engine divergence (ADVICE r3). Both
     # engines map a constant dimension to code 0 explicitly.
+    # arithmetic in DOUBLE end to end (r16 10x-sweep find): x and the
+    # collected mins/maxs are FLOAT, and Spark's float-float
+    # subtraction stays float32 while the oracle widens to DOUBLE[]
+    # first — at 1.5M codes (10x fixture) two rows landed on a floor
+    # boundary one float32-ulp apart. Widening casts are exact, so
+    # both engines now run the identical double computation.
     codes = F.expr(
         "transform(embedding, (x, i) -> if(maxs[i] = mins[i], 0, "
-        "cast(floor((x - mins[i]) / (maxs[i] - mins[i]) * 255.0) as int)))")
+        "cast(floor((cast(x as double) - cast(mins[i] as double)) "
+        "/ (cast(maxs[i] as double) - cast(mins[i] as double)) "
+        "* 255.0) as int)))")
     return (
         e.crossJoin(broadcast(arrs))
         .select("vec_id", codes.alias("codes"))

@@ -1771,3 +1771,22 @@ def test_iid_fixture_mode_and_overwrite_guard(tmp_path):
     forced = subprocess.run(run + ["--force"], capture_output=True,
                             cwd="/root/repo")
     assert forced.returncode == 0
+
+
+def test_band_dispersion_quadrature():
+    """The angular-dispersion factor rho(w, dim) is now the capacity-
+    planning multiplier for LSH verify compute (r16) — pin its
+    quadrature: rho(1, d) = 1 EXACTLY (E[1 - theta/pi] = 1/2 by the
+    antipodal symmetry of the cosine law, for every d), rho grows
+    monotonically in w (Jensen, each extra plane multiplies a
+    positively-correlated factor), and the w=16/d=64 value matches the
+    2.029 the r15/r16 probes measured against (both fixtures landed at
+    0.97-0.99x of rho-corrected)."""
+    from tools.lsh_occupancy_probe import band_dispersion
+    for dim in (8, 64, 256):
+        assert abs(band_dispersion(1, dim=dim) - 1.0) < 1e-9
+    rhos = [band_dispersion(w) for w in (1, 2, 4, 8, 16)]
+    assert all(b > a for a, b in zip(rhos, rhos[1:]))
+    assert abs(band_dispersion(16) - 2.029) < 0.002
+    # higher dim concentrates theta at pi/2 -> less dispersion
+    assert band_dispersion(16, dim=256) < band_dispersion(16, dim=64)
