@@ -59,8 +59,15 @@ def sequence_packing_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     offsets = shard_tot.select(
         "lang", "shard",
         F.coalesce(F.sum("shard_tok").over(w_off), F.lit(0)).alias("offset"))
+    # eqNullSafe on the nullable lang key (r16 null-census class C): a
+    # bare equi-join silently dropped every null-lang doc from packing
+    # (the oracle's window PARTITION BY lang keeps the NULL partition).
+    # shard is non-null by construction (doc_id div N).
+    offs = offsets.select(F.col("lang").alias("o_lang"),
+                          F.col("shard").alias("o_shard"), "offset")
     packed = (
-        within.join(offsets, ["lang", "shard"])
+        within.join(offs, F.col("lang").eqNullSafe(F.col("o_lang"))
+                    & (F.col("shard") == F.col("o_shard")))
         .withColumn("cum", F.col("cum_in_shard") + F.col("offset"))
         .withColumn("bin", F.expr(f"(cum - n_tok) div {_PACK_BIN_TOKENS}"))
     )

@@ -736,17 +736,26 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median"),
         F.expr("percentile(l_extendedprice, 0.5)").alias("exact_median"),
     )
-    exact = l.groupBy("l_returnflag").agg(
+    exact = l.groupBy(F.col("l_returnflag").alias("rf")).agg(
         F.countDistinct("l_partkey").alias("exact_parts"),
         F.countDistinct("l_orderkey").alias("exact_orders"),
     )
+    # eqNullSafe, not a bare equi-join (r16 null-census class C): both
+    # aggregates KEEP a NULL l_returnflag group, but NULL = NULL never
+    # matches, so the rejoin silently DROPPED that group — row loss,
+    # not a semantics preference. The tolerance conjunction coalesces
+    # to TRUE for degenerate groups (an all-NULL measure makes the
+    # sketch check vacuous — the oracle emits literal TRUE).
     return (
-        sketches.join(broadcast(exact), "l_returnflag")
+        sketches.join(broadcast(exact),
+                      F.col("l_returnflag").eqNullSafe(F.col("rf")))
         .select(
             "l_returnflag", "exact_parts", "exact_orders",
-            (tol("approx_parts", "exact_parts")
-             & tol("approx_orders", "exact_orders")
-             & tol("approx_median", "exact_median")).alias("within_tol"),
+            F.coalesce(
+                tol("approx_parts", "exact_parts")
+                & tol("approx_orders", "exact_orders")
+                & tol("approx_median", "exact_median"),
+                F.lit(True)).alias("within_tol"),
         )
         .orderBy("l_returnflag")
     )

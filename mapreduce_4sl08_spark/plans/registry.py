@@ -99,6 +99,14 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     "docs_with_embeddings",
     "multimodal_decode_stub",
     "multimodal_frame_sample",
+    # r16 null-census class C (silent row loss, fixed same round): a
+    # bare equi-join on a nullable group key (the split-agg rejoin /
+    # packing-offset join) dropped the NULL group that both join
+    # inputs kept — now eqNullSafe, with vacuous-TRUE tolerance on
+    # degenerate groups where the oracle emits literal TRUE.
+    "agg_approx_distinct",
+    "approx_percentile_check",
+    "sequence_packing_bins",
 )
 
 _HISTORY_PATH = Path(__file__).with_name("checked_history.json")

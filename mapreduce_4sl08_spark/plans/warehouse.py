@@ -467,16 +467,22 @@ def approx_percentile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("cents"))).alias("p95_cents"),
         )
     )
-    approx = base.groupBy("flag").agg(
+    approx = base.groupBy(F.col("flag").alias("f")).agg(
         F.expr("approx_percentile(cents, array(0.5, 0.95), 10000)").alias("ap"))
+    # eqNullSafe rejoin + vacuous-TRUE tolerance on degenerate groups —
+    # same r16 null-census class-C fix as agg_approx_distinct (a bare
+    # equi-join on the nullable group key silently dropped the NULL
+    # flag group both sides kept)
     return (
-        exact.join(approx, "flag")
+        exact.join(approx, F.col("flag").eqNullSafe(F.col("f")))
         .select(
             "flag", "n", "p50_cents", "p95_cents",
-            (F.expr("abs(ap[0] - p50_cents) * 50") <= F.col("p50_cents"))
-            .alias("p50_within_tol"),
-            (F.expr("abs(ap[1] - p95_cents) * 50") <= F.col("p95_cents"))
-            .alias("p95_within_tol"),
+            F.coalesce(
+                F.expr("abs(ap[0] - p50_cents) * 50") <= F.col("p50_cents"),
+                F.lit(True)).alias("p50_within_tol"),
+            F.coalesce(
+                F.expr("abs(ap[1] - p95_cents) * 50") <= F.col("p95_cents"),
+                F.lit(True)).alias("p95_within_tol"),
         )
         .orderBy("flag")
     )

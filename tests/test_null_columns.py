@@ -45,17 +45,21 @@ KEY_COLS = {"doc_id", "vec_id", "event_id", "user_id"}
 KNOWN_DIVERGENT = {
     # null-TIMESTAMP class (Spark windowing drops null ts; DuckDB
     # time_bucket/date_trunc keep a NULL group)
-    "agg_approx_distinct", "daily_new_vs_returning",
+    "daily_new_vs_returning",
     "events_session_window_native", "events_sliding_windows",
     "events_tumbling_hourly", "events_user_features",
     "events_windowed_topk", "latest_event_per_user",
     "rolling_active_users",
     # null-TEXT class (split/size/concat_ws/percentile NULL
     # propagation differs)
-    "approx_percentile_check", "map_functions_showcase",
-    "sequence_packing_bins", "session_path_topk",
+    "map_functions_showcase", "session_path_topk",
     "text_token_positions",
 }
+# r16 follow-up: class C (agg_approx_distinct, approx_percentile_check,
+# sequence_packing_bins — a bare equi-join on a nullable group key
+# silently DROPPED the NULL group both sides kept) was fixed with
+# eqNullSafe rejoins the same round the census found it; those three
+# now go through the full value compare below.
 
 
 @pytest.fixture(scope="module")
