@@ -39,10 +39,16 @@ def user_session_features(events: DataFrame) -> DataFrame:
         import pandas as pd
         pdf = pdf.sort_values(["ts", "event_id"])
         # explicit µs unit: Arrow may hand pandas datetime64[ns] or [us]
-        # depending on version — pin the unit before taking int64
-        ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+        # depending on version — pin the unit before taking int64.
+        # Span over LIVE timestamps only (r16 staggered-null find):
+        # .astype("int64") turns NaT into INT64_MIN, so one null-ts row
+        # in a live group made span ~9.2e18 µs and overflowed the
+        # downstream ANSI arithmetic — SQL MAX/MIN skip NULLs, and so
+        # does this now.
+        ts = pdf["ts"].astype("datetime64[us]")
+        live = ts.dropna().astype("int64")
         n = len(pdf)
-        span_us = int(ts_us.iloc[-1] - ts_us.iloc[0]) if n > 1 else 0
+        span_us = int(live.max() - live.min()) if len(live) > 1 else 0
         deltas = pdf["value"].diff().abs().dropna()
         return pd.DataFrame({
             "user_id": [pdf["user_id"].iloc[0]],
@@ -80,12 +86,18 @@ def user_session_features_fast(events: DataFrame) -> DataFrame:
             # (diff/abs/max are element-wise), so output is bit-equal —
             # pinned by test_grouped_map_fast_equals_canonical.
             pdf = pdf.sort_values(["user_id", "ts", "event_id"])
-            ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+            # NaT-aware span (r16 staggered-null find; see the
+            # canonical twin above): int64 of NaT is INT64_MIN, which
+            # overflowed downstream — mask NaT to NaN so groupby
+            # max/min skip nulls exactly like SQL MAX/MIN. Live epoch
+            # µs (~1.7e15) is far below 2^53, exact in float64.
+            ts = pdf["ts"].astype("datetime64[us]")
+            ts_us = ts.astype("int64").where(ts.notna())
             uid = pdf["user_id"].values
             g = pdf.groupby("user_id", sort=False)
             n = g.size()
             gts = ts_us.groupby(uid, sort=False)
-            span_us = (gts.max() - gts.min()).where(n > 1, 0)
+            span_us = (gts.max() - gts.min()).where(n > 1, 0).fillna(0)
             max_delta = g["value"].diff().abs().groupby(uid, sort=False).max()
             return pd.DataFrame({
                 "user_id": n.index.astype("int64"),

@@ -107,6 +107,15 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     "agg_approx_distinct",
     "approx_percentile_check",
     "sequence_packing_bins",
+    # r16 STAGGERED-null census find (null ts on a different row than
+    # the live ones — the same-row fixture masked it): pandas
+    # .astype("int64") turns NaT into INT64_MIN, so one null-ts event
+    # in a live group made span_us ~9.2e18 and the downstream ANSI
+    # arithmetic threw ARITHMETIC_OVERFLOW. Both grouped operators now
+    # mask NaT before the span (SQL MAX/MIN semantics). Plan
+    # fingerprint unchanged (the closure serializes outside the
+    # analyzed plan) — priority-queued for the code-path change.
+    "events_user_features",
 )
 
 _HISTORY_PATH = Path(__file__).with_name("checked_history.json")
