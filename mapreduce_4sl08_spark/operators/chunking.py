@@ -25,7 +25,16 @@ class ChunkText:
     def eval(self, text: str):
         if text is None:
             return
-        tokens = text.strip().lower().split()
+        # ASCII \s+, NOT str.split() (r16 unicode-census find): Python's
+        # argless split treats ANY Unicode whitespace — NBSP U+00A0,
+        # ideographic space — as a separator, while the repo-wide
+        # tokenizer contract (functions.TOKEN_SPLIT_RE via Java regex,
+        # and the DuckDB oracles via RE2 '\s+') is ASCII whitespace
+        # only. NBSP is routine in scraped web text, so the engines
+        # disagreed on real-world chunk counts.
+        import re
+        tokens = re.split(r"\s+", text.strip().lower(), flags=re.ASCII)
+        tokens = [t for t in tokens if t]
         if not tokens:
             return
         idx = 0

@@ -116,6 +116,13 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     # fingerprint unchanged (the closure serializes outside the
     # analyzed plan) — priority-queued for the code-path change.
     "events_user_features",
+    # r16 unicode-census find: the chunking UDTF tokenized with
+    # Python's argless str.split() — ANY Unicode whitespace, so an
+    # NBSP inside a token split it — while the repo-wide tokenizer
+    # contract (TOKEN_SPLIT_RE via Java regex; RE2 '\s+' oracles) is
+    # ASCII whitespace. Now ASCII re.split in the UDTF; fingerprint
+    # unchanged (closure-only) — priority-queued for the path change.
+    "text_chunking_udtf",
 )
 
 _HISTORY_PATH = Path(__file__).with_name("checked_history.json")
