@@ -46,83 +46,10 @@ _MODULE_SPECS: list[QuerySpec] = [
 # End-of-round ritual: append the new round's names to the JSON, then
 # rewrite this tuple for the next round's changed plans.
 _ROUND_PRIORITY: tuple[str, ...] = (
-    # round 16 is a depth round (VERDICT r15 items 2-8: de-correlated
-    # above-clamp overdispersion measurement, end-to-end above-clamp
-    # embedding_near_dup, DISK_ONLY over-limit signature-cache tier,
-    # one-row fixture sweep, third (w,L) parity point; cap held at
-    # 168). Names are appended here in the SAME commit as each
-    # plan/oracle change.
-    #
-    # ADVICE r15 item 1: pagerank's r15 empty-graph guard
-    # (operators/graph.py) changed this query's code path without a
-    # priority entry (inert on non-empty data — fingerprint unchanged).
-    # Re-proving it here closes the process gap.
-    "graph_pagerank_purchases",
-    # r16 LSH cache changes (VERDICT r15 item 4 + ADVICE items 3-4):
-    # over-budget signature relations persist DISK_ONLY instead of
-    # recompute-per-consumer, and the footer-count cache is stamped by
-    # the fixture file's (mtime_ns, size). Analyzed plans (and so
-    # fingerprints) are unchanged — persist tier and count caching are
-    # execution-side — but every lsh_corpus_bands consumer gets driver
-    # re-proof per the changed-code-path ritual.
-    "embedding_near_dup",
-    "lsh_bucket_ann",
-    "lsh_pair_distance_histogram",
-    # r16 one-row sweep find (VERDICT r15 item 6): on a pair-less
-    # corpus the recall monitors' merged relation is EMPTY, where SUM
-    # returns NULL but count returns 0 — Spark and the oracle split on
-    # n_exact/n_lsh/n_ivf/n_common. Both engines now COALESCE the sums
-    # to 0 (recall_e6 stays NULL — no denominator).
-    "minhash_recall_eval",
-    "ivf_recall_eval",
-    # r16 null-sweep find #2 (self-directed depth after VERDICT r15
-    # item 6): NULL embedding values crashed the numpy signature/dot
-    # UDFs in Spark and list_inner_product in DuckDB across the vector
-    # surface, and NULL text crashed the multimodal decode UDFs. New
-    # uniform contract: vector operators exclude null vectors
-    # (plans/base.vecs + WHERE embedding IS NOT NULL in every vector
-    # oracle); decode operators exclude null payloads. (w, L)
-    # derivation still counts ALL rows — parquet footers can't see
-    # nulls, and a cross-engine width split would be worse than a
-    # slightly-wide width. Every plan below gained the filter; the
-    # three lsh_corpus_bands consumers above are also in this class.
-    "knn_bruteforce_cosine",
-    "ivf_ann",
-    "embedding_norms",
-    "pandas_udf_norms",
-    "mapinarrow_norms",
-    "embedding_dim_stats",
-    "embedding_centroid_fixedpoint",
-    "embedding_label_outliers",
-    "embedding_quantization",
-    "kmeans_lloyd_2iter",
-    "docs_with_embeddings",
-    "multimodal_decode_stub",
-    "multimodal_frame_sample",
-    # r16 null-census class C (silent row loss, fixed same round): a
-    # bare equi-join on a nullable group key (the split-agg rejoin /
-    # packing-offset join) dropped the NULL group that both join
-    # inputs kept — now eqNullSafe, with vacuous-TRUE tolerance on
-    # degenerate groups where the oracle emits literal TRUE.
-    "agg_approx_distinct",
-    "approx_percentile_check",
-    "sequence_packing_bins",
-    # r16 STAGGERED-null census find (null ts on a different row than
-    # the live ones — the same-row fixture masked it): pandas
-    # .astype("int64") turns NaT into INT64_MIN, so one null-ts event
-    # in a live group made span_us ~9.2e18 and the downstream ANSI
-    # arithmetic threw ARITHMETIC_OVERFLOW. Both grouped operators now
-    # mask NaT before the span (SQL MAX/MIN semantics). Plan
-    # fingerprint unchanged (the closure serializes outside the
-    # analyzed plan) — priority-queued for the code-path change.
-    "events_user_features",
-    # r16 unicode-census find: the chunking UDTF tokenized with
-    # Python's argless str.split() — ANY Unicode whitespace, so an
-    # NBSP inside a token split it — while the repo-wide tokenizer
-    # contract (TOKEN_SPLIT_RE via Java regex; RE2 '\s+' oracles) is
-    # ASCII whitespace. Now ASCII re.split in the UDTF; fingerprint
-    # unchanged (closure-only) — priority-queued for the path change.
-    "text_chunking_udtf",
+    # round 17 is the null-contract closure round (VERDICT r16 items
+    # 1-3 + ADVICE items 1-2): every query whose plan or oracle changes
+    # for the null-value / NULLS-ordering contracts is appended here in
+    # the SAME commit as the change.
 )
 
 _HISTORY_PATH = Path(__file__).with_name("checked_history.json")

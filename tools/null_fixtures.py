@@ -1,0 +1,64 @@
+"""Shared builders for the two null-robustness fixtures (r16 census,
+r17 contract closure). Both tests/test_null_columns.py and the ad-hoc
+census tool build from here so the gate and the iteration loop can
+never drift.
+
+- same_row: two rows per table, every non-key column of row 1 nulled
+  (the r16 original — all-null rows).
+- staggered: four rows per table, nulls land on DIFFERENT rows per
+  column family (row 1 strings, row 2 numerics, row 3 temporal/list)
+  so "null X alongside live Y" is exercised. r17 adds the
+  docs_with_embeddings unmasking direction (VERDICT r16 item 3): the
+  documents/embeddings tables carry a NULL-text + live-embedding row
+  AND the converse live-text + NULL-embedding row by construction
+  (documents.text nulls on row 1, embeddings.embedding nulls on
+  row 3, doc_id/vec_id keys live on all four rows).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+TABLES = ("region nation customer supplier part orders lineitem "
+          "events documents embeddings").split()
+
+KEY_COLS = {"doc_id", "vec_id", "event_id", "user_id"}
+
+
+def build_same_row(src: str, out: str) -> str:
+    for t in TABLES:
+        tab = pq.read_table(os.path.join(src, f"{t}.parquet")).slice(0, 2)
+        d = tab.to_pydict()
+        for col in tab.column_names:
+            if col.endswith("key") or col in KEY_COLS:
+                continue
+            d[col][1] = None
+        pq.write_table(pa.table(d, schema=tab.schema),
+                       os.path.join(out, f"{t}.parquet"))
+    return out
+
+
+def build_staggered(src: str, out: str) -> str:
+    for t in TABLES:
+        tab = pq.read_table(os.path.join(src, f"{t}.parquet")).slice(0, 4)
+        d = tab.to_pydict()
+        nrows = len(tab)
+        for col, field in zip(tab.column_names, tab.schema):
+            if col.endswith("key") or col in KEY_COLS:
+                continue
+            ty = field.type
+            if pa.types.is_string(ty) or pa.types.is_large_string(ty):
+                row = 1
+            elif (pa.types.is_timestamp(ty) or pa.types.is_date(ty)
+                  or pa.types.is_list(ty) or pa.types.is_large_list(ty)):
+                row = 3
+            else:
+                row = 2
+            if row < nrows:
+                d[col][row] = None
+        pq.write_table(pa.table(d, schema=tab.schema),
+                       os.path.join(out, f"{t}.parquet"))
+    return out
