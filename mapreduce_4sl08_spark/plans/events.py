@@ -21,6 +21,17 @@ from .warehouse import _share_e6_expr
 _SUM_VALUE_SQL = (f"CAST(SUM({cents_sql('value')}) AS DOUBLE) / 100.0"
                   " AS sum_value")
 
+# Null-timestamp contract (r17, VERDICT r16 item 1): an event with a
+# NULL ts carries no position on the time axis, so every time-bucketed
+# or sequence-ordered plan in this module EXCLUDES it. For plans built
+# on Spark's window()/session_window()/posexplode(sequence(...)) the
+# exclusion is Spark's own semantics (null-ts rows never enter a
+# window) and only the oracle needs the matching WHERE ts IS NOT NULL;
+# for gaps-and-islands / lag-ordered plans Spark would otherwise sort
+# NULL ts FIRST while DuckDB sorts it LAST (divergent sequence
+# boundaries — the r16 staggered-null census), so those filter
+# explicitly on BOTH sides.
+
 # ------------------------------------------------------------ tumbling
 
 
@@ -46,6 +57,7 @@ SELECT date_trunc('hour', ts) AS window_start, event_type,
        COUNT(*) AS n_events,
        {_SUM_VALUE_SQL}
 FROM events
+WHERE ts IS NOT NULL
 GROUP BY 1, 2
 ORDER BY window_start, event_type
 """
@@ -86,6 +98,7 @@ WITH exploded AS (
              * INTERVAL 1 SECOND AS window_start,
          value
   FROM events, UNNEST([0, 1]) AS u(o)
+  WHERE ts IS NOT NULL
 )
 SELECT window_start, n_events,
        ((sum_cents * 100) // n_events) / 10000.0 AS avg_value
@@ -170,12 +183,16 @@ EVENTS_WINDOWED_TOPK_SQL = """
 WITH counts AS (
   SELECT date_trunc('hour', ts) AS window_start, event_type, COUNT(*) AS n
   FROM events
+  WHERE ts IS NOT NULL
   GROUP BY 1, 2
 ),
 ranked AS (
+  -- NULLS FIRST mirrors Spark's ASC default: event_type is nullable
+  -- and feeds a rank, so the tie-break convention is value-relevant
+  -- (r17 ordering contract, VERDICT r16 item 2)
   SELECT window_start, event_type, n,
          ROW_NUMBER() OVER (PARTITION BY window_start
-                            ORDER BY n DESC, event_type ASC) AS rk
+                            ORDER BY n DESC, event_type ASC NULLS FIRST) AS rk
   FROM counts
 )
 SELECT window_start, CAST(rk AS INT) AS rk, event_type, n
@@ -215,6 +232,7 @@ WITH flagged AS (
                OR epoch(ts) - epoch(LAG(ts) OVER w) >= 1800
               THEN 1 ELSE 0 END AS new_session
   FROM events
+  WHERE ts IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
 ),
 numbered AS (
@@ -658,6 +676,7 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 ROLLING_ACTIVE_SQL = """
 WITH du AS (
   SELECT DISTINCT epoch_us(ts) // 86400000000 AS d, user_id FROM events
+  WHERE ts IS NOT NULL
 ),
 expanded AS (
   SELECT du.d + u.i AS anchor, du.user_id, u.i

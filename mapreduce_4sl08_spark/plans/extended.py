@@ -639,7 +639,7 @@ def map_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MAP_FUNCS_SQL = """
 SELECT event_id,
-       'k' AS prop_keys,
+       CASE WHEN props IS NULL THEN NULL ELSE 'k' END AS prop_keys,
        CAST(json_extract_string(props, '$.k') AS INT) AS k_value,
        LENGTH(event_type)::INT AS type_len
 FROM events

@@ -50,6 +50,18 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     # 1-3 + ADVICE items 1-2): every query whose plan or oracle changes
     # for the null-value / NULLS-ordering contracts is appended here in
     # the SAME commit as the change.
+    #
+    # Oracle-only alignments (Spark already defines the contract —
+    # window()/session_window()/posexplode drop null-ts / null-array
+    # rows; the oracles gain the matching WHERE, plus the prop_keys
+    # NULL-props CASE in map_functions_showcase):
+    "events_tumbling_hourly",
+    "events_sliding_windows",
+    "events_windowed_topk",
+    "events_session_window_native",
+    "rolling_active_users",
+    "map_functions_showcase",
+    "text_token_positions",
 )
 
 _HISTORY_PATH = Path(__file__).with_name("checked_history.json")

@@ -63,7 +63,7 @@ def text_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
 TOKEN_POSITIONS_SQL = r"""
 SELECT doc_id, CAST(i - 1 AS INT) AS pos, toks[i] AS token
 FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
-      FROM documents),
+      FROM documents WHERE text IS NOT NULL),
      UNNEST(range(1, LEAST(len(toks), 5) + 1)) AS u(i)
 ORDER BY doc_id, pos
 """
