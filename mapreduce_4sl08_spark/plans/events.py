@@ -116,7 +116,9 @@ ORDER BY window_start
 
 
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = t(spark, sf_dir, "events")
+    # null-ts contract (module note above): sequence boundaries are
+    # undefined for an event with no time — exclude on BOTH sides
+    e = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts", 1).over(w))
     sessions = (
@@ -143,6 +145,7 @@ WITH flagged AS (
                OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800
               THEN 1 ELSE 0 END AS new_session
   FROM events
+  WHERE ts IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
 ),
 numbered AS (
@@ -716,7 +719,11 @@ SPECS.append(
 
 
 def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = t(spark, sf_dir, "events")
+    # null-ts contract (module note above): a transition is ordered by
+    # ts, so null-ts events are excluded on BOTH sides; a NULL
+    # event_type with a live ts stays — both engines group it as its
+    # own to_type (from_type NULL rows are already filtered below)
+    e = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = e.select(
         "user_id",
@@ -744,6 +751,7 @@ WITH seq AS (
            PARTITION BY user_id ORDER BY ts, event_id) AS from_type,
          event_type AS to_type
   FROM events
+  WHERE ts IS NOT NULL
 ),
 trans AS (
   SELECT from_type, to_type, COUNT(*) AS n
@@ -779,7 +787,12 @@ SPECS.append(
 
 
 def session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = t(spark, sf_dir, "events")
+    # null contract (module note above): paths are ts-ordered strings
+    # of event types, so rows missing EITHER are excluded on both
+    # sides — keeping null-type steps would hinge the path string on
+    # engine-specific null-skipping in array_join vs string_agg
+    e = t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull())
     w = Window.partitionBy("user_id").orderBy(
         F.col("ts").asc(), F.col("event_id").asc())
     gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts", 1).over(w))
@@ -814,6 +827,7 @@ WITH flagged AS (
                OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800
               THEN 1 ELSE 0 END AS new_session
   FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
 ),
 numbered AS (
@@ -1089,7 +1103,10 @@ SPECS.append(
 
 
 def daily_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = t(spark, sf_dir, "events")
+    # null-ts contract (module note above): "active on day NULL" is not
+    # a cohort — excluded on BOTH sides (Spark would otherwise keep a
+    # NULL day group whose new/returning split the engines disagree on)
+    e = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     du = (e.select("user_id",
                    F.date_trunc("DAY", F.col("ts")).alias("day"))
           .distinct())
@@ -1108,6 +1125,7 @@ def daily_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
 NEW_RETURNING_SQL = """
 WITH du AS (
   SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+  WHERE ts IS NOT NULL
 ),
 flagged AS (
   SELECT day,

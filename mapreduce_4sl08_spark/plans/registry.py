@@ -62,6 +62,18 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     "rolling_active_users",
     "map_functions_showcase",
     "text_token_positions",
+    # Both-sides null contracts (plan AND oracle change — fingerprint
+    # drift expected): sequence/argmax/rank plans where a null ts (or
+    # null event_type in the path case, null price in the percentile
+    # case) would otherwise sort FIRST in Spark but LAST in DuckDB, or
+    # pick divergent argmax/percentile elements:
+    "events_sessionize",
+    "events_transition_matrix",
+    "scd2_status_history",
+    "daily_new_vs_returning",
+    "latest_event_per_user",
+    "session_path_topk",
+    "approx_percentile_check",
 )
 
 _HISTORY_PATH = Path(__file__).with_name("checked_history.json")

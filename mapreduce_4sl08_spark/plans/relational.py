@@ -1492,8 +1492,14 @@ ORDER BY c_nationkey
 
 def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep-latest dedup via max_by (argmax) — the standard CDC/upsert
-    compaction shape: one aggregation, no window sort."""
-    e = t(spark, sf_dir, "events")
+    compaction shape: one aggregation, no window sort.
+
+    Null-ts contract (r17, VERDICT r16 item 1): "latest" is undefined
+    for an event with no time, so null-ts events are excluded on BOTH
+    sides (Spark max_by and DuckDB arg_max disagree on NULL ordering
+    keys — the r16 same-row census surfaced a NULL last_event_id from
+    the oracle where Spark still picked a row)."""
+    e = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     # deterministic argmax key: fixed-width (ts, event_id) string —
     # lexicographic order == numeric order, portable across engines
     key = F.format_string("%020d%010d", F.unix_micros("ts"), F.col("event_id"))
@@ -1514,6 +1520,7 @@ SELECT user_id,
        MAX(ts) AS last_ts,
        arg_max(event_type, printf('%020d%010d', epoch_us(ts), event_id)) AS last_type
 FROM events
+WHERE ts IS NOT NULL
 GROUP BY user_id
 ORDER BY user_id
 """

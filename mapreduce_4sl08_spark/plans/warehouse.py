@@ -35,8 +35,16 @@ def scd2_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     running-version windows, then the interval agg shuffles on
     (user_id, version). No join, no driver-side state; at 100 TB the
     single hash partitioning on user_id carries the whole query.
+
+    Null-ts contract (r17, VERDICT r16 item 1): effectivity intervals
+    are ts-ordered, and a null-ts event would sort FIRST in Spark but
+    LAST in DuckDB (divergent version boundaries — the r16
+    staggered-null census), so null-ts events are excluded on BOTH
+    sides. A NULL event_type with a live ts stays: both engines treat
+    it as its own status run (lag <> NULL never flags a change, and
+    the run's MIN(event_type) skips NULLs identically).
     """
-    e = t(spark, sf_dir, "events")
+    e = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("event_type").over(w)
     chg = F.when(prev.isNull() | (prev != F.col("event_type")), 1).otherwise(0)
@@ -68,6 +76,7 @@ WITH seq AS (
                 OR lag(event_type) OVER w <> event_type
               THEN 1 ELSE 0 END AS chg
   FROM events
+  WHERE ts IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 runs AS (
@@ -443,10 +452,18 @@ def approx_percentile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic within-2%-tolerance boolean per percentile; the oracle
     computes the exact values and literal TRUE. The exact element is
     picked by pure integer rank arithmetic — ``(p*(n-1)) div 100 + 1`` —
-    so no float interpolation can drift between engines."""
+    so no float interpolation can drift between engines.
+
+    Null contract (r17, ADVICE r16 item 2): NULL prices are excluded
+    from the rank on BOTH sides and n counts live prices only —
+    ranking them would hinge the percentile pick on Spark's
+    NULLS-FIRST vs DuckDB's NULLS-LAST ASC default (the r16 staggered
+    census caught exactly that divergence). A NULL flag group with
+    live prices still flows through the eqNullSafe rejoin below."""
     li = t(spark, sf_dir, "lineitem")
     cents = F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
-    base = li.select(F.col("l_returnflag").alias("flag"), cents.alias("cents"))
+    base = (li.filter(F.col("l_extendedprice").isNotNull())
+            .select(F.col("l_returnflag").alias("flag"), cents.alias("cents")))
     w = Window.partitionBy("flag").orderBy("cents")
     ranked = (
         base.withColumn("rn", F.row_number().over(w))
@@ -493,6 +510,7 @@ WITH base AS (
   SELECT l_returnflag AS flag,
          CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
   FROM lineitem
+  WHERE l_extendedprice IS NOT NULL
 ),
 ranked AS (
   SELECT flag, cents,
