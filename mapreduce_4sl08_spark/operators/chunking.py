@@ -31,9 +31,15 @@ class ChunkText:
         # tokenizer contract (functions.TOKEN_SPLIT_RE via Java regex,
         # and the DuckDB oracles via RE2 '\s+') is ASCII whitespace
         # only. NBSP is routine in scraped web text, so the engines
-        # disagreed on real-world chunk counts.
+        # disagreed on real-world chunk counts. The strip set is ASCII
+        # too (r17, ADVICE r16 item 1): an argless .strip() eats a
+        # leading NBSP / ideographic space that the splitter would
+        # keep, so boundary and interior whitespace obeyed different
+        # contracts; CHUNKING_SQL mirrors this exact trim set and the
+        # empty-token filter.
         import re
-        tokens = re.split(r"\s+", text.strip().lower(), flags=re.ASCII)
+        tokens = re.split(r"\s+", text.strip(" \t\n\r\f\v").lower(),
+                          flags=re.ASCII)
         tokens = [t for t in tokens if t]
         if not tokens:
             return

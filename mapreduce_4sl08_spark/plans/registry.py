@@ -74,6 +74,58 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     "latest_event_per_user",
     "session_path_topk",
     "approx_percentile_check",
+    # ASCII-trim oracle contract (r17 boundary-whitespace census):
+    # DuckDB's bare trim() strips the Unicode Zs set (NBSP, U+3000)
+    # where Spark's F.trim strips ASCII 0x20 only — divergent token
+    # values ALWAYS, and divergent token counts when an NBSP abuts an
+    # ASCII space at a text boundary. Every oracle's bare trim is now
+    # trim(x, ' '); provably a no-op on the all-ASCII driver fixtures,
+    # re-proven per the changed-row ritual regardless. The chunking
+    # UDTF additionally aligned its boundary strip to the same ASCII
+    # set with the oracle mirroring its empty-token filter (ADVICE r16
+    # item 1):
+    "text_chunking_udtf",
+    "array_functions_showcase",
+    "bigram_surprisal_score",
+    "boilerplate_template_clusters",
+    "cluster_best_survivor",
+    "corpus_curation_pipeline",
+    "decontamination_overlap",
+    "dedup_cluster_stats",
+    "dedup_connected_components",
+    "dedup_cross_source_matrix",
+    "dedup_exact_documents",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "doc_fingerprint",
+    "docs_with_embeddings",
+    "langid_confusion_matrix",
+    "lexical_diversity_stats",
+    "minhash_recall_eval",
+    "mixture_sampling_weights",
+    "mixture_weighted_sample",
+    "near_dup_containment",
+    "oov_rate_by_lang",
+    "quality_rules_audit",
+    "sequence_packing_bins",
+    "simhash_dedup",
+    "source_dup_quality_audit",
+    "source_mix_report",
+    "span_dedup_report",
+    "text_bigram_top20",
+    "text_language_id",
+    "text_quality_score",
+    "text_repetition_stats",
+    "text_token_stats",
+    "tfidf_top_terms",
+    "token_budget_selection",
+    "token_pmi_top_pairs",
+    "tokenizer_fertility_by_lang",
+    "unigram_rarity_score",
+    "vocab_growth_curve",
+    "winnowing_fingerprints",
+    "wordcount_documents",
+    "zipf_rank_frequency",
 )
 
 _HISTORY_PATH = Path(__file__).with_name("checked_history.json")

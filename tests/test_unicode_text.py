@@ -39,6 +39,21 @@ STRESS = [
     "مرحبا بالعالم rtl test",
     "combining á é ö marks",
     "zero\u200bwidth and\xa0nbsp spaced",  # explicit ZWSP + NBSP escapes
+    # boundary whitespace (r17, ADVICE r16 item 1): leading NBSP and
+    # trailing newline/tab are exactly where a Unicode-aware strip()
+    # and an ASCII trim diverge \u2014 the interior-NBSP case above cannot
+    # catch it
+    "\xa0leading nbsp boundary token\n",
+    "trailing tab boundary\t",
+    "\u3000ideographic space boundary\u3000",
+    # NBSP adjacent to an ASCII space at the boundary: DuckDB's bare
+    # trim() eats BOTH (Unicode Zs set) where Spark's F.trim eats only
+    # the 0x20 \u2014 this changes token COUNTS, not just token values, so
+    # it pins the oracle-side trim(x, ' ') contract for every
+    # count-based query too
+    "\xa0 nbsp-space mixed lead",
+    "nbsp-space mixed tail \xa0",
+    "\u3000",  # all-whitespace (Unicode) document
 ]
 
 
