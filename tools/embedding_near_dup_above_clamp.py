@@ -78,11 +78,14 @@ def main() -> int:
     phys = df._jdf.queryExecution().executedPlan().toString()
     pushed = [ln.strip() for ln in phys.splitlines()
               if "Filter" in ln and f"% {k})" in ln]
-    n_joins = sum("Join" in ln and "BuildRight" not in ln or "SortMergeJoin" in ln
-                  for ln in phys.splitlines())
     print(f"scope filter instances in physical plan: {len(pushed)}")
     for ln in pushed[:4]:
         print(f"  {ln[:160]}")
+    if not pushed:
+        # fail LOUDLY (ADVICE r16 item 5): a silent zero here would let
+        # a filter-pushdown regression masquerade as evidence
+        sys.exit("FAIL: probe-scope filter did not reach the physical "
+                 "plan — pushdown regressed")
 
     t0 = time.time()
     rows = df.count()
