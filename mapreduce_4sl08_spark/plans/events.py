@@ -436,9 +436,16 @@ def events_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns are derived here in exact BIGINT arithmetic: half-up at
     100 µs granularity is ``(a + b/2) div b`` on non-negative ints, so
     both engines compute the identical integer before the one final
-    exact-by-construction ``/ 10000.0``."""
+    exact-by-construction ``/ 10000.0``.
+
+    Null-ts contract (module note above): spans/gaps are over TIMED
+    events only, excluded on BOTH sides — an all-null-ts user would
+    otherwise get span 0 from the NaT-masked grouped op but NULL from
+    the oracle's epoch(MAX(ts)), and a mixed user's lag-delta pairs
+    would hinge on NULLS FIRST/LAST. The grouped operators keep their
+    own NaT masking as defense in depth for direct callers."""
     from ..operators.grouped import user_session_features_fast
-    e = t(spark, sf_dir, "events")
+    e = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     feats = user_session_features_fast(e)
     # greatest(n-1, 1) guards the n_events==1 row (span_us is 0 there,
     # so the guarded quotient is 0 — no CASE needed, no ANSI div-by-0)
@@ -463,6 +470,7 @@ WITH ordered AS (
          ABS(value - LAG(value) OVER (PARTITION BY user_id
                                       ORDER BY ts ASC, event_id ASC)) AS vdelta
   FROM events
+  WHERE ts IS NOT NULL
 ),
 agg AS (
   SELECT user_id, COUNT(*) AS n_events,

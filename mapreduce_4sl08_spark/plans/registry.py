@@ -74,6 +74,7 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     "latest_event_per_user",
     "session_path_topk",
     "approx_percentile_check",
+    "events_user_features",
     # ASCII-trim oracle contract (r17 boundary-whitespace census):
     # DuckDB's bare trim() strips the Unicode Zs set (NBSP, U+3000)
     # where Spark's F.trim strips ASCII 0x20 only — divergent token
