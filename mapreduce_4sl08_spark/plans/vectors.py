@@ -155,6 +155,21 @@ ORDER BY query_id, rk
 # logs/lsh_iid_overdispersion_r16.txt), so the copy structure
 # contributed ~2 % and capacity plans must carry ρ. Analytic table
 # past the clamp: tools/lsh_occupancy_probe.py --analytic.
+#
+# VERIFY-STAGE PRICE OF THE SCHEDULE (r17; VERDICT r16 item 5): the
+# +8-tables rule makes exact-cosine verify work grow ~(2·L'/L)× per
+# corpus doubling past the clamp — ×5.3 at the first doubling,
+# settling toward ×4 (table: logs/lsh_capacity_verify_r17.txt, with
+# FLOPs and shuffle TiB columns at 2·dim FLOPs / 528 B per candidate
+# pair). Once verify dominates, growing the key space past 2^16
+# (w = 17..20) with multi-probe beats adding tables — each w bit
+# halves cand/vec while multi-probe recovers per-table recall with
+# cheap neighbor-key LOOKUPS, not dot products. This repo keeps the
+# table schedule through k ≤ 3 doublings (n ≤ 67M) because every band
+# key stays a deterministic pure function both engines derive from
+# COUNT(*); the multi-probe neighbor set (a per-vector margin sort)
+# has no tractable DuckDB mirror, so past k = 3 the documented path is
+# Spark-side w=20 + multi-probe with a sampled oracle.
 
 _N_PLANES = 64         # plane count in the w=4 floor regime (w·L)
 _BAND_W = 4            # MINIMUM width — the small-corpus recall floor

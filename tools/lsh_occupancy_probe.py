@@ -56,6 +56,17 @@ def band_dispersion(w: int, dim: int = 64, steps: int = 2_000_001) -> float:
     return p * 2.0 ** w
 
 
+#: verify-stage unit costs (VERDICT r16 item 5): each surviving
+#: candidate pair is one exact cosine — 2·dim FLOPs of dot product
+#: (norms are precomputed once per vector, amortized to nothing) — and
+#: one shuffled join row carrying both float32 embeddings plus ids
+#: (2 · (4·dim + 8) bytes; Tungsten row overhead adds ~10 %, ignored
+#: here as the estimate is already conservative via the pair UPPER
+#: bound rho·L·n·E[bucket]/2 before dedup).
+_VERIFY_FLOPS_PER_PAIR = 2 * 64
+_VERIFY_BYTES_PER_PAIR = 2 * (4 * 64 + 8)
+
+
 def analytic_table() -> int:
     from mapreduce_4sl08_spark.plans.vectors import (
         _BUCKET_TARGET, _MAX_BAND_W, lsh_params)
@@ -63,20 +74,51 @@ def analytic_table() -> int:
     clamp_n = _BUCKET_TARGET * 2 ** _MAX_BAND_W
     print(f"design point cos=0.9 (q={q:.4f}); clamp at n={clamp_n:,}; "
           f"candidate columns include the i.i.d.-direction dispersion "
-          f"rho(w, dim=64)")
+          f"rho(w, dim=64); verify columns price the exact-cosine stage "
+          f"(2*dim FLOPs and {_VERIFY_BYTES_PER_PAIR} B of join shuffle "
+          f"per candidate pair)")
     print(f"{'n':>15} {'w':>3} {'L':>3} {'rho':>6} {'E[bucket]':>10} "
-          f"{'cand/vec':>10} {'cand total':>12} {'recall@.9':>9}")
+          f"{'cand/vec':>10} {'cand total':>12} {'recall@.9':>9} "
+          f"{'verifyTFLOP':>11} {'shuffleTiB':>10} {'x/dbl':>6}")
     ns = ([2_000, 20_000, 200_000, 2_000_000, clamp_n]
           + [clamp_n * 2 ** k + 1 for k in range(0, 5)])
     rho_cache: dict[int, float] = {}
+    prev_pairs = None
     for n in ns:
         w, L = lsh_params(n)
         rho = rho_cache.setdefault(w, band_dispersion(w))
         eb = n / 2 ** w
         recall = 1 - (1 - q ** w) ** L
+        pairs = rho * L * n * eb / 2
+        growth = f"{pairs / prev_pairs:>6.2f}" if prev_pairs else f"{'':>6}"
+        prev_pairs = pairs if n > clamp_n else None  # ratio only per
+        # above-clamp doubling (the +1 rows step n by exactly 2x)
         print(f"{n:>15,} {w:>3} {L:>3} {rho:>6.3f} {eb:>10.1f} "
-              f"{rho * L * eb:>10.0f} {rho * L * n * eb / 2:>12.3g} "
-              f"{recall:>9.3f}")
+              f"{rho * L * eb:>10.0f} {pairs:>12.3g} {recall:>9.3f} "
+              f"{pairs * _VERIFY_FLOPS_PER_PAIR / 1e12:>11.3g} "
+              f"{pairs * _VERIFY_BYTES_PER_PAIR / 2 ** 40:>10.3g} "
+              f"{growth}")
+    print(
+        "\nabove the clamp, verify grows ~(2*L'/L)x per corpus doubling\n"
+        "(n doubles AND L gains 8 tables): x5.3 at the first doubling,\n"
+        "settling toward x4 — super-quadratic by design, because the\n"
+        "+8-tables schedule spends part of the forced occupancy growth\n"
+        "on recall. The alternative once VERIFY dominates: grow the\n"
+        "band-key space past 2^16 (w=17..20) and recover the lost\n"
+        "per-table recall (q^w shrinks ~0.86x per bit) with multi-probe\n"
+        "— probing the T lowest-margin neighbor keys costs T extra\n"
+        "band-join LOOKUPS per vector (no dot products), while every\n"
+        "extra w bit HALVES E[bucket] and so cand/vec. At k doublings\n"
+        "past the clamp the schedules price as (16+8k)*2^k (tables) vs\n"
+        "~constant cand/vec (w growth + multi-probe): the crossover is\n"
+        "immediate in FLOPs, but this repo keeps the table schedule\n"
+        "through k<=3 (n<=67M, <=3.4e12 pairs) because every band key\n"
+        "stays a pure deterministic function both engines derive from\n"
+        "COUNT(*) — the multi-probe neighbor-key set (per-vector margin\n"
+        "sort) has no tractable DuckDB mirror, so past k=3 the honest\n"
+        "path is w=20 + multi-probe on the Spark side with a sampled\n"
+        "(not exhaustive) oracle, priced here so the switch is a\n"
+        "decision, not a surprise.")
     return 0
 
 
