@@ -29,8 +29,9 @@ class ChunkText:
         # argless split treats ANY Unicode whitespace — NBSP U+00A0,
         # ideographic space — as a separator, while the repo-wide
         # tokenizer contract (functions.TOKEN_SPLIT_RE via Java regex,
-        # and the DuckDB oracles via RE2 '\s+') is ASCII whitespace
-        # only. NBSP is routine in scraped web text, so the engines
+        # and the DuckDB oracles via the spelled-out class
+        # [ \t\n\x0b\f\r]+, since RE2's \s lacks \x0B) is ASCII
+        # whitespace only. NBSP is routine in scraped web text, so the engines
         # disagreed on real-world chunk counts. The strip set is ASCII
         # too (r17, ADVICE r16 item 1): an argless .strip() eats a
         # leading NBSP / ideographic space that the splitter would

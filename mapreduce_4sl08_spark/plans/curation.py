@@ -82,7 +82,7 @@ def sequence_packing_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEQUENCE_PACKING_SQL = rf"""
 WITH docs AS (
   SELECT doc_id, lang,
-         len(regexp_split_to_array(trim(text, ' '), '\s+'))::BIGINT AS n_tok
+         len(regexp_split_to_array(trim(text, ' '), '[ \t\n\x0b\f\r]+'))::BIGINT AS n_tok
   FROM documents
 ),
 c AS (
@@ -123,7 +123,7 @@ def mixture_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 MIXTURE_WEIGHTS_SQL = r"""
 WITH per AS (
   SELECT lang, COUNT(*) AS n_docs,
-         SUM(len(regexp_split_to_array(trim(text, ' '), '\s+'))::BIGINT)::BIGINT AS n_tokens
+         SUM(len(regexp_split_to_array(trim(text, ' '), '[ \t\n\x0b\f\r]+'))::BIGINT)::BIGINT AS n_tokens
   FROM documents
   GROUP BY lang
 )
@@ -161,15 +161,15 @@ def source_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 SOURCE_MIX_SQL = r"""
 WITH per_doc AS (
   SELECT source, lang,
-         len(regexp_split_to_array(trim(text, ' '), '\s+'))::BIGINT AS n_tok,
+         len(regexp_split_to_array(trim(text, ' '), '[ \t\n\x0b\f\r]+'))::BIGINT AS n_tok,
          CAST(ROUND((
-             (CASE WHEN len(regexp_split_to_array(trim(text, ' '), '\s+')) >= 20
+             (CASE WHEN len(regexp_split_to_array(trim(text, ' '), '[ \t\n\x0b\f\r]+')) >= 20
                    THEN 0.4 ELSE 0.0 END)
-           + (CASE WHEN length(text) / len(regexp_split_to_array(trim(text, ' '), '\s+'))
+           + (CASE WHEN length(text) / len(regexp_split_to_array(trim(text, ' '), '[ \t\n\x0b\f\r]+'))
                    BETWEEN 3 AND 12 THEN 0.3 ELSE 0.0 END)
-           + LEAST(ROUND(len(list_filter(regexp_split_to_array(trim(lower(text), ' '), '\s+'),
+           + LEAST(ROUND(len(list_filter(regexp_split_to_array(trim(lower(text), ' '), '[ \t\n\x0b\f\r]+'),
                    x -> x IN ('the','a','of','and','to','in','is')))
-                   / len(regexp_split_to_array(trim(text, ' '), '\s+')), 4), 0.3)
+                   / len(regexp_split_to_array(trim(text, ' '), '[ \t\n\x0b\f\r]+')), 4), 0.3)
          ) * 10000) AS BIGINT) AS q_e4
   FROM documents
 )
@@ -217,7 +217,7 @@ sh AS (
   FROM (
     SELECT doc_id,
            array_to_string(toks[i:i+2], ' ') AS shingle
-    FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text, ' ')), '\s+') AS toks
+    FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text, ' ')), '[ \t\n\x0b\f\r]+') AS toks
           FROM documents),
          UNNEST(range(1, len(toks) - 1)) AS u(i)
     WHERE len(toks) >= 3
@@ -241,7 +241,13 @@ ORDER BY doc_a, doc_b
 # (DuckDB) agree. Token counting at this granularity is the first step
 # of every BPE training/accounting pass.
 
-_BPE_PRETOKEN_RE = r"(?:'s|'t|'re|'ve|'m|'ll|'d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+# whitespace spelled out, not \s (r17): this one pattern string is
+# shared VERBATIM by Spark (Java regex) and the oracle (RE2), and the
+# dialects disagree on \s — Java includes \x0B (vertical tab), RE2
+# does not — so an interior \v would land inside an RE2 punct run but
+# break a Java one. The explicit class means the same set in both.
+_BPE_PRETOKEN_RE = (r"(?:'s|'t|'re|'ve|'m|'ll|'d)"
+                    r"| ?\p{L}+| ?\p{N}+| ?[^ \t\n\x0b\f\r\p{L}\p{N}]+")
 _BPE_TOP_K = 50
 
 
@@ -422,13 +428,13 @@ def _survivor_sql() -> str:
     quality_e4 = """
   SELECT doc_id,
          CAST(ROUND((
-             (CASE WHEN len(regexp_split_to_array(trim(text, ' '), '\\s+')) >= 20
+             (CASE WHEN len(regexp_split_to_array(trim(text, ' '), '[ \\t\\n\\x0b\\f\\r]+')) >= 20
                    THEN 0.4 ELSE 0.0 END)
-           + (CASE WHEN length(text) / len(regexp_split_to_array(trim(text, ' '), '\\s+'))
+           + (CASE WHEN length(text) / len(regexp_split_to_array(trim(text, ' '), '[ \\t\\n\\x0b\\f\\r]+'))
                    BETWEEN 3 AND 12 THEN 0.3 ELSE 0.0 END)
-           + LEAST(ROUND(len(list_filter(regexp_split_to_array(trim(lower(text), ' '), '\\s+'),
+           + LEAST(ROUND(len(list_filter(regexp_split_to_array(trim(lower(text), ' '), '[ \\t\\n\\x0b\\f\\r]+'),
                    x -> x IN ('the','a','of','and','to','in','is')))
-                   / len(regexp_split_to_array(trim(text, ' '), '\\s+')), 4), 0.3)
+                   / len(regexp_split_to_array(trim(text, ' '), '[ \\t\\n\\x0b\\f\\r]+')), 4), 0.3)
          ) * 10000) AS BIGINT) AS q_e4
   FROM documents
 """
@@ -486,15 +492,15 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 TOKEN_BUDGET_SQL = rf"""
 WITH per_doc AS (
   SELECT lang, doc_id,
-         len(regexp_split_to_array(trim(text, ' '), '\s+'))::BIGINT AS n_tok,
+         len(regexp_split_to_array(trim(text, ' '), '[ \t\n\x0b\f\r]+'))::BIGINT AS n_tok,
          CAST(ROUND((
-             (CASE WHEN len(regexp_split_to_array(trim(text, ' '), '\s+')) >= 20
+             (CASE WHEN len(regexp_split_to_array(trim(text, ' '), '[ \t\n\x0b\f\r]+')) >= 20
                    THEN 0.4 ELSE 0.0 END)
-           + (CASE WHEN length(text) / len(regexp_split_to_array(trim(text, ' '), '\s+'))
+           + (CASE WHEN length(text) / len(regexp_split_to_array(trim(text, ' '), '[ \t\n\x0b\f\r]+'))
                    BETWEEN 3 AND 12 THEN 0.3 ELSE 0.0 END)
-           + LEAST(ROUND(len(list_filter(regexp_split_to_array(trim(lower(text), ' '), '\s+'),
+           + LEAST(ROUND(len(list_filter(regexp_split_to_array(trim(lower(text), ' '), '[ \t\n\x0b\f\r]+'),
                    x -> x IN ('the','a','of','and','to','in','is')))
-                   / len(regexp_split_to_array(trim(text, ' '), '\s+')), 4), 0.3)
+                   / len(regexp_split_to_array(trim(text, ' '), '[ \t\n\x0b\f\r]+')), 4), 0.3)
          ) * 10000) AS BIGINT) AS q_e4
   FROM documents
 ),
@@ -570,7 +576,7 @@ def mixture_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 MIXTURE_SAMPLE_SQL = r"""
 WITH per AS (
   SELECT lang, COUNT(*) AS n_docs,
-         SUM(len(regexp_split_to_array(trim(text, ' '), '\s+'))::BIGINT)::BIGINT AS n_tokens
+         SUM(len(regexp_split_to_array(trim(text, ' '), '[ \t\n\x0b\f\r]+'))::BIGINT)::BIGINT AS n_tokens
   FROM documents
   GROUP BY lang
 ),
@@ -583,7 +589,7 @@ rates AS (
 ),
 keep AS (
   SELECT d.lang,
-         len(regexp_split_to_array(trim(d.text, ' '), '\s+'))::BIGINT AS n_tok
+         len(regexp_split_to_array(trim(d.text, ' '), '[ \t\n\x0b\f\r]+'))::BIGINT AS n_tok
   FROM documents d
   JOIN rates USING (lang)
   WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT % 1000000 < rate_ppm
@@ -762,16 +768,16 @@ WITH base AS (
   SELECT source,
          md5(lower(trim(text, ' '))) AS h,
          CAST(ROUND(ROUND(
-             (CASE WHEN len(regexp_split_to_array(trim(text, ' '), '\s+')) >= 20
+             (CASE WHEN len(regexp_split_to_array(trim(text, ' '), '[ \t\n\x0b\f\r]+')) >= 20
                    THEN 0.4 ELSE 0.0 END)
            + (CASE WHEN length(text)
-                        / len(regexp_split_to_array(trim(text, ' '), '\s+'))
+                        / len(regexp_split_to_array(trim(text, ' '), '[ \t\n\x0b\f\r]+'))
                    BETWEEN 3 AND 12 THEN 0.3 ELSE 0.0 END)
            + LEAST(ROUND(
                  len(list_filter(
-                       regexp_split_to_array(trim(lower(text), ' '), '\s+'),
+                       regexp_split_to_array(trim(lower(text), ' '), '[ \t\n\x0b\f\r]+'),
                        x -> x IN ('the','a','of','and','to','in','is')))
-                 / len(regexp_split_to_array(trim(text, ' '), '\s+')), 4),
+                 / len(regexp_split_to_array(trim(text, ' '), '[ \t\n\x0b\f\r]+')), 4),
                0.3), 4) * 10000) AS BIGINT) AS q_e4
   FROM documents
 ),

@@ -174,7 +174,7 @@ def array_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ARRAY_FUNCS_SQL = r"""
 WITH base AS (
-  SELECT doc_id, regexp_split_to_array(trim(lower(text), ' '), '\s+') AS toks
+  SELECT doc_id, regexp_split_to_array(trim(lower(text), ' '), '[ \t\n\x0b\f\r]+') AS toks
   FROM documents
 )
 SELECT doc_id,
@@ -316,7 +316,7 @@ SIMHASH_SQL = rf"""
 WITH toks AS (
   SELECT DISTINCT doc_id, token
   FROM (SELECT doc_id,
-               UNNEST(regexp_split_to_array(trim(lower(text), ' '), '\s+')) AS token
+               UNNEST(regexp_split_to_array(trim(lower(text), ' '), '[ \t\n\x0b\f\r]+')) AS token
         FROM documents)
   WHERE token <> ''
 ),
@@ -365,7 +365,7 @@ def text_bigram_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BIGRAM_SQL = r"""
 SELECT array_to_string(toks[i:i+1], ' ') AS bigram, COUNT(*) AS n
-FROM (SELECT regexp_split_to_array(trim(lower(text), ' '), '\s+') AS toks
+FROM (SELECT regexp_split_to_array(trim(lower(text), ' '), '[ \t\n\x0b\f\r]+') AS toks
       FROM documents),
      UNNEST(range(1, len(toks))) AS u(i)
 WHERE len(toks) >= 2
@@ -397,7 +397,7 @@ def docs_with_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DOCS_EMB_SQL = r"""
 SELECT doc_id, lang, label,
-       len(regexp_split_to_array(trim(text, ' '), '\s+'))::INT AS n_tokens,
+       len(regexp_split_to_array(trim(text, ' '), '[ \t\n\x0b\f\r]+'))::INT AS n_tokens,
        ROUND(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 4) AS emb_norm
 FROM documents
 JOIN embeddings ON doc_id = vec_id AND embedding IS NOT NULL

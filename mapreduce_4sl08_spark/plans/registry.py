@@ -127,6 +127,11 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     "winnowing_fingerprints",
     "wordcount_documents",
     "zipf_rank_frequency",
+    # \s-dialect closure (r17, same census): Java \s includes \x0B,
+    # RE2 \s does not — oracles now spell the class out; the shared
+    # BPE pretokenizer pattern changed on BOTH sides (fingerprint
+    # drift expected for it alone):
+    "bpe_pretokenize_counts",
 )
 
 _HISTORY_PATH = Path(__file__).with_name("checked_history.json")

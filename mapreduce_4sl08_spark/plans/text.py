@@ -35,7 +35,7 @@ def wordcount_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 WORDCOUNT_SQL = r"""
 WITH toks AS (
   SELECT lower(regexp_replace(tok, '\W', '', 'g')) AS word
-  FROM documents, UNNEST(regexp_split_to_array(trim(text, ' '), '\s+')) AS u(tok)
+  FROM documents, UNNEST(regexp_split_to_array(trim(text, ' '), '[ \t\n\x0b\f\r]+')) AS u(tok)
 )
 SELECT word, COUNT(*) AS count
 FROM toks
@@ -67,7 +67,7 @@ def text_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # count-only queries are insensitive to this, values are not)
 TOKEN_POSITIONS_SQL = r"""
 SELECT doc_id, CAST(i - 1 AS INT) AS pos, toks[i] AS token
-FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text), ' '), '\s+') AS toks
+FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text), ' '), '[ \t\n\x0b\f\r]+') AS toks
       FROM documents WHERE text IS NOT NULL),
      UNNEST(range(1, LEAST(len(toks), 5) + 1)) AS u(i)
 ORDER BY doc_id, pos
@@ -96,10 +96,10 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TOKEN_STATS_SQL = r"""
 SELECT doc_id,
-       len(regexp_split_to_array(trim(text, ' '), '\s+'))::INT AS n_tokens,
+       len(regexp_split_to_array(trim(text, ' '), '[ \t\n\x0b\f\r]+'))::INT AS n_tokens,
        length(text)::INT AS n_chars_measured,
-       len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))::INT AS n_subtokens,
-       ROUND(length(text) / len(regexp_split_to_array(trim(text, ' '), '\s+')), 4) AS chars_per_token
+       len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 \t\n\x0b\f\r]'))::INT AS n_subtokens,
+       ROUND(length(text) / len(regexp_split_to_array(trim(text, ' '), '[ \t\n\x0b\f\r]+')), 4) AS chars_per_token
 FROM documents
 ORDER BY doc_id
 """
@@ -134,9 +134,9 @@ RULES_AUDIT_SQL = r"""
 WITH checks AS (
   SELECT doc_id,
          list_sort(list_filter([
-           CASE WHEN NOT (len(regexp_split_to_array(trim(lower(text), ' '), '\s+')) >= 30)
+           CASE WHEN NOT (len(regexp_split_to_array(trim(lower(text), ' '), '[ \t\n\x0b\f\r]+')) >= 30)
                 THEN 'min_tokens' END,
-           CASE WHEN NOT (len(list_intersect(regexp_split_to_array(trim(lower(text), ' '), '\s+'),
+           CASE WHEN NOT (len(list_intersect(regexp_split_to_array(trim(lower(text), ' '), '[ \t\n\x0b\f\r]+'),
                                              ['the', 'a', 'of'])) > 0)
                 THEN 'has_stopword' END,
            CASE WHEN NOT (text <> upper(text)) THEN 'no_all_caps' END,
@@ -182,7 +182,7 @@ WITH sh AS (
          CASE WHEN len(toks) >= 3 THEN
            [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]
          ELSE [] END AS grams
-  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text, ' ')), '\s+') AS toks
+  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text, ' ')), '[ \t\n\x0b\f\r]+') AS toks
         FROM documents)
 )
 SELECT doc_id,
@@ -240,8 +240,8 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUALITY_SQL = r"""
 WITH base AS (
   SELECT doc_id, text,
-         len(regexp_split_to_array(trim(text, ' '), '\s+')) AS n_tok,
-         len(list_filter(regexp_split_to_array(trim(lower(text), ' '), '\s+'),
+         len(regexp_split_to_array(trim(text, ' '), '[ \t\n\x0b\f\r]+')) AS n_tok,
+         len(list_filter(regexp_split_to_array(trim(lower(text), ' '), '[ \t\n\x0b\f\r]+'),
              x -> x IN ('the','a','of','and','to','in','is'))) AS stop_hits,
          length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars
   FROM documents
@@ -305,7 +305,7 @@ def _langid_sql() -> str:
         f"WHEN score_{l} = {best} THEN '{l}'" for l in langs_sorted) + " END"
     return rf"""
 WITH base AS (
-  SELECT doc_id, regexp_split_to_array(trim(lower(text), ' '), '\s+') AS toks
+  SELECT doc_id, regexp_split_to_array(trim(lower(text), ' '), '[ \t\n\x0b\f\r]+') AS toks
   FROM documents
 ),
 scored AS (
@@ -388,7 +388,7 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 WINNOWING_SQL = rf"""
 WITH base AS (
-  SELECT doc_id, regexp_split_to_array(lower(trim(text, ' ')), '\s+') AS toks
+  SELECT doc_id, regexp_split_to_array(lower(trim(text, ' ')), '[ \t\n\x0b\f\r]+') AS toks
   FROM documents
 ),
 grams AS (
@@ -417,7 +417,7 @@ ORDER BY doc_id, fingerprint
 FINGERPRINT_SQL = r"""
 WITH base AS (
   SELECT doc_id, lower(trim(text, ' ')) AS norm,
-         regexp_split_to_array(lower(trim(text, ' ')), '\s+') AS toks
+         regexp_split_to_array(lower(trim(text, ' ')), '[ \t\n\x0b\f\r]+') AS toks
   FROM documents
 ),
 shingled AS (
@@ -691,7 +691,7 @@ WITH sh AS (
   FROM (
     SELECT doc_id,
            array_to_string(toks[i:i+2], ' ') AS shingle
-    FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text, ' ')), '\s+') AS toks
+    FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text, ' ')), '[ \t\n\x0b\f\r]+') AS toks
           FROM documents),
          UNNEST(range(1, len(toks) - 1)) AS u(i)
     WHERE len(toks) >= 3
@@ -836,7 +836,7 @@ _MINHASH_SH_CTE = r"""sh AS (
   SELECT DISTINCT doc_id, shingle
   FROM (
     SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
-    FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text, ' ')), '\s+') AS toks
+    FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text, ' ')), '[ \t\n\x0b\f\r]+') AS toks
           FROM documents),
          UNNEST(range(1, len(toks) - 1)) AS u(i)
     WHERE len(toks) >= 3
@@ -919,7 +919,7 @@ WITH base AS (
            regexp_split_to_array(
              trim(lower(text),
                   ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)),
-             '\s+'),
+             '[ \t\n\x0b\f\r]+'),
            x -> x <> '') AS toks
   FROM documents
 )
@@ -1241,7 +1241,7 @@ SPAN_DEDUP_SQL = rf"""
 WITH occ AS (
   SELECT doc_id,
          md5(array_to_string(toks[i * {_SPAN_TOKENS} + 1 : i * {_SPAN_TOKENS} + {_SPAN_TOKENS}], ' ')) AS span_hash
-  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text), ' '), '\s+') AS toks
+  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text), ' '), '[ \t\n\x0b\f\r]+') AS toks
         FROM documents),
        UNNEST(range(0, len(toks) // {_SPAN_TOKENS})) AS u(i)
   WHERE len(toks) >= {_SPAN_TOKENS}
@@ -1293,7 +1293,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 TFIDF_SQL = r"""
 WITH toks AS (
   SELECT doc_id, tok AS term
-  FROM documents, UNNEST(regexp_split_to_array(trim(lower(text), ' '), '\s+')) AS u(tok)
+  FROM documents, UNNEST(regexp_split_to_array(trim(lower(text), ' '), '[ \t\n\x0b\f\r]+')) AS u(tok)
   WHERE tok <> ''
 ),
 tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
@@ -1380,7 +1380,7 @@ def unigram_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 RARITY_SQL = r"""
 WITH toks AS (
   SELECT doc_id, tok AS term
-  FROM documents, UNNEST(regexp_split_to_array(trim(lower(text), ' '), '\s+')) AS u(tok)
+  FROM documents, UNNEST(regexp_split_to_array(trim(lower(text), ' '), '[ \t\n\x0b\f\r]+')) AS u(tok)
   WHERE tok <> ''
 ),
 freq AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY 1),
@@ -1466,7 +1466,7 @@ def bigram_surprisal_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BIGRAM_SURPRISAL_SQL = r"""
 WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(lower(text), ' '), '\s+') AS t
+  SELECT doc_id, regexp_split_to_array(trim(lower(text), ' '), '[ \t\n\x0b\f\r]+') AS t
   FROM documents
 ),
 uni AS (
@@ -1535,7 +1535,7 @@ DECON_SQL = rf"""
 WITH grams AS (
   SELECT DISTINCT doc_id,
          md5(array_to_string(toks[i:i+{_DECON_N - 1}], ' ')) AS g
-  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text, ' ')), '\s+') AS toks
+  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text, ' ')), '[ \t\n\x0b\f\r]+') AS toks
         FROM documents),
        UNNEST(range(1, len(toks) - {_DECON_N - 2})) AS u(i)
   WHERE len(toks) >= {_DECON_N}
@@ -1635,7 +1635,7 @@ LEXICAL_DIVERSITY_SQL = r"""
 WITH ex AS (
   SELECT doc_id, t.tok
   FROM (SELECT doc_id,
-               regexp_split_to_array(lower(trim(text, ' ')), '\s+') AS toks
+               regexp_split_to_array(lower(trim(text, ' ')), '[ \t\n\x0b\f\r]+') AS toks
         FROM documents),
        UNNEST(toks) AS t(tok)
   WHERE t.tok <> ''
@@ -1736,7 +1736,7 @@ docs AS (
 toks AS (
   SELECT doc_id, bucket, t.tok
   FROM (SELECT doc_id, bucket,
-               regexp_split_to_array(txt, '\s+') AS toks FROM docs),
+               regexp_split_to_array(txt, '[ \t\n\x0b\f\r]+') AS toks FROM docs),
        UNNEST(toks) AS t(tok)
   WHERE t.tok <> ''
 ),
@@ -1862,7 +1862,7 @@ def _langid_confusion_sql() -> str:
     return rf"""
 WITH base AS (
   SELECT lang AS true_lang,
-         regexp_split_to_array(trim(lower(text), ' '), '\s+') AS toks
+         regexp_split_to_array(trim(lower(text), ' '), '[ \t\n\x0b\f\r]+') AS toks
   FROM documents
 ),
 scored AS (
@@ -2025,7 +2025,7 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 FERTILITY_SQL = r"""
 WITH per AS (
   SELECT lang, n_chars,
-         len(list_filter(regexp_split_to_array(trim(lower(text), ' '), '\s+'),
+         len(list_filter(regexp_split_to_array(trim(lower(text), ' '), '[ \t\n\x0b\f\r]+'),
                          x -> x <> ''))::BIGINT AS n_toks
   FROM documents
 )
@@ -2082,7 +2082,7 @@ ZIPF_SQL = r"""
 WITH toks AS (
   SELECT tok AS term
   FROM documents,
-       UNNEST(regexp_split_to_array(trim(lower(text), ' '), '\s+')) AS u(tok)
+       UNNEST(regexp_split_to_array(trim(lower(text), ' '), '[ \t\n\x0b\f\r]+')) AS u(tok)
   WHERE tok <> ''
 ),
 freq AS (SELECT term, COUNT(*) AS freq FROM toks GROUP BY 1),
@@ -2149,7 +2149,7 @@ OOV_SQL = r"""
 WITH toks AS (
   SELECT doc_id, tok AS term
   FROM documents,
-       UNNEST(regexp_split_to_array(trim(lower(text), ' '), '\s+')) AS u(tok)
+       UNNEST(regexp_split_to_array(trim(lower(text), ' '), '[ \t\n\x0b\f\r]+')) AS u(tok)
   WHERE tok <> ''
 ),
 freq AS (SELECT term, COUNT(*) AS freq FROM toks GROUP BY 1),
@@ -2227,7 +2227,7 @@ def token_pmi_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PMI_SQL = r"""
 WITH arrs AS (
-  SELECT doc_id, regexp_split_to_array(trim(lower(text), ' '), '\s+') AS t
+  SELECT doc_id, regexp_split_to_array(trim(lower(text), ' '), '[ \t\n\x0b\f\r]+') AS t
   FROM documents
 ),
 uni AS (

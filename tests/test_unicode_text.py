@@ -54,6 +54,10 @@ STRESS = [
     "\xa0 nbsp-space mixed lead",
     "nbsp-space mixed tail \xa0",
     "\u3000",  # all-whitespace (Unicode) document
+    # vertical tab (r17): Java/Python-ASCII \s includes \x0B, RE2 \s
+    # does NOT \u2014 the oracles spell the class out as [ \t\n\x0b\f\r] so
+    # an interior \v must split tokens identically in both engines
+    "interior\x0bvertical tab split",
 ]
 
 
