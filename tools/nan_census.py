@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""NaN-value census (r17, read-only scoping for r18): inject NaN into
+every float64 non-key column of row 2 (live keys, live other columns)
+at sf0.001 and run every registry (plan, oracle) pair with the
+driver-strict compare.
+
+NaN is the axis the null fixtures cannot see: parquet doubles carry it
+in the wild, Spark ANSI CAST(NaN AS BIGINT) throws where a NULL would
+flow, both engines sort/group NaN with their own rules, and SUM
+poisons the whole group. This census only RECORDS the behavior —
+contract decisions are the next round's work.
+
+    python tools/nan_census.py [name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import tempfile
+import traceback
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from tools.null_fixtures import KEY_COLS, TABLES  # noqa: E402
+
+SRC = "/root/testdata/sf0.001"
+
+
+def build_nan(src: str, out: str) -> str:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    for t in TABLES:
+        tab = pq.read_table(os.path.join(src, f"{t}.parquet")).slice(0, 4)
+        d = tab.to_pydict()
+        for col, field in zip(tab.column_names, tab.schema):
+            if col.endswith("key") or col in KEY_COLS:
+                continue
+            if pa.types.is_float64(field.type) or pa.types.is_float32(field.type):
+                d[col][2] = math.nan
+        pq.write_table(pa.table(d, schema=tab.schema),
+                       os.path.join(out, f"{t}.parquet"))
+    return out
+
+
+def main() -> int:
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    from mapreduce_4sl08_spark.plans import QUERIES
+    from tests.oracle import compare_frames
+
+    names = sys.argv[1:] or sorted(QUERIES)
+    spark = (SparkSession.builder.master("local[4]")
+             .config("spark.ui.enabled", "false")
+             .config("spark.sql.shuffle.partitions", "4")
+             .getOrCreate())
+    ok = mismatch = crash_s = crash_o = 0
+    with tempfile.TemporaryDirectory() as tmp:
+        build_nan(SRC, tmp)
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                        f"'{tmp}/{t}.parquet'")
+        for name in names:
+            spec = QUERIES[name]
+            try:
+                spark_pdf = spec.fn(spark, tmp).toPandas()
+            except Exception as e:
+                crash_s += 1
+                msg = traceback.format_exception_only(type(e), e)[-1]
+                print(f"CRASH-SPARK   {name} -- {msg.strip()[:160]}")
+                continue
+            if spec.oracle is None:
+                ok += 1
+                print(f"OK(rows-only) {name}")
+                continue
+            try:
+                oracle_pdf = con.execute(spec.oracle).fetchdf()
+            except Exception as e:
+                crash_o += 1
+                msg = traceback.format_exception_only(type(e), e)[-1]
+                print(f"CRASH-ORACLE  {name} -- {msg.strip()[:160]}")
+                continue
+            try:
+                compare_frames(spark_pdf, oracle_pdf, name)
+                ok += 1
+                print(f"OK            {name}")
+            except AssertionError as e:
+                mismatch += 1
+                print(f"MISMATCH      {name} -- "
+                      f"{str(e).splitlines()[0][:160]}")
+    print(f"\nNAN CENSUS: OK={ok} MISMATCH={mismatch} "
+          f"CRASH-SPARK={crash_s} CRASH-ORACLE={crash_o}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
