@@ -45,6 +45,34 @@ def test_stream_tumbling_matches_batch_twin(spark, events_dir, sf_smoke_dir):
     assert want.count() > 100  # the comparison is not vacuous
 
 
+def test_stream_tumbling_drops_null_ts_like_batch_twin(spark, events_dir,
+                                                       sf_smoke_dir,
+                                                       tmp_path):
+    """r17 null-ts contract on the STREAMING surface: an event with a
+    NULL event time never enters a watermarked window (Spark drops it
+    before state), and the batch twin now excludes it by contract on
+    both engines — so finalized streaming windows must equal the batch
+    twin even when the source carries null-ts rows."""
+    nulled = str(tmp_path / "events_nullts")
+    base = spark.read.parquet(events_dir)
+    poison = (base.limit(3)
+              .withColumn("ts", F.lit(None).cast(base.schema["ts"].dataType)))
+    base.unionByName(poison).repartition(4).write.parquet(nulled)
+
+    stream = stream_tumbling_counts(events_stream(spark, nulled))
+    got = run_to_memory(stream, "t_tumbling_nullts").orderBy(
+        "window_start", "event_type")
+
+    events = load_table(spark, sf_smoke_dir, "events")
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    horizon = F.lit(max_ts) - F.expr("INTERVAL 2 HOURS") - F.expr("INTERVAL 1 HOUR")
+    want = (QUERIES["events_tumbling_hourly"].fn(spark, sf_smoke_dir)
+            .filter(F.col("window_start") <= horizon))
+    got_final = got.filter(F.col("window_start") <= horizon)
+    assert [tuple(r) for r in got_final.collect()] == [tuple(r) for r in want.collect()]
+    assert want.count() > 100
+
+
 def test_stream_session_window_bounds(spark, events_dir):
     stream = stream_session_window(events_stream(spark, events_dir))
     got = run_to_memory(stream, "t_session")
