@@ -9,6 +9,25 @@ Conventions that make hash-matching deterministic (SURVEY §5.2.2):
 - every computed column is explicitly aliased, identically in both engines;
 - every query ends in an ORDER BY over a unique key;
 - float aggregates are rounded (2-4 dp) in BOTH engines before comparison.
+
+Cross-engine contracts added by the r17 censuses (violating any of
+these is a latent divergence the ASCII fixtures cannot see):
+- never bare ``trim(x)`` in oracle SQL — DuckDB's default trim strips
+  the Unicode Zs set (NBSP, U+3000) where Spark's F.trim strips ASCII
+  0x20 only; the contract is ``trim(x, ' ')``;
+- never ``\\s`` in oracle regexes — RE2's \\s lacks \\x0B where
+  Java's (and Python re.ASCII's) includes it; spell the class out as
+  ``[ \\t\\n\\x0b\\f\\r]+`` (and in any pattern string SHARED verbatim
+  by both engines, e.g. the BPE pretokenizer);
+- rows with a NULL timestamp carry no position on the time axis:
+  time-bucketed plans rely on Spark's own drop semantics with a
+  mirrored oracle WHERE; lag/argmax/rank plans filter explicitly on
+  BOTH sides (Spark sorts NULL ts FIRST, DuckDB LAST);
+- any rank/percentile over a NULLABLE key either pins the convention
+  (oracle mirrors Spark: ASC NULLS FIRST / DESC NULLS LAST) or
+  filters the nulls before ranking on both sides.
+Gates: tests/test_null_columns.py (both fixtures, full value compare),
+tests/test_unicode_text.py (boundary-extended corpus, no exceptions).
 """
 
 from __future__ import annotations
