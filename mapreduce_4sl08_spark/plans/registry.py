@@ -132,6 +132,9 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     # BPE pretokenizer pattern changed on BOTH sides (fingerprint
     # drift expected for it alone):
     "bpe_pretokenize_counts",
+    # (text_quality_score is already listed above for the trim set —
+    # its r17 changes also include the empty-text alpha_ratio contract
+    # from the whitespace-fuzz census, same priority row.)
 )
 
 _HISTORY_PATH = Path(__file__).with_name("checked_history.json")

@@ -225,12 +225,19 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop_hits = F.size(F.expr(
         "filter(split(trim(lower(text)), '\\\\s+'), x -> x in ('the','a','of','and','to','in','is'))"))
     alpha_chars = F.length(F.regexp_replace("text", r"[^A-Za-z]", ""))
+    # empty-text contract (r17 whitespace-fuzz census find): an EMPTY
+    # (not null) document has length 0, and ANSI division threw here
+    # where DuckDB would error too — alpha_ratio of zero characters is
+    # undefined, so it is NULL in both engines (n_tok is never 0:
+    # split('') yields [''], so the other ratios are safe)
     return (
         d.select(
             "doc_id",
             n_tok.alias("n_tokens"),
             F.round(stop_hits / n_tok, 4).alias("stopword_ratio"),
-            F.round(alpha_chars / F.length("text"), 4).alias("alpha_ratio"),
+            F.when(F.length("text") > 0,
+                   F.round(alpha_chars / F.length("text"), 4))
+            .alias("alpha_ratio"),
             _quality_score_expr().alias("quality_score"),
         )
         .orderBy("doc_id")
@@ -248,7 +255,8 @@ WITH base AS (
 )
 SELECT doc_id, n_tok::INT AS n_tokens,
        ROUND(stop_hits / n_tok, 4) AS stopword_ratio,
-       ROUND(alpha_chars / length(text), 4) AS alpha_ratio,
+       CASE WHEN length(text) > 0
+            THEN ROUND(alpha_chars / length(text), 4) END AS alpha_ratio,
        ROUND( (CASE WHEN n_tok >= 20 THEN 0.4 ELSE 0.0 END)
             + (CASE WHEN length(text) / n_tok BETWEEN 3 AND 12 THEN 0.3 ELSE 0.0 END)
             + LEAST(ROUND(stop_hits / n_tok, 4), 0.3), 4) AS quality_score
