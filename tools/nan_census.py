@@ -10,7 +10,12 @@ flow, both engines sort/group NaN with their own rules, and SUM
 poisons the whole group. This census only RECORDS the behavior —
 contract decisions are the next round's work.
 
-    python tools/nan_census.py [name ...]
+    python tools/nan_census.py [--inf] [name ...]
+
+--inf injects +Infinity instead (the second non-finite class: Inf
+survives casts that NaN does not, poisons sums without erroring, and
+sorts as the true maximum in both engines — a DIFFERENT failure
+surface worth its own row in the r18 contract decision).
 """
 
 from __future__ import annotations
@@ -29,7 +34,7 @@ from tools.null_fixtures import KEY_COLS, TABLES  # noqa: E402
 SRC = "/root/testdata/sf0.001"
 
 
-def build_nan(src: str, out: str) -> str:
+def build_nan(src: str, out: str, value: float = math.nan) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
     for t in TABLES:
@@ -39,7 +44,7 @@ def build_nan(src: str, out: str) -> str:
             if col.endswith("key") or col in KEY_COLS:
                 continue
             if pa.types.is_float64(field.type) or pa.types.is_float32(field.type):
-                d[col][2] = math.nan
+                d[col][2] = value
         pq.write_table(pa.table(d, schema=tab.schema),
                        os.path.join(out, f"{t}.parquet"))
     return out
@@ -52,14 +57,16 @@ def main() -> int:
     from mapreduce_4sl08_spark.plans import QUERIES
     from tests.oracle import compare_frames
 
-    names = sys.argv[1:] or sorted(QUERIES)
+    args = sys.argv[1:]
+    inject = math.inf if "--inf" in args else math.nan
+    names = [a for a in args if a != "--inf"] or sorted(QUERIES)
     spark = (SparkSession.builder.master("local[4]")
              .config("spark.ui.enabled", "false")
              .config("spark.sql.shuffle.partitions", "4")
              .getOrCreate())
     ok = mismatch = crash_s = crash_o = 0
     with tempfile.TemporaryDirectory() as tmp:
-        build_nan(SRC, tmp)
+        build_nan(SRC, tmp, inject)
         con = duckdb.connect()
         for t in TABLES:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
@@ -92,7 +99,8 @@ def main() -> int:
                 mismatch += 1
                 print(f"MISMATCH      {name} -- "
                       f"{str(e).splitlines()[0][:160]}")
-    print(f"\nNAN CENSUS: OK={ok} MISMATCH={mismatch} "
+    label = "INF" if inject == math.inf else "NAN"
+    print(f"\n{label} CENSUS: OK={ok} MISMATCH={mismatch} "
           f"CRASH-SPARK={crash_s} CRASH-ORACLE={crash_o}")
     return 0
 
