@@ -24,9 +24,18 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 try:
-    from py4j.protocol import Py4JError as _PY4J_ERRORS
+    from py4j.protocol import Py4JError as _Py4JError
+    _PY4J_ERRORS: tuple[type[BaseException], ...] = (_Py4JError,)
 except ImportError:  # Spark Connect sessions carry no py4j bridge
     _PY4J_ERRORS = ()
+
+#: the "introspection surface moved" failure classes _looks_distinct
+#: degrades on — a FLAT tuple of classes (a nested empty tuple inside
+#: an except clause is a TypeError on Python 3, which would have made
+#: every salted_aggregate call crash on exactly the py4j-less Spark
+#: Connect sessions the fallback exists for)
+_INTROSPECTION_ERRORS = (
+    AttributeError, TypeError, ImportError, RuntimeError) + _PY4J_ERRORS
 
 
 def with_salt(df: DataFrame, n_salts: int, col_name: str = "_salt") -> DataFrame:
@@ -54,8 +63,7 @@ def _looks_distinct(df: DataFrame, expr: Column) -> bool:
         # plain aggregate over a column merely NAMED e.g. `distinct_users`
         # prints as `sum(distinct_users#5L)` and must not be rejected.
         return "(distinct " in plan.lower()
-    except (AttributeError, TypeError, ImportError, RuntimeError,
-            _PY4J_ERRORS) as e:
+    except _INTROSPECTION_ERRORS as e:
         # Only the "introspection surface moved" failure classes degrade
         # (private _jdf/queryExecution API drift across Spark versions,
         # or an error crossing the raw py4j bridge) — and LOUDLY (r17,

@@ -637,11 +637,17 @@ def map_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# both props-derived columns carry the NULL-props guard: Spark's
+# map_concat is null-intolerant, so NULL props nulls the ENRICHED map
+# too and element_at(enriched, 'type_len') is NULL even when
+# event_type is live (r17 self-review find — the staggered fixture
+# originally nulled props and event_type on the same row, masking it)
 MAP_FUNCS_SQL = """
 SELECT event_id,
        CASE WHEN props IS NULL THEN NULL ELSE 'k' END AS prop_keys,
        CAST(json_extract_string(props, '$.k') AS INT) AS k_value,
-       LENGTH(event_type)::INT AS type_len
+       CASE WHEN props IS NULL THEN NULL
+            ELSE LENGTH(event_type)::INT END AS type_len
 FROM events
 ORDER BY event_id
 """

@@ -135,6 +135,17 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     # (text_quality_score is already listed above for the trim set —
     # its r17 changes also include the empty-text alpha_ratio contract
     # from the whitespace-fuzz census, same priority row.)
+    #
+    # Execution-side code-path changes (r17 self-review — the same
+    # changed-code-path ritual r16 applied to the DISK_ONLY tier even
+    # with fingerprints unchanged): skew.py's _looks_distinct guard
+    # rework reaches salted_hot_key_agg, and vectors.py's
+    # directory-aware _fixture_stamp feeds the (w, L) derivation of
+    # every lsh_corpus_bands consumer:
+    "salted_hot_key_agg",
+    "embedding_near_dup",
+    "lsh_bucket_ann",
+    "lsh_pair_distance_histogram",
 )
 
 _HISTORY_PATH = Path(__file__).with_name("checked_history.json")

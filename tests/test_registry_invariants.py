@@ -247,3 +247,51 @@ def test_history_load_degrades_loudly_not_fatally(tmp_path):
     with w.catch_warnings():
         w.simplefilter("error")
         assert registry._load_history(registry._HISTORY_PATH)
+
+
+def test_oracle_whitespace_contract():
+    """r17 whitespace contracts, enforced mechanically (self-review
+    item: the prose rule in plans/base.py cannot stop the next oracle
+    from re-introducing the divergence):
+
+    - no bare ``trim(x)`` — DuckDB's default trim strips Unicode Zs
+      (NBSP, U+3000) where Spark's F.trim strips ASCII 0x20 only, so
+      every oracle trim must pass an explicit character-set argument;
+    - no ``\\s`` in oracle regexes — RE2's \\s lacks \\x0B where
+      Java's (Spark) and Python-ASCII's include it; spell the class
+      out as ``[ \\t\\n\\x0b\\f\\r]+``.
+    """
+    import re
+
+    from mapreduce_4sl08_spark.plans import QUERIES
+
+    def bare_trims(sql: str) -> list[str]:
+        found = []
+        for m in re.finditer(r"\btrim\(", sql):
+            depth, i, has_arg2 = 1, m.end(), False
+            while i < len(sql) and depth:
+                c = sql[i]
+                if c == "(":
+                    depth += 1
+                elif c == ")":
+                    depth -= 1
+                elif c == "," and depth == 1:
+                    has_arg2 = True
+                i += 1
+            if not has_arg2:
+                found.append(sql[m.start():m.start() + 50])
+        return found
+
+    offenders = {}
+    for name, spec in QUERIES.items():
+        if spec.oracle is None:
+            continue
+        problems = []
+        problems += [f"bare trim: {t!r}" for t in bare_trims(spec.oracle)]
+        if "\\s" in spec.oracle:
+            problems.append("regex \\s (RE2 dialect: lacks \\x0B)")
+        if problems:
+            offenders[name] = problems
+    assert not offenders, (
+        f"oracle whitespace-contract violations (see plans/base.py "
+        f"docstring): {offenders}")

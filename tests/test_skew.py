@@ -65,6 +65,22 @@ def test_looks_distinct_introspection_failure_warns(spark, sf_smoke_dir,
     assert out is not None  # degraded to the explicit merge contract
 
 
+def test_looks_distinct_guard_is_flat_class_tuple():
+    """Regression (r17 self-review): the except clause's error set must
+    be a FLAT tuple of exception classes — a nested empty tuple (the
+    old py4j-less fallback shape) makes Python 3 raise TypeError at
+    catch time, crashing salted_aggregate on exactly the Spark Connect
+    sessions the fallback exists for."""
+    from mapreduce_4sl08_spark.operators.skew import _INTROSPECTION_ERRORS
+    assert all(isinstance(c, type) and issubclass(c, BaseException)
+               for c in _INTROSPECTION_ERRORS)
+    # the catch shape must be valid even with the py4j-less fallback
+    try:
+        raise AttributeError("probe")
+    except _INTROSPECTION_ERRORS:
+        pass
+
+
 def test_salted_join_rejects_outer_small_side(spark, sf_smoke_dir):
     import pytest
     l = load_table(spark, sf_smoke_dir, "lineitem").select(

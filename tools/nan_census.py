@@ -60,6 +60,10 @@ def main() -> int:
     args = sys.argv[1:]
     inject = math.inf if "--inf" in args else math.nan
     names = [a for a in args if a != "--inf"] or sorted(QUERIES)
+    unknown = [n for n in names if n not in QUERIES]
+    if unknown:
+        print("unknown queries:", ", ".join(unknown))
+        return 2
     spark = (SparkSession.builder.master("local[4]")
              .config("spark.ui.enabled", "false")
              .config("spark.sql.shuffle.partitions", "4")

@@ -46,12 +46,19 @@ def build_staggered(src: str, out: str) -> str:
         tab = pq.read_table(os.path.join(src, f"{t}.parquet")).slice(0, 4)
         d = tab.to_pydict()
         nrows = len(tab)
+        str_seen = 0
         for col, field in zip(tab.column_names, tab.schema):
             if col.endswith("key") or col in KEY_COLS:
                 continue
             ty = field.type
             if pa.types.is_string(ty) or pa.types.is_large_string(ty):
-                row = 1
+                # alternate WITHIN the string family too (r17
+                # self-review): two string columns nulled on the same
+                # row cannot exercise "null X with live Y" between
+                # THEMSELVES — events.props NULL + live event_type was
+                # masked exactly this way (map_concat null-intolerance)
+                row = 1 if str_seen % 2 == 0 else 0
+                str_seen += 1
             elif (pa.types.is_timestamp(ty) or pa.types.is_date(ty)
                   or pa.types.is_list(ty) or pa.types.is_large_list(ty)):
                 row = 3
