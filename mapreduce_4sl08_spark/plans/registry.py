@@ -46,27 +46,17 @@ _MODULE_SPECS: list[QuerySpec] = [
 # End-of-round ritual: append the new round's names to the JSON, then
 # rewrite this tuple for the next round's changed plans.
 _ROUND_PRIORITY: tuple[str, ...] = (
-    # round 17 is the null-contract closure round (VERDICT r16 items
-    # 1-3 + ADVICE items 1-2): every query whose plan or oracle changes
-    # for the null-value / NULLS-ordering contracts is appended here in
-    # the SAME commit as the change.
-    #
-    # Oracle-only alignments (Spark already defines the contract —
-    # window()/session_window()/posexplode drop null-ts / null-array
-    # rows; the oracles gain the matching WHERE, plus the prop_keys
-    # NULL-props CASE in map_functions_showcase):
-    "events_tumbling_hourly",
-    "events_sliding_windows",
-    "events_windowed_topk",
-    "events_session_window_native",
-    "rolling_active_users",
-    "map_functions_showcase",
-    "text_token_positions",
-    # Both-sides null contracts (plan AND oracle change — fingerprint
-    # drift expected): sequence/argmax/rank plans where a null ts (or
-    # null event_type in the path case, null price in the percentile
-    # case) would otherwise sort FIRST in Spark but LAST in DuckDB, or
-    # pick divergent argmax/percentile elements:
+    # round 17 null/whitespace-contract closure. ORDER IS THE
+    # DRIVER'S PROOF BUDGET ALLOCATION (see _order_key): the 62
+    # changed rows exceed the ~50-row budget, so the rows whose
+    # re-proof carries information lead — Spark-plan changes
+    # (null-ts/percentile/empty-text contracts, the shared BPE
+    # regex, the chunking UDTF), then execution-side code-path
+    # changes (skew guard, directory fixture stamp), then the
+    # oracle-only null alignments; the trailing block is the
+    # ASCII-trim/\s oracle rewrites, provably no-ops on the
+    # all-ASCII driver fixtures (gated instead by the unicode,
+    # boundary and fuzz sweeps), so they absorb any budget cut.
     "events_sessionize",
     "events_transition_matrix",
     "scd2_status_history",
@@ -75,17 +65,20 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     "session_path_topk",
     "approx_percentile_check",
     "events_user_features",
-    # ASCII-trim oracle contract (r17 boundary-whitespace census):
-    # DuckDB's bare trim() strips the Unicode Zs set (NBSP, U+3000)
-    # where Spark's F.trim strips ASCII 0x20 only — divergent token
-    # values ALWAYS, and divergent token counts when an NBSP abuts an
-    # ASCII space at a text boundary. Every oracle's bare trim is now
-    # trim(x, ' '); provably a no-op on the all-ASCII driver fixtures,
-    # re-proven per the changed-row ritual regardless. The chunking
-    # UDTF additionally aligned its boundary strip to the same ASCII
-    # set with the oracle mirroring its empty-token filter (ADVICE r16
-    # item 1):
+    "bpe_pretokenize_counts",
+    "text_quality_score",
     "text_chunking_udtf",
+    "salted_hot_key_agg",
+    "embedding_near_dup",
+    "lsh_bucket_ann",
+    "lsh_pair_distance_histogram",
+    "events_tumbling_hourly",
+    "events_sliding_windows",
+    "events_windowed_topk",
+    "events_session_window_native",
+    "rolling_active_users",
+    "map_functions_showcase",
+    "text_token_positions",
     "array_functions_showcase",
     "bigram_surprisal_score",
     "boilerplate_template_clusters",
@@ -115,7 +108,6 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     "span_dedup_report",
     "text_bigram_top20",
     "text_language_id",
-    "text_quality_score",
     "text_repetition_stats",
     "text_token_stats",
     "tfidf_top_terms",
@@ -127,25 +119,6 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     "winnowing_fingerprints",
     "wordcount_documents",
     "zipf_rank_frequency",
-    # \s-dialect closure (r17, same census): Java \s includes \x0B,
-    # RE2 \s does not — oracles now spell the class out; the shared
-    # BPE pretokenizer pattern changed on BOTH sides (fingerprint
-    # drift expected for it alone):
-    "bpe_pretokenize_counts",
-    # (text_quality_score is already listed above for the trim set —
-    # its r17 changes also include the empty-text alpha_ratio contract
-    # from the whitespace-fuzz census, same priority row.)
-    #
-    # Execution-side code-path changes (r17 self-review — the same
-    # changed-code-path ritual r16 applied to the DISK_ONLY tier even
-    # with fingerprints unchanged): skew.py's _looks_distinct guard
-    # rework reaches salted_hot_key_agg, and vectors.py's
-    # directory-aware _fixture_stamp feeds the (w, L) derivation of
-    # every lsh_corpus_bands consumer:
-    "salted_hot_key_agg",
-    "embedding_near_dup",
-    "lsh_bucket_ann",
-    "lsh_pair_distance_histogram",
 )
 
 _HISTORY_PATH = Path(__file__).with_name("checked_history.json")
@@ -195,7 +168,13 @@ for _round_str, _names in _HISTORY_RAW.items():
 
 def _order_key(s: QuerySpec) -> tuple[int, int]:
     if s.name in _ROUND_PRIORITY:
-        return (0, 0)  # changed this round — must be re-proven first
+        # tuple POSITION breaks ties (r17): when the priority block
+        # exceeds the driver's ~50-row budget, the rows listed first —
+        # Spark-plan and execution-side changes, the highest-information
+        # re-proofs — must be the ones the budget covers; a (0, 0) tie
+        # fell back to module order, which could spend the whole budget
+        # on provably-ASCII-no-op oracle rewrites instead
+        return (0, _ROUND_PRIORITY.index(s.name))
     if s.name not in _LAST_PROVEN:
         return (1, 0)  # never driver-checked (new this round)
     # Remaining: least-recently-proven first (LRU rotation) — each
