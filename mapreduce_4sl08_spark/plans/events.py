@@ -269,10 +269,18 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# json_valid guard (r17 malformed-props contract): Spark's
+# get_json_object returns NULL on malformed JSON where DuckDB's
+# json_extract_string THROWS — the oracle must mirror the lenient
+# engine. (Engines' validity DIALECTS differ on edge inputs — DuckDB's
+# yyjson accepts a trailing comma Jackson rejects — so the pinned
+# class is clearly-malformed JSON; see tests/test_malformed_props.py.)
 EVENTS_JSON_SQL = """
 SELECT event_type,
-       ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
-       MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
+       ROUND(AVG(CAST(CASE WHEN json_valid(props)
+                 THEN json_extract_string(props, '$.k') END AS INT)), 4) AS avg_k,
+       MAX(CAST(CASE WHEN json_valid(props)
+                 THEN json_extract_string(props, '$.k') END AS INT)) AS max_k,
        COUNT(*) AS n
 FROM events
 GROUP BY event_type
@@ -285,13 +293,21 @@ ORDER BY event_type
 def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VariantType path: parse props into a variant once, extract with
     variant_get — the open-schema way to handle semi-structured columns
-    (vs. the fixed-schema from_json in events_json_extract)."""
+    (vs. the fixed-schema from_json in events_json_extract).
+
+    try_parse_json, NOT parse_json (r17 malformed-props contract):
+    plain parse_json runs FAILFAST, so ONE malformed props record
+    would kill the whole 100 TB job — the contract across every props
+    consumer is malformed → NULL extraction (matching
+    get_json_object/from_json leniency), and NULL k rows then drop at
+    the % 10 filter in both engines."""
     e = t(spark, sf_dir, "events")
-    v = F.parse_json("props")
     return (
         e.select("event_id",
-                 F.expr("variant_get(parse_json(props), '$.k', 'int')").alias("k"),
-                 F.expr("schema_of_variant(parse_json(props))").alias("props_schema"))
+                 F.expr("variant_get(try_parse_json(props), '$.k', 'int')")
+                 .alias("k"),
+                 F.expr("schema_of_variant(try_parse_json(props))")
+                 .alias("props_schema"))
         .filter(F.col("k") % 10 == 0)
         .orderBy("event_id")
     )
@@ -299,10 +315,12 @@ def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EVENTS_VARIANT_SQL = """
 SELECT event_id,
-       CAST(json_extract_string(props, '$.k') AS INT) AS k,
+       CAST(CASE WHEN json_valid(props)
+                 THEN json_extract_string(props, '$.k') END AS INT) AS k,
        'OBJECT<k: BIGINT>' AS props_schema
 FROM events
-WHERE CAST(json_extract_string(props, '$.k') AS INT) % 10 = 0
+WHERE CAST(CASE WHEN json_valid(props)
+                THEN json_extract_string(props, '$.k') END AS INT) % 10 = 0
 ORDER BY event_id
 """
 

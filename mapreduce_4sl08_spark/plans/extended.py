@@ -642,11 +642,18 @@ def map_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
 # too and element_at(enriched, 'type_len') is NULL even when
 # event_type is live (r17 self-review find — the staggered fixture
 # originally nulled props and event_type on the same row, masking it)
+# NULL-or-malformed props guard on all three derived columns (r17):
+# Spark's from_json is PERMISSIVE (malformed → NULL map), so every
+# map-derived value is NULL for that row — including type_len via
+# map_concat's null-intolerance — while DuckDB's json functions THROW
+# on malformed input; json_valid() routes the oracle around both.
 MAP_FUNCS_SQL = """
 SELECT event_id,
-       CASE WHEN props IS NULL THEN NULL ELSE 'k' END AS prop_keys,
-       CAST(json_extract_string(props, '$.k') AS INT) AS k_value,
-       CASE WHEN props IS NULL THEN NULL
+       CASE WHEN props IS NULL OR NOT json_valid(props)
+            THEN NULL ELSE 'k' END AS prop_keys,
+       CAST(CASE WHEN props IS NOT NULL AND json_valid(props)
+                 THEN json_extract_string(props, '$.k') END AS INT) AS k_value,
+       CASE WHEN props IS NULL OR NOT json_valid(props) THEN NULL
             ELSE LENGTH(event_type)::INT END AS type_len
 FROM events
 ORDER BY event_id

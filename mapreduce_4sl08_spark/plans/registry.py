@@ -72,6 +72,13 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     "embedding_near_dup",
     "lsh_bucket_ann",
     "lsh_pair_distance_histogram",
+    # malformed-props contract (r17 late census): events_variant_extract
+    # moves to try_parse_json (plan change — plain parse_json is
+    # FAILFAST, one bad record aborts the job) and every props oracle
+    # gains a json_valid guard (DuckDB throws where Spark is lenient);
+    # gated by tests/test_malformed_props.py:
+    "events_variant_extract",
+    "events_json_extract",
     "events_tumbling_hourly",
     "events_sliding_windows",
     "events_windowed_topk",
