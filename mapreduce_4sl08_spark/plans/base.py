@@ -55,18 +55,74 @@ from ..sources import load_table
 # overflow: max money cents ~6e6/row → BIGINT holds ~1.5e12 rows/group.
 
 
+def finite(col: str | Column) -> Column:
+    """Non-finite measure → NULL at ingestion (the r18 contract).
+
+    Parquet doubles carry NaN/±Inf in the wild; under ANSI mode one such
+    row makes every ``CAST(round(x*100) AS BIGINT)`` throw CAST_OVERFLOW
+    — one dirty record aborting a 100 TB job (the r17 nan/inf censuses:
+    25 queries crash, 6 diverge). Mapping non-finite to NULL routes the
+    dirt into the null contract the r17 round already pinned end-to-end
+    (NULL measures drop out of SUM/AVG/percentile/min/max identically in
+    both engines). NULL input stays NULL (isnan(NULL) is false in Spark,
+    abs(NULL)=inf compares to NULL, so the WHEN condition is NULL →
+    missing ELSE → NULL). The quarantine surface (dq_constraint_report,
+    column_profile_*) counts what this drops, per float column."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(~F.isnan(c) & (F.abs(c) != F.lit(float("inf"))), c)
+
+
+def finite_sql(col: str) -> str:
+    """Oracle twin of :func:`finite` (DuckDB ``isfinite``: false for
+    NaN/±Inf, NULL for NULL — CASE yields NULL for both)."""
+    return f"(CASE WHEN isfinite({col}) THEN {col} END)"
+
+
+def finite_frag(col: str) -> str:
+    """Shared-syntax twin of :func:`finite`/:func:`finite_sql` for
+    expression fragments that must parse in BOTH engines (they run
+    verbatim through F.expr AND the DuckDB oracles): ``isnan`` and
+    ``CAST('Infinity' AS DOUBLE)`` exist in both dialects; DuckDB-only
+    ``isfinite`` does not. NULL stays NULL in both (Spark isnan(NULL)
+    is false and the Inf test is NULL → CASE misses; DuckDB isnan(NULL)
+    is NULL → same)."""
+    return (f"(CASE WHEN NOT isnan({col}) AND "
+            f"abs({col}) <> CAST('Infinity' AS DOUBLE) THEN {col} END)")
+
+
+def nonfinite_count(col: str | Column) -> Column:
+    """Quarantine-surface counter: number of non-finite (NaN/±Inf)
+    values in a float column — what :func:`finite` silently drops, made
+    visible (dq_constraint_report / column_profile_*, VERDICT r17 item
+    2). NULL is NOT non-finite (isnan NULL→false, abs NULL=inf→NULL →
+    condition NULL → otherwise 0)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(
+        F.when(F.isnan(c) | (F.abs(c) == F.lit(float("inf"))), 1)
+        .otherwise(0)).cast("long")
+
+
+def nonfinite_count_sql(col: str) -> str:
+    """Oracle twin of :func:`nonfinite_count` (NOT isfinite(NULL) is
+    NULL → ELSE 0, so NULL is not counted, matching Spark)."""
+    return (f"SUM(CASE WHEN NOT isfinite({col}) THEN 1 ELSE 0 END)"
+            f"::BIGINT")
+
+
 def cents(col: str | Column) -> Column:
     """Exact integer cents of a 2-decimal double money column
     (``round(x*100)`` is integer-valued to ±ulp, so the cast is exact —
-    the same idiom as relational.py's per-row unit fragments)."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.round(c * 100).cast("long")
+    the same idiom as relational.py's per-row unit fragments).
+    Non-finite input → NULL via :func:`finite` (r18 contract), so a
+    dirty row degrades to a missing measure instead of CAST_OVERFLOW."""
+    return F.round(finite(col) * 100).cast("long")
 
 
 def cents_sql(col: str) -> str:
     """Oracle twin of :func:`cents` (DuckDB CAST from double rounds to
-    nearest, exact on the integer-valued operand)."""
-    return f"CAST(ROUND({col} * 100) AS BIGINT)"
+    nearest, exact on the integer-valued operand; non-finite → NULL
+    via :func:`finite_sql`)."""
+    return f"CAST(ROUND({finite_sql(col)} * 100) AS BIGINT)"
 
 
 def dollars(col: str | Column, alias: str) -> Column:

@@ -14,7 +14,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
-from .base import QuerySpec, SessionMemo, cents, cents_sql, dollars, t
+from .base import (
+    QuerySpec, SessionMemo, cents, cents_sql, dollars, finite, finite_sql, t,
+)
 from .warehouse import _share_e6_expr
 
 #: oracle fragment for every exact-cents ``sum_value`` in this module
@@ -76,7 +78,7 @@ def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         # DuckDB (binary away-from-zero) disagree — so sum exact cents,
         # floor-divide in 1e-4 units, and only then go to double
         .agg(F.count(F.lit(1)).alias("n_events"),
-             F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"))
+             F.sum(cents("value")).alias("sum_cents"))
         .select(
             F.col("w.start").alias("window_start"),
             "n_events",
@@ -91,7 +93,7 @@ def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 # TIMESTAMP arithmetic expression, NOT to_timestamp() — DuckDB's
 # to_timestamp returns TIMESTAMP WITH TIME ZONE, which fails the
 # driver's strict schema comparison against Spark's naive window start.
-EVENTS_SLIDING_SQL = """
+EVENTS_SLIDING_SQL = f"""
 WITH exploded AS (
   SELECT TIMESTAMP '1970-01-01'
            + CAST(floor(epoch(ts) / 1800) * 1800 - o * 1800 AS BIGINT)
@@ -104,7 +106,7 @@ SELECT window_start, n_events,
        ((sum_cents * 100) // n_events) / 10000.0 AS avg_value
 FROM (
   SELECT window_start, COUNT(*) AS n_events,
-         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_cents
+         SUM({cents_sql('value')}) AS sum_cents
   FROM exploded
   GROUP BY 1
 )
@@ -461,9 +463,17 @@ def events_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     otherwise get span 0 from the NaT-masked grouped op but NULL from
     the oracle's epoch(MAX(ts)), and a mixed user's lag-delta pairs
     would hinge on NULLS FIRST/LAST. The grouped operators keep their
-    own NaT masking as defense in depth for direct callers."""
+    own NaT masking as defense in depth for direct callers.
+
+    Non-finite contract (r18): value runs through finite() before the
+    grouped op. pandas' skipna already treats NaN deltas as missing —
+    but DuckDB's MAX(NaN)=NaN and pandas propagates +Inf, so both
+    engines diverged per class; NULL is the one missing-value spelling
+    they all skip identically (all-missing → 0.0 via fillna/COALESCE)."""
     from ..operators.grouped import user_session_features_fast
-    e = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    e = (t(spark, sf_dir, "events")
+         .filter(F.col("ts").isNotNull())
+         .withColumn("value", finite("value")))
     feats = user_session_features_fast(e)
     # greatest(n-1, 1) guards the n_events==1 row (span_us is 0 there,
     # so the guarded quotient is 0 — no CASE needed, no ANSI div-by-0)
@@ -482,10 +492,11 @@ def events_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-EVENTS_USER_FEATURES_SQL = """
+EVENTS_USER_FEATURES_SQL = f"""
 WITH ordered AS (
-  SELECT user_id, ts, value,
-         ABS(value - LAG(value) OVER (PARTITION BY user_id
+  SELECT user_id, ts,
+         ABS({finite_sql('value')}
+             - LAG({finite_sql('value')}) OVER (PARTITION BY user_id
                                       ORDER BY ts ASC, event_id ASC)) AS vdelta
   FROM events
   WHERE ts IS NOT NULL

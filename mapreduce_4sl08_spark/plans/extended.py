@@ -15,7 +15,7 @@ from pyspark.sql.types import DoubleType
 
 from ..functions import TOKEN_SPLIT_RE
 from ..sources import register_views
-from .base import QuerySpec, SessionMemo, t, vecs
+from .base import QuerySpec, SessionMemo, finite, finite_frag, t, vecs
 
 # ---------------------------------------------------------------- subqueries
 
@@ -141,9 +141,9 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(GROUPING_SETS_SQL)
 
 
-GROUPING_SETS_SQL = """
+GROUPING_SETS_SQL = f"""
 SELECT o_orderstatus, o_orderpriority,
-       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+       CAST(SUM(CAST(ROUND({finite_frag('o_totalprice')} * 100) AS BIGINT)) AS DOUBLE) / 100.0
          AS revenue,
        COUNT(*) AS n_orders
 FROM orders
@@ -743,11 +743,16 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda approx, exact:
         F.abs(F.col(approx) - F.col(exact)) / F.col(exact) < F.lit(0.05)
     )
+    # medians over finite() prices (r18): one NaN made both medians NaN,
+    # and Spark's NaN-greater comparison turned the tolerance check
+    # False (not NULL) where the oracle emits literal TRUE
     sketches = l.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median"),
-        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_median"),
+        F.percentile_approx(finite("l_extendedprice"), 0.5, 10000)
+        .alias("approx_median"),
+        F.expr(f"percentile({finite_frag('l_extendedprice')}, 0.5)")
+        .alias("exact_median"),
     )
     exact = l.groupBy(F.col("l_returnflag").alias("rf")).agg(
         F.countDistinct("l_partkey").alias("exact_parts"),

@@ -18,7 +18,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from .base import QuerySpec, SessionMemo, t
+from .base import (
+    QuerySpec, SessionMemo, finite, finite_frag, finite_sql,
+    nonfinite_count, nonfinite_count_sql, t,
+)
 
 # ------------------------------------------------------- constraint audit
 
@@ -33,24 +36,40 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     the referential-integrity check is a left-anti join against the
     orders keys. At 100 TB that is two scans plus one shuffle — adding
     more constraints costs zero additional I/O.
+
+    Non-finite contract (r18): every float measure gets an explicit
+    ``*_finite`` violation count — this report is the designed
+    quarantine gate that runs BEFORE the finite()-guarded analytics,
+    so it must SAY what those queries silently drop. The range checks
+    themselves route the measure through finite(), so a NaN follows the
+    same CASE path as a NULL on both engines instead of each engine's
+    own NaN-comparison rules (Spark: NaN greater than everything;
+    DuckDB: IEEE false) deciding the count.
     """
     o = t(spark, sf_dir, "orders")
     li = t(spark, sf_dir, "lineitem")
     o_stats = o.agg(
         (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
         .alias("orders_pk_unique"),
-        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0))
+        F.sum(F.when(finite("o_totalprice") <= 0, 1).otherwise(0))
         .alias("orders_totalprice_positive"),
+        nonfinite_count("o_totalprice").alias("orders_totalprice_finite"),
         F.sum(F.when(~F.col("o_orderstatus").isin("F", "O", "P"), 1)
               .otherwise(0)).alias("orders_status_domain"),
         F.sum(F.when(F.col("o_orderdate").isNull(), 1).otherwise(0))
         .alias("orders_orderdate_not_null"),
     )
     li_stats = li.agg(
-        F.sum(F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1)
+        F.sum(F.when((finite("l_quantity") < 1)
+                     | (finite("l_quantity") > 50), 1)
               .otherwise(0)).alias("lineitem_quantity_range"),
-        F.sum(F.when(F.col("l_discount").between(0, 1), 0).otherwise(1))
+        F.sum(F.when(finite("l_discount").between(0, 1), 0).otherwise(1))
         .alias("lineitem_discount_range"),
+        nonfinite_count("l_quantity").alias("lineitem_quantity_finite"),
+        nonfinite_count("l_extendedprice")
+        .alias("lineitem_extendedprice_finite"),
+        nonfinite_count("l_discount").alias("lineitem_discount_finite"),
+        nonfinite_count("l_tax").alias("lineitem_tax_finite"),
         F.sum(F.when(F.col("l_shipdate").isNull(), 1).otherwise(0))
         .alias("lineitem_shipdate_not_null"),
     )
@@ -62,8 +81,11 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     combined = o_stats.crossJoin(li_stats).crossJoin(ri)
     names = [
         "orders_pk_unique", "orders_totalprice_positive",
+        "orders_totalprice_finite",
         "orders_status_domain", "orders_orderdate_not_null",
         "lineitem_quantity_range", "lineitem_discount_range",
+        "lineitem_quantity_finite", "lineitem_extendedprice_finite",
+        "lineitem_discount_finite", "lineitem_tax_finite",
         "lineitem_shipdate_not_null", "lineitem_orderkey_ri",
     ]
     stacked = combined.select(F.expr(
@@ -78,11 +100,12 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DQ_CONSTRAINT_SQL = """
+DQ_CONSTRAINT_SQL = f"""
 WITH o_stats AS (
   SELECT (COUNT(*) - COUNT(DISTINCT o_orderkey))::BIGINT AS orders_pk_unique,
-         SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)::BIGINT
+         SUM(CASE WHEN {finite_sql('o_totalprice')} <= 0 THEN 1 ELSE 0 END)::BIGINT
            AS orders_totalprice_positive,
+         {nonfinite_count_sql('o_totalprice')} AS orders_totalprice_finite,
          SUM(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P') THEN 1 ELSE 0 END)::BIGINT
            AS orders_status_domain,
          SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)::BIGINT
@@ -90,10 +113,15 @@ WITH o_stats AS (
   FROM orders
 ),
 li_stats AS (
-  SELECT SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END)::BIGINT
+  SELECT SUM(CASE WHEN {finite_sql('l_quantity')} < 1
+                    OR {finite_sql('l_quantity')} > 50 THEN 1 ELSE 0 END)::BIGINT
            AS lineitem_quantity_range,
-         SUM(CASE WHEN l_discount BETWEEN 0 AND 1 THEN 0 ELSE 1 END)::BIGINT
+         SUM(CASE WHEN {finite_sql('l_discount')} BETWEEN 0 AND 1 THEN 0 ELSE 1 END)::BIGINT
            AS lineitem_discount_range,
+         {nonfinite_count_sql('l_quantity')} AS lineitem_quantity_finite,
+         {nonfinite_count_sql('l_extendedprice')} AS lineitem_extendedprice_finite,
+         {nonfinite_count_sql('l_discount')} AS lineitem_discount_finite,
+         {nonfinite_count_sql('l_tax')} AS lineitem_tax_finite,
          SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)::BIGINT
            AS lineitem_shipdate_not_null
   FROM lineitem
@@ -105,10 +133,15 @@ ri AS (
 stacked AS (
   SELECT 'orders_pk_unique' AS constraint_name, orders_pk_unique AS n_violations FROM o_stats
   UNION ALL SELECT 'orders_totalprice_positive', orders_totalprice_positive FROM o_stats
+  UNION ALL SELECT 'orders_totalprice_finite', orders_totalprice_finite FROM o_stats
   UNION ALL SELECT 'orders_status_domain', orders_status_domain FROM o_stats
   UNION ALL SELECT 'orders_orderdate_not_null', orders_orderdate_not_null FROM o_stats
   UNION ALL SELECT 'lineitem_quantity_range', lineitem_quantity_range FROM li_stats
   UNION ALL SELECT 'lineitem_discount_range', lineitem_discount_range FROM li_stats
+  UNION ALL SELECT 'lineitem_quantity_finite', lineitem_quantity_finite FROM li_stats
+  UNION ALL SELECT 'lineitem_extendedprice_finite', lineitem_extendedprice_finite FROM li_stats
+  UNION ALL SELECT 'lineitem_discount_finite', lineitem_discount_finite FROM li_stats
+  UNION ALL SELECT 'lineitem_tax_finite', lineitem_tax_finite FROM li_stats
   UNION ALL SELECT 'lineitem_shipdate_not_null', lineitem_shipdate_not_null FROM li_stats
   UNION ALL SELECT 'lineitem_orderkey_ri', lineitem_orderkey_ri FROM ri
 )
@@ -132,7 +165,11 @@ def _profile_order_key(name: str, dtype: str) -> F.Column:
     cast), dates/strings raw (ISO date text orders like the date).
     """
     if dtype in ("double", "float"):
-        return F.expr(f"CAST(round({name} * 100) AS BIGINT)")
+        # non-finite → NULL before the ANSI cast (r18 contract): a NaN
+        # row must profile as "1 non-finite value" (see n_nonfinite),
+        # not abort the profile with CAST_OVERFLOW; min/max then range
+        # over the finite values only, identically in both engines
+        return F.expr(f"CAST(round({finite_frag(name)} * 100) AS BIGINT)")
     if dtype == "timestamp_ntz":
         return F.expr(
             f"timestampdiff(MICROSECOND,"
@@ -170,13 +207,21 @@ def profile_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         df.agg(
             F.sum(F.when(F.col(name).isNull(), 1).otherwise(0)).cast("long")
             .alias("n_nulls"),
+            # the quarantine counter the finite() contract reports
+            # through: how many NaN/±Inf values this column carries
+            # (always 0 by type for non-floats — the column stays so a
+            # reader scans ONE profile schema per table)
+            (nonfinite_count(name) if dtype in ("double", "float")
+             # summed zero, not a literal: on an EMPTY table the oracle's
+             # SUM(0) is NULL and so is this (test_empty_tables parity)
+             else F.sum(F.lit(0)).cast("long")).alias("n_nonfinite"),
             F.countDistinct(F.col(name)).alias("n_distinct"),
             F.min(_profile_order_key(name, dtype)).cast("string")
             .alias("min_repr"),
             F.max(_profile_order_key(name, dtype)).cast("string")
             .alias("max_repr"),
-        ).select(F.lit(name).alias("column_name"), "n_nulls", "n_distinct",
-                 "min_repr", "max_repr")
+        ).select(F.lit(name).alias("column_name"), "n_nulls", "n_nonfinite",
+                 "n_distinct", "min_repr", "max_repr")
         for name, dtype in df.dtypes
     ]
     out = profiles[0]
@@ -231,7 +276,8 @@ PROFILE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
 
 def _profile_oracle_repr(name: str, dtype: str) -> str:
     if dtype in ("double", "float"):
-        return f"CAST(round({name} * 100) AS BIGINT)"
+        # identical shared-syntax finite guard as _profile_order_key
+        return f"CAST(round({finite_frag(name)} * 100) AS BIGINT)"
     if dtype in ("timestamp_ntz", "timestamp"):
         return f"epoch_us({name})"
     if dtype in ("tinyint", "smallint", "int", "bigint",
@@ -250,10 +296,14 @@ def _profile_oracle_sql(table: str,
     parts = []
     for name, dtype in (PROFILE_SCHEMAS[table] if cols is None else cols):
         rep = _profile_oracle_repr(name, dtype)
+        nonfin = (nonfinite_count_sql(name)
+                  if dtype in ("double", "float")
+                  else "SUM(0)::BIGINT")  # mirrors Spark's summed zero
         parts.append(
             f"  SELECT '{name}' AS column_name,\n"
             f"         SUM(CASE WHEN {name} IS NULL THEN 1 ELSE 0 END)::BIGINT"
             f" AS n_nulls,\n"
+            f"         {nonfin} AS n_nonfinite,\n"
             f"         COUNT(DISTINCT {name})::BIGINT AS n_distinct,\n"
             f"         MIN({rep})::VARCHAR AS min_repr,\n"
             f"         MAX({rep})::VARCHAR AS max_repr\n"
@@ -391,13 +441,18 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical double arithmetic in both engines (IEEE evaluation order
     matters — same expression text, no reassociation), with the
     degenerate min==max guard mapping to bucket 0 (ADVICE r3 pattern).
+    Value runs through the shared finite fragment (r18): a NaN/±Inf
+    value follows the NULL-value path already pinned by the null
+    contract on both engines — bounds range over finite values only,
+    and the oracle's CAST no longer throws on floor(NaN).
     """
     e = t(spark, sf_dir, "events")
+    fin_v = finite_frag("value")
     bounds = e.groupBy("event_type").agg(
-        F.min("value").alias("mn"), F.max("value").alias("mx"))
+        F.min(F.expr(fin_v)).alias("mn"), F.max(F.expr(fin_v)).alias("mx"))
     bucket = F.expr(
         f"CASE WHEN mx = mn THEN 0 ELSE "
-        f"least(CAST(floor((value - mn) * {_HIST_BUCKETS} / (mx - mn)) AS INT),"
+        f"least(CAST(floor(({fin_v} - mn) * {_HIST_BUCKETS} / (mx - mn)) AS INT),"
         f" {_HIST_BUCKETS - 1}) END")
     return (
         e.join(F.broadcast(bounds), "event_type")
@@ -410,12 +465,13 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 VALUE_HISTOGRAM_SQL = f"""
 WITH bounds AS (
-  SELECT event_type, MIN(value) AS mn, MAX(value) AS mx
+  SELECT event_type, MIN({finite_frag('value')}) AS mn,
+         MAX({finite_frag('value')}) AS mx
   FROM events GROUP BY 1
 )
 SELECT events.event_type AS event_type,
        CAST(CASE WHEN mx = mn THEN 0 ELSE
-         least(CAST(floor((value - mn) * {_HIST_BUCKETS} / (mx - mn)) AS INT),
+         least(CAST(floor(({finite_frag('value')} - mn) * {_HIST_BUCKETS} / (mx - mn)) AS INT),
                {_HIST_BUCKETS - 1}) END AS INT) AS bucket,
        COUNT(*)::BIGINT AS n
 FROM events JOIN bounds ON events.event_type = bounds.event_type

@@ -46,72 +46,65 @@ _MODULE_SPECS: list[QuerySpec] = [
 # End-of-round ritual: append the new round's names to the JSON, then
 # rewrite this tuple for the next round's changed plans.
 _ROUND_PRIORITY: tuple[str, ...] = (
-    # round 17 null/whitespace-contract closure. ORDER IS THE
-    # DRIVER'S PROOF BUDGET ALLOCATION (see _order_key): the 62
-    # changed rows exceed the ~50-row budget, so the rows whose
-    # re-proof carries information lead — Spark-plan changes
-    # (null-ts/percentile/empty-text contracts, the shared BPE
-    # regex, the chunking UDTF), then execution-side code-path
-    # changes (skew guard, directory fixture stamp), then the
-    # oracle-only null alignments; the trailing block is the
-    # ASCII-trim/\s oracle rewrites, provably no-ops on the
-    # all-ASCII driver fixtures (gated instead by the unicode,
-    # boundary and fuzz sweeps), so they absorb any budget cut.
-    "events_sessionize",
-    "events_transition_matrix",
-    "scd2_status_history",
-    "daily_new_vs_returning",
-    "latest_event_per_user",
-    "session_path_topk",
-    "approx_percentile_check",
+    # round 18 non-finite-contract closure (VERDICT r17 item 1/2).
+    # ORDER IS THE DRIVER'S PROOF BUDGET ALLOCATION (see _order_key).
+    # Block 1 — per-query semantic fixes (each carries its own contract
+    # decision: quarantine counters, finite-guarded percentiles/
+    # moments/buckets/deltas/tolerances) — highest-information proofs:
+    "dq_constraint_report",
+    "column_profile_orders",
+    "column_profile_lineitem",
+    "column_profile_events",
+    "column_profile_documents",
+    "events_value_histogram",
     "events_user_features",
-    "bpe_pretokenize_counts",
-    "text_quality_score",
-    "text_chunking_udtf",
-    "salted_hot_key_agg",
-    "embedding_near_dup",
-    "lsh_bucket_ann",
-    "lsh_pair_distance_histogram",
-    # malformed-props contract (r17 late census): events_variant_extract
-    # moves to try_parse_json (plan change — plain parse_json is
-    # FAILFAST, one bad record aborts the job) and every props oracle
-    # gains a json_valid guard (DuckDB throws where Spark is lenient);
-    # gated by tests/test_malformed_props.py:
-    "events_variant_extract",
-    "events_json_extract",
-    "events_tumbling_hourly",
+    "agg_percentiles",
+    "agg_stats_by_flag",
+    "agg_approx_distinct",
+    "functions_showcase",
+    "approx_percentile_check",
+    "q17_small_quantity_revenue",
+    "merge_upsert_orders",
+    "daily_revenue_gapfill",
     "events_sliding_windows",
-    "events_windowed_topk",
+    "grouping_sets_revenue",
+    # Block 2 — base.cents()/cents_sql() consumers (one shared change,
+    # the finite() guard inside the money choke point):
+    "events_tumbling_hourly",
+    "events_sessionize",
     "events_session_window_native",
-    "rolling_active_users",
-    "map_functions_showcase",
-    "text_token_positions",
-    "array_functions_showcase",
-    "bigram_surprisal_score",
-    "boilerplate_template_clusters",
-    "cluster_best_survivor",
-    "corpus_curation_pipeline",
-    "decontamination_overlap",
-    "dedup_cluster_stats",
-    "dedup_connected_components",
-    "dedup_cross_source_matrix",
-    "dedup_exact_documents",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "doc_fingerprint",
-    "docs_with_embeddings",
-    "langid_confusion_matrix",
-    "lexical_diversity_stats",
-    "minhash_recall_eval",
-    "mixture_sampling_weights",
-    "mixture_weighted_sample",
-    "near_dup_containment",
-    "oov_rate_by_lang",
-    "quality_rules_audit",
-    "sequence_packing_bins",
-    "simhash_dedup",
-    "source_dup_quality_audit",
-    "source_mix_report",
+    "salted_hot_key_agg",
+    "customer_engagement_value",
+    "customer_rfm_segments",
+    "orders_backlog_aging",
+    "orders_monthly_yoy",
+    "q22_idle_rich_customers",
+    "revenue_concentration_deciles",
+    "supplier_concentration_hhi",
+    "window_running_spend",
+    "window_trailing_30d_spend",
+    "join_left_order_counts",
+    "bucketed_join_zero_shuffle",
+    "weighted_median_price_by_nation",
+    "agg_rollup_lineitem",
+    "q18_large_orders",
+    "q11_important_stock",
+    # Block 3 — relational.py integer-unit fragment consumers (the
+    # identical mechanical finite_frag edit, already proven by blocks
+    # 1-2's shapes; these absorb any budget cut before block 4 does):
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q10_returned_items",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q19_disjunctive_revenue",
+    # Block 4 — the 14 r17 priority rows whose driver proof was cut by
+    # the r17 budget (oracle-only ASCII-trim rewrites, no-ops on the
+    # ASCII driver fixtures, gated meanwhile by the unicode/fuzz
+    # sweeps) — VERDICT r17 item 3:
     "span_dedup_report",
     "text_bigram_top20",
     "text_language_id",

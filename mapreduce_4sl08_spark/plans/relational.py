@@ -15,7 +15,9 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window
 from pyspark.sql.functions import broadcast
 
-from .base import QuerySpec, cents, cents_sql, dollars, t
+from .base import (
+    QuerySpec, cents, cents_sql, dollars, finite, finite_frag, finite_sql, t,
+)
 
 
 # ------------------------------------------------- exact money arithmetic
@@ -47,11 +49,14 @@ from .base import QuerySpec, cents, cents_sql, dollars, t
 # ``//`` truncates toward zero exactly like Spark's ``div``, and all
 # money units here are non-negative).
 
-#: per-row exact integer-unit SQL fragments (shared Spark/DuckDB syntax)
-_QTY_E2 = "CAST(ROUND(l_quantity * 100) AS BIGINT)"
-_PRICE_C = "CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
-_DISC_PTS = "CAST(ROUND(l_discount * 100) AS BIGINT)"
-_TAX_PTS = "CAST(ROUND(l_tax * 100) AS BIGINT)"
+#: per-row exact integer-unit SQL fragments (shared Spark/DuckDB syntax;
+#: non-finite source values → NULL units via base.finite_frag — the r18
+#: contract: one NaN row must degrade to a missing measure, not throw
+#: ANSI CAST_OVERFLOW and abort a 100 TB job)
+_QTY_E2 = f"CAST(ROUND({finite_frag('l_quantity')} * 100) AS BIGINT)"
+_PRICE_C = f"CAST(ROUND({finite_frag('l_extendedprice')} * 100) AS BIGINT)"
+_DISC_PTS = f"CAST(ROUND({finite_frag('l_discount')} * 100) AS BIGINT)"
+_TAX_PTS = f"CAST(ROUND({finite_frag('l_tax')} * 100) AS BIGINT)"
 #: revenue  extprice*(1-disc)            e4 units, <= ~1.1e9 / row
 _REV_E4 = f"({_PRICE_C} * (100 - {_DISC_PTS}))"
 #: charge   extprice*(1-disc)*(1+tax)    e6 units, <= ~1.2e11 / row
@@ -460,27 +465,30 @@ ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
 
 
 def agg_stats_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Statistical aggregates incl. exact distinct count (two-level agg)."""
+    """Statistical aggregates incl. exact distinct count (two-level agg).
+    Measures run through finite() (r18 contract): one NaN row made
+    DuckDB's STDDEV_SAMP throw OutOfRange while Spark returned NaN —
+    non-finite → NULL drops out of every moment identically."""
     l = t(spark, sf_dir, "lineitem")
     return (
         l.groupBy("l_returnflag")
         .agg(
-            F.round(F.stddev_samp("l_extendedprice"), 4).alias("std_price"),
-            F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
-            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
-            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+            F.round(F.stddev_samp(finite("l_extendedprice")), 4).alias("std_price"),
+            F.round(F.var_samp(finite("l_discount")), 6).alias("var_disc"),
+            F.round(F.min(finite("l_extendedprice")), 2).alias("min_price"),
+            F.round(F.max(finite("l_extendedprice")), 2).alias("max_price"),
             F.countDistinct("l_suppkey").alias("n_supp"),
         )
         .orderBy("l_returnflag")
     )
 
 
-AGG_STATS_SQL = """
+AGG_STATS_SQL = f"""
 SELECT l_returnflag,
-       ROUND(STDDEV_SAMP(l_extendedprice), 4) AS std_price,
-       ROUND(VAR_SAMP(l_discount), 6) AS var_disc,
-       ROUND(MIN(l_extendedprice), 2) AS min_price,
-       ROUND(MAX(l_extendedprice), 2) AS max_price,
+       ROUND(STDDEV_SAMP({finite_sql('l_extendedprice')}), 4) AS std_price,
+       ROUND(VAR_SAMP({finite_sql('l_discount')}), 6) AS var_disc,
+       ROUND(MIN({finite_sql('l_extendedprice')}), 2) AS min_price,
+       ROUND(MAX({finite_sql('l_extendedprice')}), 2) AS max_price,
        COUNT(DISTINCT l_suppkey) AS n_supp,
 FROM lineitem
 GROUP BY l_returnflag
@@ -1236,7 +1244,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact integer-cents average (cross-engine round-tie discipline)
     per_part = (
         l.groupBy(F.col("l_partkey").alias("pk"))
-        .agg((F.sum(F.round(F.col("l_quantity") * 100).cast("long"))
+        .agg((F.sum(F.expr(_QTY_E2))
               / (F.count(F.lit(1)) * 100.0)).alias("avg_qty"))
     )
     # avg_yearly from an exact integer-cents sum: SUM(double) is
@@ -1259,7 +1267,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q17_SQL = f"""
 WITH per_part AS (
   SELECT l_partkey AS pk,
-         SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) / (COUNT(*) * 100.0) AS avg_qty
+         SUM({_QTY_E2}) / (COUNT(*) * 100.0) AS avg_qty
   FROM lineitem GROUP BY l_partkey
 )
 SELECT ROUND(CAST(_ep_c AS DOUBLE) / 700.0, 2) AS avg_yearly, n_items
@@ -1279,8 +1287,13 @@ FROM (
 
 def functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String / date / math / conditional scalar functions in one plan —
-    the curated facade exercised end-to-end (SURVEY §7.2 step 2)."""
+    the curated facade exercised end-to-end (SURVEY §7.2 step 2).
+    o_totalprice runs through finite() (r18): Spark compares NaN as
+    greater-than-everything (bucket 'high') where DuckDB follows IEEE
+    (false → 'low') — non-finite → NULL takes the same CASE fallthrough
+    on both engines, and sqrt/ln of NULL is NULL rather than NaN."""
     o = t(spark, sf_dir, "orders")
+    price = finite("o_totalprice")
     return (
         o.select(
             "o_orderkey",
@@ -1289,26 +1302,26 @@ def functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length("o_orderpriority").alias("pri_len"),
             F.year("o_orderdate").alias("o_year"),
             F.month("o_orderdate").alias("o_month"),
-            F.round(F.sqrt(F.abs(F.col("o_totalprice"))), 4).alias("sqrt_price"),
-            F.round(F.ln(F.col("o_totalprice") + 1), 4).alias("ln_price"),
-            F.when(F.col("o_totalprice") > 300000, "high")
-             .when(F.col("o_totalprice") > 100000, "mid")
+            F.round(F.sqrt(F.abs(price)), 4).alias("sqrt_price"),
+            F.round(F.ln(price + 1), 4).alias("ln_price"),
+            F.when(price > 300000, "high")
+             .when(price > 100000, "mid")
              .otherwise("low").alias("bucket"),
         )
         .orderBy("o_orderkey")
     )
 
 
-FUNCTIONS_SQL = """
+FUNCTIONS_SQL = f"""
 SELECT o_orderkey,
        UPPER(SUBSTR(o_orderpriority, 1, 1)) || '/' || LOWER(o_orderstatus) AS pri_code,
        LENGTH(o_orderpriority)::INT AS pri_len,
        EXTRACT(year FROM o_orderdate)::INT AS o_year,
        EXTRACT(month FROM o_orderdate)::INT AS o_month,
-       ROUND(SQRT(ABS(o_totalprice)), 4) AS sqrt_price,
-       ROUND(LN(o_totalprice + 1), 4) AS ln_price,
-       CASE WHEN o_totalprice > 300000 THEN 'high'
-            WHEN o_totalprice > 100000 THEN 'mid'
+       ROUND(SQRT(ABS({finite_sql('o_totalprice')})), 4) AS sqrt_price,
+       ROUND(LN({finite_sql('o_totalprice')} + 1), 4) AS ln_price,
+       CASE WHEN {finite_sql('o_totalprice')} > 300000 THEN 'high'
+            WHEN {finite_sql('o_totalprice')} > 100000 THEN 'mid'
             ELSE 'low' END AS bucket
 FROM orders
 ORDER BY o_orderkey
@@ -1561,24 +1574,28 @@ ORDER BY o_custkey, day, o_orderkey
 
 def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles (linear interpolation) per group — Spark
-    `percentile` and DuckDB `quantile_cont` share the definition."""
+    `percentile` and DuckDB `quantile_cont` share the definition.
+    The measure runs through finite() (r18): Spark's percentile ranks
+    NaN as the greatest value where DuckDB's quantile_cont poisons the
+    whole quantile to NaN — non-finite → NULL is skipped identically."""
     l = t(spark, sf_dir, "lineitem")
+    price = finite("l_extendedprice")
     return (
         l.groupBy("l_linestatus")
         .agg(
-            F.round(F.percentile("l_extendedprice", 0.25), 4).alias("p25"),
-            F.round(F.percentile("l_extendedprice", 0.5), 4).alias("p50"),
-            F.round(F.percentile("l_extendedprice", 0.75), 4).alias("p75"),
+            F.round(F.percentile(price, 0.25), 4).alias("p25"),
+            F.round(F.percentile(price, 0.5), 4).alias("p50"),
+            F.round(F.percentile(price, 0.75), 4).alias("p75"),
         )
         .orderBy("l_linestatus")
     )
 
 
-AGG_PERCENTILES_SQL = """
+AGG_PERCENTILES_SQL = f"""
 SELECT l_linestatus,
-       ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
-       ROUND(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
-       ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+       ROUND(quantile_cont({finite_sql('l_extendedprice')}, 0.25), 4) AS p25,
+       ROUND(quantile_cont({finite_sql('l_extendedprice')}, 0.50), 4) AS p50,
+       ROUND(quantile_cont({finite_sql('l_extendedprice')}, 0.75), 4) AS p75
 FROM lineitem
 GROUP BY l_linestatus
 ORDER BY l_linestatus

@@ -120,17 +120,19 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     one shuffle on o_custkey — still the right shape).
     """
     o = t(spark, sf_dir, "orders")
-    cents = F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    price_c = cents("o_totalprice")  # non-finite → NULL (r18 contract)
     cut = F.lit(_MERGE_CUTOFF).cast("timestamp")
     base = (
         o.filter(F.col("o_orderdate") < cut)
         .groupBy("o_custkey")
-        .agg(F.count(F.lit(1)).alias("b_orders"), F.sum(cents).alias("b_cents"))
+        .agg(F.count(F.lit(1)).alias("b_orders"),
+             F.sum(price_c).alias("b_cents"))
     )
     delta = (
         o.filter(F.col("o_orderdate") >= cut)
         .groupBy("o_custkey")
-        .agg(F.count(F.lit(1)).alias("d_orders"), F.sum(cents).alias("d_cents"))
+        .agg(F.count(F.lit(1)).alias("d_orders"),
+             F.sum(price_c).alias("d_cents"))
     )
     merged = base.join(delta, "o_custkey", "full_outer")
     action = (
@@ -154,13 +156,13 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 MERGE_UPSERT_SQL = f"""
 WITH base AS (
   SELECT o_custkey, COUNT(*)::BIGINT AS b_orders,
-         SUM(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS b_cents
+         SUM({cents_sql('o_totalprice')})::BIGINT AS b_cents
   FROM orders WHERE o_orderdate < TIMESTAMP '{_MERGE_CUTOFF}'
   GROUP BY o_custkey
 ),
 delta AS (
   SELECT o_custkey, COUNT(*)::BIGINT AS d_orders,
-         SUM(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS d_cents
+         SUM({cents_sql('o_totalprice')})::BIGINT AS d_cents
   FROM orders WHERE o_orderdate >= TIMESTAMP '{_MERGE_CUTOFF}'
   GROUP BY o_custkey
 )
@@ -196,8 +198,7 @@ def daily_revenue_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy(day.alias("day"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
-            .alias("revenue_cents"),
+            F.sum(cents("o_totalprice")).alias("revenue_cents"),
         )
     )
     spine = (
@@ -217,11 +218,11 @@ def daily_revenue_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-GAPFILL_SQL = """
+GAPFILL_SQL = f"""
 WITH daily AS (
   SELECT date_trunc('day', o_orderdate) AS day,
          COUNT(*)::BIGINT AS n_orders,
-         SUM(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS revenue_cents
+         SUM({cents_sql('o_totalprice')})::BIGINT AS revenue_cents
   FROM orders GROUP BY 1
 ),
 spine AS (
@@ -459,11 +460,16 @@ def approx_percentile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking them would hinge the percentile pick on Spark's
     NULLS-FIRST vs DuckDB's NULLS-LAST ASC default (the r16 staggered
     census caught exactly that divergence). A NULL flag group with
-    live prices still flows through the eqNullSafe rejoin below."""
+    live prices still flows through the eqNullSafe rejoin below.
+    r18 extends the exclusion to non-finite prices: cents() maps them
+    to NULL, and the IS NOT NULL filter runs on the cents value, so n
+    counts live FINITE prices only — ranking a NaN would otherwise pin
+    the pick to each engine's own NaN sort position."""
     li = t(spark, sf_dir, "lineitem")
-    cents = F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
-    base = (li.filter(F.col("l_extendedprice").isNotNull())
-            .select(F.col("l_returnflag").alias("flag"), cents.alias("cents")))
+    price_c = cents("l_extendedprice")
+    base = (li.select(F.col("l_returnflag").alias("flag"),
+                      price_c.alias("cents"))
+            .filter(F.col("cents").isNotNull()))
     w = Window.partitionBy("flag").orderBy("cents")
     ranked = (
         base.withColumn("rn", F.row_number().over(w))
@@ -505,12 +511,12 @@ def approx_percentile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-APPROX_PCTL_SQL = """
+APPROX_PCTL_SQL = f"""
 WITH base AS (
   SELECT l_returnflag AS flag,
-         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+         {cents_sql('l_extendedprice')} AS cents
   FROM lineitem
-  WHERE l_extendedprice IS NOT NULL
+  WHERE {cents_sql('l_extendedprice')} IS NOT NULL
 ),
 ranked AS (
   SELECT flag, cents,

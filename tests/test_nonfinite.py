@@ -1,0 +1,90 @@
+"""Every registry query must be VALUE-EQUAL to its oracle when
+non-finite doubles (NaN / +Inf / -Inf) land in float measure columns —
+at 100 TB a dirty sensor value or a bad upstream division is routine,
+and one such row must never abort the job (the r17 censuses found 25
+queries throwing ANSI CAST_OVERFLOW on a single NaN) or silently change
+an answer depending on which engine's NaN rules run.
+
+The r18 contract (plans/base.py finite() / finite_sql() /
+finite_frag()): **non-finite measure → NULL at ingestion**, routed
+through cents()/cents_sql() (every exact-money path) and applied at
+each censused raw-double ingestion (percentiles, stddev/variance,
+min/max profile keys, histogram bucketing, grouped-map value deltas,
+CASE bucketing and tolerance checks). NULL then flows through the null
+contract the r17 round pinned end-to-end, which both engines already
+agree on. What the contract deliberately does NOT do: queries whose
+float aggregates propagate non-finite values IDENTICALLY in both
+engines (e.g. a plain rounded AVG emitting NaN for a poisoned group)
+keep propagation semantics — the poison stays visible, and the
+quarantine surface (dq_constraint_report's *_finite constraint rows,
+column_profile_*'s n_nonfinite column) is the designed place to catch
+it before the finite()-guarded analytics drop it.
+
+Fixture (tools/null_fixtures.build_nonfinite): all three classes in
+the SAME table — NaN row 1, +Inf row 2, -Inf row 3 — which exercises
+what the per-class censuses cannot: mixed-class groups and -Inf
+(sorts opposite to NaN/+Inf in both engines).
+
+A new divergence here is a FAILURE, not a census entry — align the
+engines (usually: route the measure through finite()/finite_sql()),
+never relax the compare. The full-registry single-class censuses
+remain runnable as tools/nan_census.py [--inf] and now exit nonzero
+on any non-OK row (logs/nan_census_r18.txt, logs/inf_census_r18.txt:
+168/168 OK).
+"""
+import duckdb
+import pytest
+
+from mapreduce_4sl08_spark.plans import QUERIES
+from tests.conftest import SF_SMOKE as SRC
+from tests.oracle import compare_frames
+from tools.null_fixtures import TABLES, build_nonfinite
+
+
+@pytest.fixture(scope="module")
+def sfnonfinite_dir(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("sfnonfinite"))
+    return build_nonfinite(SRC, out)
+
+
+@pytest.fixture(scope="module")
+def duck_sfnonfinite(sfnonfinite_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"'{sfnonfinite_dir}/{t}.parquet'")
+    return con
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle_on_nonfinite(spark, sfnonfinite_dir,
+                                           duck_sfnonfinite, name):
+    spec = QUERIES[name]
+    spark_pdf = spec.fn(spark, sfnonfinite_dir).toPandas()
+    if spec.oracle is None:
+        assert spark_pdf is not None
+        return
+    oracle_pdf = duck_sfnonfinite.execute(spec.oracle).fetchdf()
+    compare_frames(spark_pdf, oracle_pdf, name)
+
+
+def test_quarantine_gates_report_nonfinite(spark, sfnonfinite_dir):
+    """VERDICT r17 item 2: the quarantine surface must SAY what
+    finite() drops. On this fixture every lineitem float measure
+    carries exactly 3 non-finite values (NaN, +Inf, -Inf), and the
+    orders price 3 — pinned as absolute counts so the counter can
+    never silently become a no-op."""
+    dq = {r["constraint_name"]: r["n_violations"]
+          for r in QUERIES["dq_constraint_report"]
+          .fn(spark, sfnonfinite_dir).collect()}
+    for c in ("orders_totalprice_finite", "lineitem_quantity_finite",
+              "lineitem_extendedprice_finite", "lineitem_discount_finite",
+              "lineitem_tax_finite"):
+        assert dq[c] == 3, f"{c}: expected 3 non-finite, got {dq[c]}"
+
+    prof = {r["column_name"]: r["n_nonfinite"]
+            for r in QUERIES["column_profile_lineitem"]
+            .fn(spark, sfnonfinite_dir).collect()}
+    for col in ("l_quantity", "l_extendedprice", "l_discount", "l_tax"):
+        assert prof[col] == 3, f"profile {col}: {prof[col]} != 3"
+    assert prof["l_orderkey"] == 0  # non-float columns report 0

@@ -1,21 +1,25 @@
 #!/usr/bin/env python
-"""NaN-value census (r17, read-only scoping for r18): inject NaN into
-every float64 non-key column of row 2 (live keys, live other columns)
-at sf0.001 and run every registry (plan, oracle) pair with the
-driver-strict compare.
+"""Non-finite-value census (r17 scoping; r18 closed the contract —
+plans/base.py finite()/finite_sql()/finite_frag route every censused
+measure ingestion to NULL-on-non-finite): inject NaN into every float64
+non-key column of row 2 (live keys, live other columns) at sf0.001 and
+run every registry (plan, oracle) pair with the driver-strict compare.
 
 NaN is the axis the null fixtures cannot see: parquet doubles carry it
 in the wild, Spark ANSI CAST(NaN AS BIGINT) throws where a NULL would
 flow, both engines sort/group NaN with their own rules, and SUM
-poisons the whole group. This census only RECORDS the behavior —
-contract decisions are the next round's work.
+poisons the whole group.
+
+Exit status (ADVICE r17 item 4): 0 only when every row is OK; 1 on any
+mismatch/crash — this census is a gate now, not a scoping note, so a
+regression fails CI the way null_census does.
 
     python tools/nan_census.py [--inf] [name ...]
 
 --inf injects +Infinity instead (the second non-finite class: Inf
 survives casts that NaN does not, poisons sums without erroring, and
 sorts as the true maximum in both engines — a DIFFERENT failure
-surface worth its own row in the r18 contract decision).
+surface).
 """
 
 from __future__ import annotations
@@ -106,7 +110,7 @@ def main() -> int:
     label = "INF" if inject == math.inf else "NAN"
     print(f"\n{label} CENSUS: OK={ok} MISMATCH={mismatch} "
           f"CRASH-SPARK={crash_s} CRASH-ORACLE={crash_o}")
-    return 0
+    return 1 if (mismatch or crash_s or crash_o) else 0
 
 
 if __name__ == "__main__":

@@ -17,6 +17,7 @@ never drift.
 
 from __future__ import annotations
 
+import math
 import os
 
 import pyarrow as pa
@@ -36,6 +37,33 @@ def build_same_row(src: str, out: str) -> str:
             if col.endswith("key") or col in KEY_COLS:
                 continue
             d[col][1] = None
+        pq.write_table(pa.table(d, schema=tab.schema),
+                       os.path.join(out, f"{t}.parquet"))
+    return out
+
+
+def build_nonfinite(src: str, out: str) -> str:
+    """r18 non-finite fixture: four rows per table, every float column
+    carries ALL THREE non-finite classes at once — NaN on row 1, +Inf
+    on row 2, -Inf on row 3 (row 0 and all keys stay live). One fixture
+    exercises what the two single-class censuses (tools/nan_census.py,
+    which never injects -Inf) cannot: mixed-class groups, and -Inf —
+    which sorts OPPOSITE to NaN/+Inf, so any query leaning on an
+    engine's non-finite sort order diverges here even if both censuses
+    pass."""
+    for t in TABLES:
+        tab = pq.read_table(os.path.join(src, f"{t}.parquet")).slice(0, 4)
+        d = tab.to_pydict()
+        nrows = len(tab)
+        for col, field in zip(tab.column_names, tab.schema):
+            if col.endswith("key") or col in KEY_COLS:
+                continue
+            if (pa.types.is_float64(field.type)
+                    or pa.types.is_float32(field.type)):
+                for row, val in ((1, math.nan), (2, math.inf),
+                                 (3, -math.inf)):
+                    if row < nrows:
+                        d[col][row] = val
         pq.write_table(pa.table(d, schema=tab.schema),
                        os.path.join(out, f"{t}.parquet"))
     return out
