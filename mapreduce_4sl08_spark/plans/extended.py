@@ -647,13 +647,21 @@ def map_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
 # map-derived value is NULL for that row — including type_len via
 # map_concat's null-intolerance — while DuckDB's json functions THROW
 # on malformed input; json_valid() routes the oracle around both.
+# ADVICE r17 item 2: VALID-but-non-object props ('123', '[1]') also
+# yield a NULL map from Spark's from_json-to-MapType while json_valid
+# is true — the ordered CASE adds json_type(props) = 'OBJECT' (CASE,
+# not AND: SQL conjunctions don't guarantee evaluation order, and
+# json_type THROWS on input json_valid already rejected).
 MAP_FUNCS_SQL = """
 SELECT event_id,
-       CASE WHEN props IS NULL OR NOT json_valid(props)
-            THEN NULL ELSE 'k' END AS prop_keys,
-       CAST(CASE WHEN props IS NOT NULL AND json_valid(props)
-                 THEN json_extract_string(props, '$.k') END AS INT) AS k_value,
        CASE WHEN props IS NULL OR NOT json_valid(props) THEN NULL
+            WHEN json_type(props) != 'OBJECT' THEN NULL
+            ELSE 'k' END AS prop_keys,
+       CAST(CASE WHEN props IS NULL OR NOT json_valid(props) THEN NULL
+                 WHEN json_type(props) != 'OBJECT' THEN NULL
+                 ELSE json_extract_string(props, '$.k') END AS INT) AS k_value,
+       CASE WHEN props IS NULL OR NOT json_valid(props) THEN NULL
+            WHEN json_type(props) != 'OBJECT' THEN NULL
             ELSE LENGTH(event_type)::INT END AS type_len
 FROM events
 ORDER BY event_id

@@ -78,7 +78,11 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 li.l_orderkey == F.col("o_orderkey"), "left_anti")
         .agg(F.count(F.lit(1)).alias("lineitem_orderkey_ri"))
     )
-    combined = o_stats.crossJoin(li_stats).crossJoin(ri)
+    # broadcast the 1-row stat frames explicitly (VERDICT r17 "wrong" 3:
+    # the sibling scalar-crossJoin sites all mark it; AQE would pick it
+    # anyway, but the plan should SAY it)
+    combined = o_stats.crossJoin(F.broadcast(li_stats)).crossJoin(
+        F.broadcast(ri))
     names = [
         "orders_pk_unique", "orders_totalprice_positive",
         "orders_totalprice_finite",

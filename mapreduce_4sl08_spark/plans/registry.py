@@ -101,6 +101,10 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     "q14_promo_share",
     "q15_top_supplier",
     "q19_disjunctive_revenue",
+    # oracle-only r18 change (ADVICE r17 item 2): json_type OBJECT arm —
+    # provably a no-op on the all-valid-object driver fixtures, pinned
+    # by tests/test_malformed_props.py meanwhile:
+    "map_functions_showcase",
     # Block 4 — the 14 r17 priority rows whose driver proof was cut by
     # the r17 budget (oracle-only ASCII-trim rewrites, no-ops on the
     # ASCII driver fixtures, gated meanwhile by the unicode/fuzz

@@ -184,16 +184,26 @@ def stream_running_user_stats(events: DataFrame,
 
     State is one (n, total) pair per user — O(users) bounded state; at
     scale the shuffle key is user_id and state lives in the state store
-    partition-local to the key."""
+    partition-local to the key.
+
+    Non-finite contract (r18, plans/base.py finite()): a NaN/±Inf value
+    contributes NOTHING to the running total — same as a NULL measure.
+    pandas' skipna already dropped NaN (and NULL-as-NaN) silently, but
+    +Inf poisoned the state FOREVER (inf + x = inf across every later
+    batch — state poison is worse than batch poison); the explicit
+    finite mask pins one rule for all three classes, matching the
+    batch twin's F.sum(finite(value))."""
 
     def update(key, pdfs, state):
+        import numpy as np
         import pandas as pd
         n, total = state.get if state.exists else (0, 0.0)
         batch_n = 0
         for pdf in pdfs:
             batch_n += len(pdf)
             n += len(pdf)
-            total += float(pdf["value"].sum())
+            v = pdf["value"].to_numpy()
+            total += float(v[np.isfinite(v)].sum())
         state.update((n, total))
         yield pd.DataFrame({
             "user_id": [key[0]],
@@ -250,11 +260,19 @@ def stream_user_value_ema(events: DataFrame, alpha: float = 0.3) -> DataFrame:
                             StructField("n", LongType())]))
 
         def handleInputRows(self, key, rows, timerValues):
+            import math
             ema, n = (self._state.get() if self._state.exists() else (None, 0))
             for pdf in rows:
                 pdf = pdf.sort_values(["ts", "event_id"])
                 for v in pdf["value"]:
                     v = float(v)
+                    # non-finite contract (r18): a NaN/±Inf (or NULL →
+                    # NaN) value folds NOTHING — one dirty row would
+                    # otherwise poison the EMA state for the rest of
+                    # the stream. n_seen counts FOLDED values, so the
+                    # reported (ema, n) pair stays self-consistent.
+                    if not math.isfinite(v):
+                        continue
                     ema = v if ema is None else alpha * v + (1 - alpha) * ema
                     n += 1
             self._state.update((ema, n))

@@ -8,13 +8,22 @@ NULL on malformed input; events_variant_extract uses try_parse_json
 job). Oracle side: DuckDB's json functions THROW on malformed input,
 so every props-consuming oracle routes through json_valid().
 
-Documented boundary: the engines' validity DIALECTS differ on edge
-inputs — DuckDB (yyjson) accepts a trailing comma ('{"k": 1, }') that
-Spark (Jackson) rejects — so this gate pins the CLEARLY-malformed
-class (truncated object, non-JSON text, empty string) where both
-dialects agree the input is invalid. Full dialect alignment would need
-a shared parser UDF on both sides; out of scope until a real corpus
-shows the edge class matters.
+r18 (ADVICE r17 item 2) extends the pinned class with VALID-but-
+non-object props ('123', '[1]'): Spark's from_json-to-MapType yields a
+NULL map while json_valid() is true, so the map oracle adds an ordered
+json_type(props) = 'OBJECT' CASE arm; the variant/json-path consumers
+already align (a non-object has no $.k on either engine).
+
+Documented boundary — two classes stay OUT of scope until a real
+corpus shows they matter (full alignment needs a shared parser UDF on
+both sides):
+- validity DIALECTS on edge inputs: DuckDB (yyjson) accepts a trailing
+  comma ('{"k": 1, }') that Spark (Jackson) rejects;
+- TYPE-MISMATCHED values inside a valid object ('{"k": "abc"}'):
+  Spark's PERMISSIVE from_json nulls the WHOLE map on one bad value
+  (so prop_keys/type_len null too) while DuckDB extracts per-path and
+  its CAST throws — no single-expression oracle mirrors map-level
+  failure; TRY_CAST would fix k_value but not the map-level columns.
 """
 import os
 
@@ -30,8 +39,10 @@ from tests.oracle import compare_frames
 TABLES = ("region nation customer supplier part orders lineitem "
           "events documents embeddings").split()
 
-#: clearly-malformed in BOTH JSON dialects
-MALFORMED = ['{"k":', "not json", ""]
+#: rows 0-2: clearly-malformed in BOTH JSON dialects;
+#: rows 3-4: VALID JSON that is not an object (r18 — json_valid passes,
+#: from_json-to-MapType still yields a NULL map)
+MALFORMED = ['{"k":', "not json", "", "123", "[1]"]
 
 
 @pytest.fixture(scope="module")
@@ -71,9 +82,40 @@ PROPS_CONSUMERS = [
 
 
 def test_props_consumer_list_is_complete():
-    """If a new oracle starts reading props, it must join this gate."""
-    readers = sorted(n for n, s in QUERIES.items()
-                     if s.oracle and "props" in s.oracle)
+    """If a new oracle starts reading props, it must join this gate.
+
+    Detection is SEMANTIC, not substring (ADVICE r17 item 3: 'props'
+    substring missed SELECT-* and quoted-identifier consumers): run
+    every oracle twice on fixtures identical except the props values
+    differ — any output difference means the oracle read props. The
+    substring detector is kept as a union (a consumer whose output
+    coincidentally matches on both prop sets would escape the semantic
+    probe)."""
+    con_a, con_b = duckdb.connect(), duckdb.connect()
+    base = pq.read_table(os.path.join(SRC, "events.parquet"))
+    d = base.to_pydict()
+    d["props"] = ['{"__probe__": %d}' % i for i in range(len(base))]
+    import tempfile
+    with tempfile.TemporaryDirectory() as tmp:
+        pq.write_table(pa.table(d, schema=base.schema),
+                       os.path.join(tmp, "events_probe.parquet"))
+        for t in TABLES:
+            path = os.path.join(SRC, f"{t}.parquet")
+            con_a.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+            con_b.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"'{tmp}/events_probe.parquet'" if t == "events"
+                else f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+        semantic = []
+        for name, spec in sorted(QUERIES.items()):
+            if spec.oracle is None:
+                continue
+            a = con_a.execute(spec.oracle).fetchall()
+            b = con_b.execute(spec.oracle).fetchall()
+            if a != b:
+                semantic.append(name)
+    substring = [n for n, s in QUERIES.items() if s.oracle and "props" in s.oracle]
+    readers = sorted(set(semantic) | set(substring))
     assert readers == sorted(PROPS_CONSUMERS), (
         f"props-consuming queries changed: {readers} — add them to "
         f"PROPS_CONSUMERS so the malformed-JSON contract covers them")

@@ -257,6 +257,9 @@ def test_oracle_whitespace_contract():
     - no bare ``trim(x)`` — DuckDB's default trim strips Unicode Zs
       (NBSP, U+3000) where Spark's F.trim strips ASCII 0x20 only, so
       every oracle trim must pass an explicit character-set argument;
+      ADVICE r17 item 1 extends the match to TRIM/LTRIM/RTRIM in any
+      case (SQL is case-insensitive, and DuckDB's l/rtrim defaults
+      carry the same Unicode-Zs set);
     - no ``\\s`` in oracle regexes — RE2's \\s lacks \\x0B where
       Java's (Spark) and Python-ASCII's include it; spell the class
       out as ``[ \\t\\n\\x0b\\f\\r]+``.
@@ -267,7 +270,7 @@ def test_oracle_whitespace_contract():
 
     def bare_trims(sql: str) -> list[str]:
         found = []
-        for m in re.finditer(r"\btrim\(", sql):
+        for m in re.finditer(r"\b(?:l|r)?trim\(", sql, re.IGNORECASE):
             depth, i, has_arg2 = 1, m.end(), False
             while i < len(sql) and depth:
                 c = sql[i]
@@ -295,3 +298,76 @@ def test_oracle_whitespace_contract():
     assert not offenders, (
         f"oracle whitespace-contract violations (see plans/base.py "
         f"docstring): {offenders}")
+
+
+# ------------------------------------------------ global-window invariant
+
+
+def _scala_seq(seq) -> list:
+    return [seq.apply(i) for i in range(seq.length())]
+
+
+def _walk_logical(node):
+    yield node
+    for child in _scala_seq(node.children()):
+        yield from _walk_logical(child)
+    # subqueries/CTE definitions hang off innerChildren, not children
+    for child in _scala_seq(node.innerChildren()):
+        yield from _walk_logical(child)
+
+
+#: logical operators that bound the row count feeding a global window:
+#: an explicit limit(k), or an aggregate (group-count-sized frames —
+#: the "top-k-first / tiny aggregate" idiom the plans comment by hand)
+_BOUNDED_CLASSES = {"GlobalLimit", "LocalLimit", "Aggregate"}
+
+
+def unbounded_global_windows(df) -> list[str]:
+    """Every Window node with an EMPTY partitionSpec whose input subtree
+    contains no Limit/Aggregate — i.e. a single-partition sort over an
+    unbounded relation, the 'Moving all data to a single partition'
+    WindowExec that melts one executor at 100 TB."""
+    bad = []
+    for node in _walk_logical(df._jdf.queryExecution().analyzed()):
+        if node.getClass().getSimpleName() != "Window":
+            continue
+        if node.partitionSpec().length() > 0:
+            continue
+        subtree = list(_walk_logical(node))[1:]
+        if not any(n.getClass().getSimpleName() in _BOUNDED_CLASSES
+                   for n in subtree):
+            bad.append(node.simpleString(100))
+    return bad
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES), ids=str)
+def test_global_window_sits_above_bounded_input(spark, name):
+    """VERDICT r17 item 5: the benign-global-window idiom (top-k or
+    tiny-aggregate first, THEN the unpartitioned rank/cume window) was
+    protected only by comments. Mechanical form: any Window.orderBy
+    without partitionBy must have a limit(k) or aggregate BELOW it in
+    the analyzed plan. A violation is a plan that sorts the raw
+    relation on one executor."""
+    df = QUERIES[name].fn(spark, "/root/testdata/sf0.001")
+    bad = unbounded_global_windows(df)
+    assert not bad, (
+        f"{name} plans a global (unpartitioned) window over an "
+        f"UNBOUNDED input — put a limit(k) or aggregate below it, or "
+        f"partition the window:\n" + "\n".join(bad))
+
+
+def test_global_window_gate_catches_bad_plan(spark):
+    """The gate must actually fire: a deliberately-bad global window
+    over a raw table (no limit, no aggregate) is flagged, and the same
+    window above a limit(k) is not."""
+    from pyspark.sql import Window, functions as F
+
+    raw = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    w = Window.orderBy(F.col("o_totalprice").desc())
+    bad_df = raw.select("o_orderkey", F.row_number().over(w).alias("rk"))
+    assert unbounded_global_windows(bad_df), (
+        "gate failed to flag a global window over a raw relation")
+
+    good_df = (raw.orderBy(F.col("o_totalprice").desc()).limit(10)
+               .select("o_orderkey", F.row_number().over(w).alias("rk")))
+    assert not unbounded_global_windows(good_df)

@@ -261,11 +261,16 @@ def test_transform_with_state_ema(spark, sf_smoke_dir, tmp_path):
              for r in out.orderBy("n_seen").collect()}  # later overwrite earlier
 
     # python oracle: sequential EMA over the fully ordered stream
+    # (non-finite values fold nothing — the r18 contract the operator
+    # pins; clean on this fixture, load-bearing on dirty corpora)
+    import math
     alpha = 0.3
     want = {}
     for r in events.orderBy("ts", "event_id").collect():
         ema, n = want.get(r.user_id, (None, 0))
         v = float(r.value)
+        if not math.isfinite(v):
+            continue
         ema = v if ema is None else alpha * v + (1 - alpha) * ema
         want[r.user_id] = (ema, n + 1)
     assert set(final) == set(want)
@@ -549,3 +554,73 @@ def test_stream_daily_shares_match_batch_twin(spark, events_dir, sf_smoke_dir):
             .orderBy("day", "event_type"))
     assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
     assert want.count() > 50  # not vacuous
+
+
+def test_stream_tumbling_nonfinite_values_match_batch_twin(
+        spark, events_dir, tmp_path):
+    """r18 non-finite twin (VERDICT r17 item 6): NaN/±Inf values in the
+    source must not corrupt windowed STATE or split streaming from
+    batch — the shared cents() ingestion maps them to NULL, so a dirty
+    row still counts in n_events but contributes nothing to sum_value.
+    Streaming (incremental, multi-batch, watermarked state) must equal
+    the identical plan executed as one batch over the same poisoned
+    data."""
+    poisoned = str(tmp_path / "events_nonfinite")
+    base = spark.read.parquet(events_dir)
+    dirty = base.limit(3).withColumn(
+        "value",
+        F.array(F.lit(float("nan")), F.lit(float("inf")),
+                F.lit(float("-inf")))[
+            (F.col("event_id") % 3).cast("int")])
+    base.unionByName(dirty).repartition(4).write.parquet(poisoned)
+
+    stream = stream_tumbling_counts(events_stream(spark, poisoned))
+    got = run_to_memory(stream, "t_tumbling_nonfin")
+
+    batch_df = spark.read.parquet(poisoned)
+    want = stream_tumbling_counts(batch_df)  # watermark is a no-op in batch
+    max_ts = batch_df.agg(F.max("ts")).collect()[0][0]
+    horizon = F.lit(max_ts) - F.expr("INTERVAL 3 HOURS")
+    got_rows = sorted(tuple(r) for r in got.filter(
+        F.col("window_start") <= horizon).collect())
+    want_rows = sorted(tuple(r) for r in want.filter(
+        F.col("window_start") <= horizon).collect())
+    assert got_rows == want_rows
+    assert len(want_rows) > 100
+
+
+def test_stateful_running_stats_skip_nonfinite_like_batch(
+        spark, events_dir, tmp_path):
+    """r18 non-finite twin for the arbitrary-state path
+    (applyInPandasWithState): one +Inf row previously poisoned the
+    per-user running total for every later micro-batch (inf + x = inf)
+    — state poison outlives batch poison. Final state must equal the
+    batch groupBy with the same finite() ingestion."""
+    import pyspark.sql.functions as SF
+
+    from mapreduce_4sl08_spark.plans.base import finite
+    from mapreduce_4sl08_spark.streaming.ops import stream_running_user_stats
+
+    poisoned = str(tmp_path / "events_nonfinite_state")
+    base = spark.read.parquet(events_dir)
+    dirty = base.limit(3).withColumn(
+        "value",
+        F.array(F.lit(float("nan")), F.lit(float("inf")),
+                F.lit(float("-inf")))[
+            (F.col("event_id") % 3).cast("int")])
+    base.unionByName(dirty).repartition(4).write.parquet(poisoned)
+
+    stream = stream_running_user_stats(
+        events_stream(spark, poisoned, max_files_per_trigger=1))
+    out = run_to_memory(stream, "t_stateful_nonfin", output_mode="update")
+    final = (out.groupBy("user_id")
+             .agg(SF.max("n_events_total").alias("n"),
+                  SF.max("value_total").alias("v")))
+    batch = (spark.read.parquet(poisoned)
+             .groupBy("user_id")
+             .agg(SF.count(SF.lit(1)).alias("n"),
+                  SF.round(SF.coalesce(SF.sum(finite("value")), SF.lit(0.0)),
+                           2).alias("v")))
+    got = {(r.user_id, r.n, round(r.v, 1)) for r in final.collect()}
+    want = {(r.user_id, r.n, round(r.v, 1)) for r in batch.collect()}
+    assert got == want
