@@ -1,0 +1,155 @@
+#!/usr/bin/env python
+"""Interleaved same-process A/B of the two r17 bench movers (VERDICT
+r17 item 4): events_user_features (0.600 → 0.836 s driver median) and
+events_sessionize (0.821 → 0.978 s). Both carried real plan diffs in
+r17 — the null-ts scan filter, and the NaT read via
+``.values.view('int64')`` — while 9 fingerprint-identical queries
+inflated similarly (box-noise hypothesis). This probe interleaves the
+CURRENT plan (r18 tree: null filter + finite(value) + view-read)
+against a faithful inline reconstruction of the r16 plan (no filter,
+raw cents, astype NaT read) in one process, alternating arms each
+round so host drift cancels.
+
+Reading: |median(now) - median(r16)| within the cross-round spread →
+the driver delta was noise; a reproducible gap → the named diff costs
+real time and needs attention.
+
+    python tools/ab_bench_movers.py [sf_dir] [rounds]
+"""
+from __future__ import annotations
+
+import os
+import statistics
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def _r16_sessionize(spark, sf_dir):
+    """events_sessionize exactly as of the r16 tree (commit 7c94d13):
+    no null-ts filter, inline (pre-finite) cents."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mapreduce_4sl08_spark.plans.base import dollars, t
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc())
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts", 1).over(w))
+    sessions = (
+        e.withColumn("new_session",
+                     F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .withColumn("session_seq", F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    )
+    return (
+        sessions.groupBy("user_id", "session_seq")
+        .agg(F.min("ts").alias("session_start"),
+             F.max("ts").alias("session_end"),
+             F.count(F.lit(1)).alias("n_events"),
+             F.sum(F.round(F.col("value") * 100).cast("long")).alias("_sv_c"))
+        .select("user_id", "session_seq", "session_start", "session_end",
+                "n_events", dollars("_sv_c", "sum_value"))
+        .orderBy("user_id", "session_seq")
+    )
+
+
+def _r16_user_features(spark, sf_dir):
+    """events_user_features as of r16: no null-ts filter, raw value,
+    and the grouped op's NaT read via .astype('int64') (r17 switched to
+    .values.view)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from mapreduce_4sl08_spark.operators.grouped import USER_FEATURES_SCHEMA
+    from mapreduce_4sl08_spark.plans.base import t
+
+    def features_partition(batches):
+        def one(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(["user_id", "ts", "event_id"])
+            ts = pdf["ts"].astype("datetime64[us]")
+            ts_us = ts.astype("int64").where(ts.notna())
+            uid = pdf["user_id"].values
+            g = pdf.groupby("user_id", sort=False)
+            n = g.size()
+            gts = ts_us.groupby(uid, sort=False)
+            span_us = (gts.max() - gts.min()).where(n > 1, 0).fillna(0)
+            max_delta = g["value"].diff().abs().groupby(uid, sort=False).max()
+            return pd.DataFrame({
+                "user_id": n.index.astype("int64"),
+                "n_events": n.values.astype("int64"),
+                "span_us": span_us.values.astype("int64"),
+                "max_value_delta":
+                    max_delta.fillna(0.0).values.astype("float64"),
+            })
+
+        parts = [pdf for pdf in batches]
+        if parts:
+            yield one(pd.concat(parts, ignore_index=True))
+
+    e = t(spark, sf_dir, "events")
+    feats = (e.select("user_id", "event_id", "ts", "value")
+             .repartition("user_id")
+             .mapInPandas(features_partition, USER_FEATURES_SCHEMA))
+    span_e4 = F.expr("(span_us + 50) div 100")
+    gap_e4 = F.expr(
+        "(2 * span_us + greatest(n_events - 1, 1L) * 100) "
+        "div (greatest(n_events - 1, 1L) * 200)")
+    return (
+        feats.select(
+            "user_id", "n_events",
+            (span_e4 / F.lit(10000.0)).alias("span_seconds"),
+            (gap_e4 / F.lit(10000.0)).alias("mean_gap_seconds"),
+            F.round("max_value_delta", 4).alias("max_value_delta"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 7
+
+    from mapreduce_4sl08_spark.plans import QUERIES
+    from mapreduce_4sl08_spark.session import get_session
+
+    spark = get_session()
+    pairs = {
+        "events_sessionize":
+            (QUERIES["events_sessionize"].fn,
+             _r16_sessionize),
+        "events_user_features":
+            (QUERIES["events_user_features"].fn,
+             _r16_user_features),
+    }
+
+    for name, (now_fn, r16_fn) in pairs.items():
+        # warm-up both arms: codegen/Arrow init outside the measurement
+        now_fn(spark, sf_dir).collect()
+        r16_fn(spark, sf_dir).collect()
+        now_t: list[float] = []
+        r16_t: list[float] = []
+        for r in range(rounds):
+            # alternate arm order each round so drift cancels
+            order = ((("now", now_fn), ("r16", r16_fn)) if r % 2 == 0
+                     else (("r16", r16_fn), ("now", now_fn)))
+            for label, fn in order:
+                t0 = time.time()
+                fn(spark, sf_dir).collect()
+                dt = time.time() - t0
+                (now_t if label == "now" else r16_t).append(dt)
+            print(f"{name} round {r}: now={now_t[-1]:.3f}s "
+                  f"r16={r16_t[-1]:.3f}s", flush=True)
+        mn, m16 = statistics.median(now_t), statistics.median(r16_t)
+        spread = max(max(now_t) - min(now_t), max(r16_t) - min(r16_t))
+        print(f"{name}: median now={mn:.3f}s r16={m16:.3f}s "
+              f"delta={mn - m16:+.3f}s spread={spread:.3f}s "
+              f"-> {'NOISE (delta within spread)' if abs(mn - m16) <= spread else 'REAL GAP'}",
+              flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
