@@ -145,19 +145,35 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def vec_finite_sql(col: str = "embedding") -> str:
+    """Oracle twin of the vecs() exclusion: NULL vectors AND vectors
+    carrying any non-finite component are out (NULL list makes the
+    lambda predicate NULL → WHERE drops it, but the explicit IS NOT
+    NULL keeps the scan-pushdown visible)."""
+    return (f"{col} IS NOT NULL AND "
+            f"len(list_filter({col}, x -> NOT isfinite(x))) = 0")
+
+
 def vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The embeddings relation as VECTOR OPERATORS see it: rows whose
     embedding is NULL are excluded (r16 null-sweep find — a missing
     vector has no geometry; NULL lists crashed the numpy signature /
-    dot UDFs in Spark and list_inner_product in DuckDB). Every oracle
-    applies the same ``WHERE embedding IS NOT NULL``, so both engines
-    agree row-for-row. NOTE the (w, L) derivation deliberately counts
-    ALL rows (corpus_vec_count reads parquet footers, which cannot see
-    nulls; the oracle params CTEs mirror with an unfiltered COUNT(*)) —
-    a slightly-wide width on a null-heavy corpus is safe, a
-    cross-engine width split is not."""
+    dot UDFs in Spark and list_inner_product in DuckDB), and so are
+    vectors carrying any non-finite component (r18 vector census,
+    logs/vector_nan_census_r18.txt: one poisoned element flowed
+    through every dot product / norm / centroid — 6 oracle crashes on
+    integer conversion and 3 silent ANN row-count/rank splits; a
+    vector with a NaN/±Inf coordinate has no geometry either). Every
+    oracle applies the same exclusion via :func:`vec_finite_sql`, so
+    both engines agree row-for-row. NOTE the (w, L) derivation
+    deliberately counts ALL rows (corpus_vec_count reads parquet
+    footers, which cannot see nulls; the oracle params CTEs mirror
+    with an unfiltered COUNT(*)) — a slightly-wide width on a
+    dirty-vector corpus is safe, a cross-engine width split is not."""
+    nonfinite = lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf")))  # noqa: E731
     return (load_table(spark, sf_dir, "embeddings")
-            .filter(F.col("embedding").isNotNull()))
+            .filter(F.col("embedding").isNotNull())
+            .filter(~F.exists("embedding", nonfinite)))
 
 
 class SessionMemo(dict):

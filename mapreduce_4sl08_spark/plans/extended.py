@@ -400,7 +400,7 @@ SELECT doc_id, lang, label,
        len(regexp_split_to_array(trim(text, ' '), '[ \t\n\x0b\f\r]+'))::INT AS n_tokens,
        ROUND(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 4) AS emb_norm
 FROM documents
-JOIN embeddings ON doc_id = vec_id AND embedding IS NOT NULL
+JOIN embeddings ON doc_id = vec_id AND embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
 ORDER BY doc_id
 """
 
@@ -533,7 +533,7 @@ PANDAS_NORMS_SQL = """
 SELECT label, COUNT(*) AS n_vecs,
        ROUND(AVG(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4) AS avg_norm
 FROM embeddings
-WHERE embedding IS NOT NULL
+WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
 GROUP BY label
 ORDER BY label
 """
@@ -761,6 +761,7 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("approx_median"),
         F.expr(f"percentile({finite_frag('l_extendedprice')}, 0.5)")
         .alias("exact_median"),
+        F.count(F.lit(1)).alias("_n"),  # tiny-group vacuity, see below
     )
     exact = l.groupBy(F.col("l_returnflag").alias("rf")).agg(
         F.countDistinct("l_partkey").alias("exact_parts"),
@@ -772,15 +773,23 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # not a semantics preference. The tolerance conjunction coalesces
     # to TRUE for degenerate groups (an all-NULL measure makes the
     # sketch check vacuous — the oracle emits literal TRUE).
+    # tiny-group vacuity (r18 vector-census find, same class as
+    # approx_percentile_check): on a 2-row group the interpolated
+    # exact median and the sketch's discrete pick are different
+    # DEFINITIONS — up to one whole element apart, outside any fixed
+    # band when values are sparse. The check targets sketch-path
+    # sanity at scale; groups under 100 rows are vacuously TRUE
+    # (mirroring the oracle's literal TRUE).
     return (
         sketches.join(broadcast(exact),
                       F.col("l_returnflag").eqNullSafe(F.col("rf")))
         .select(
             "l_returnflag", "exact_parts", "exact_orders",
             F.coalesce(
-                tol("approx_parts", "exact_parts")
-                & tol("approx_orders", "exact_orders")
-                & tol("approx_median", "exact_median"),
+                (F.col("_n") < 100)
+                | (tol("approx_parts", "exact_parts")
+                   & tol("approx_orders", "exact_orders")
+                   & tol("approx_median", "exact_median")),
                 F.lit(True)).alias("within_tol"),
         )
         .orderBy("l_returnflag")

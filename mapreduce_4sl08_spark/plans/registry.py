@@ -68,6 +68,27 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     "daily_revenue_gapfill",
     "events_sliding_windows",
     "grouping_sets_revenue",
+    # Block 1b — vector non-finite contract (r18 vector census,
+    # logs/vector_nan_census_r18.txt): vecs()/vec_finite_sql exclude
+    # vectors with any non-finite component. The nine censused
+    # divergers lead (6 oracle crashes, 3 silent ANN splits):
+    "embedding_near_dup",
+    "lsh_bucket_ann",
+    "ivf_ann",
+    "embedding_centroid_fixedpoint",
+    "embedding_dim_stats",
+    "embedding_label_outliers",
+    "embedding_quantization",
+    "kmeans_lloyd_2iter",
+    "lsh_pair_distance_histogram",
+    # Block 1c — consumers changed only through the shared vecs()
+    # filter (value-identical on clean vectors):
+    "knn_bruteforce_cosine",
+    "embedding_norms",
+    "mapinarrow_norms",
+    "pandas_udf_norms",
+    "docs_with_embeddings",
+    "ivf_recall_eval",
     # Block 2 — base.cents()/cents_sql() consumers (one shared change,
     # the finite() guard inside the money choke point):
     "events_tumbling_hourly",

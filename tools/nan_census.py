@@ -14,12 +14,18 @@ Exit status (ADVICE r17 item 4): 0 only when every row is OK; 1 on any
 mismatch/crash — this census is a gate now, not a scoping note, so a
 regression fails CI the way null_census does.
 
-    python tools/nan_census.py [--inf] [name ...]
+    python tools/nan_census.py [--inf] [--vector] [name ...]
 
 --inf injects +Infinity instead (the second non-finite class: Inf
 survives casts that NaN does not, poisons sums without erroring, and
 sorts as the true maximum in both engines — a DIFFERENT failure
 surface).
+
+--vector (r18 scoping for the r19 contract) leaves scalars clean and
+poisons one ELEMENT of embeddings.embedding instead — the class the
+scalar injection cannot see (a poisoned component flows through every
+dot product / norm / centroid, and the NULL-embedding exclusion in
+plans/base.vecs() does not catch it).
 """
 
 from __future__ import annotations
@@ -38,17 +44,31 @@ from tools.null_fixtures import KEY_COLS, TABLES  # noqa: E402
 SRC = "/root/testdata/sf0.001"
 
 
-def build_nan(src: str, out: str, value: float = math.nan) -> str:
+def build_nan(src: str, out: str, value: float = math.nan,
+              vector: bool = False) -> str:
+    """Scalar mode: inject into every float scalar non-key column of
+    row 2. Vector mode (--vector, r18 scoping for the r19 contract):
+    scalars stay CLEAN; instead one ELEMENT of embeddings.embedding on
+    row 2 carries the non-finite value — the class the scalar censuses
+    cannot see (a poisoned component silently corrupts every dot
+    product / norm / centroid that vector touches)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
     for t in TABLES:
         tab = pq.read_table(os.path.join(src, f"{t}.parquet")).slice(0, 4)
         d = tab.to_pydict()
-        for col, field in zip(tab.column_names, tab.schema):
-            if col.endswith("key") or col in KEY_COLS:
-                continue
-            if pa.types.is_float64(field.type) or pa.types.is_float32(field.type):
-                d[col][2] = value
+        if vector:
+            if t == "embeddings":
+                vec = list(d["embedding"][2])
+                vec[0] = value
+                d["embedding"][2] = vec
+        else:
+            for col, field in zip(tab.column_names, tab.schema):
+                if col.endswith("key") or col in KEY_COLS:
+                    continue
+                if (pa.types.is_float64(field.type)
+                        or pa.types.is_float32(field.type)):
+                    d[col][2] = value
         pq.write_table(pa.table(d, schema=tab.schema),
                        os.path.join(out, f"{t}.parquet"))
     return out
@@ -63,7 +83,9 @@ def main() -> int:
 
     args = sys.argv[1:]
     inject = math.inf if "--inf" in args else math.nan
-    names = [a for a in args if a != "--inf"] or sorted(QUERIES)
+    vector = "--vector" in args
+    names = ([a for a in args if a not in ("--inf", "--vector")]
+             or sorted(QUERIES))
     unknown = [n for n in names if n not in QUERIES]
     if unknown:
         print("unknown queries:", ", ".join(unknown))
@@ -74,7 +96,7 @@ def main() -> int:
              .getOrCreate())
     ok = mismatch = crash_s = crash_o = 0
     with tempfile.TemporaryDirectory() as tmp:
-        build_nan(SRC, tmp, inject)
+        build_nan(SRC, tmp, inject, vector=vector)
         con = duckdb.connect()
         for t in TABLES:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
@@ -108,6 +130,8 @@ def main() -> int:
                 print(f"MISMATCH      {name} -- "
                       f"{str(e).splitlines()[0][:160]}")
     label = "INF" if inject == math.inf else "NAN"
+    if vector:
+        label += "-VECTOR"
     print(f"\n{label} CENSUS: OK={ok} MISMATCH={mismatch} "
           f"CRASH-SPARK={crash_s} CRASH-ORACLE={crash_o}")
     return 1 if (mismatch or crash_s or crash_o) else 0

@@ -50,7 +50,10 @@ def build_nonfinite(src: str, out: str) -> str:
     which never injects -Inf) cannot: mixed-class groups, and -Inf —
     which sorts OPPOSITE to NaN/+Inf, so any query leaning on an
     engine's non-finite sort order diverges here even if both censuses
-    pass."""
+    pass. Vector class included (r18 vector census): one ELEMENT of
+    embeddings.embedding per poisoned row carries the same per-row
+    class — the vecs()/vec_finite_sql exclusion must drop exactly
+    those vectors on both engines."""
     for t in TABLES:
         tab = pq.read_table(os.path.join(src, f"{t}.parquet")).slice(0, 4)
         d = tab.to_pydict()
@@ -58,11 +61,23 @@ def build_nonfinite(src: str, out: str) -> str:
         for col, field in zip(tab.column_names, tab.schema):
             if col.endswith("key") or col in KEY_COLS:
                 continue
+            is_float_vec = (
+                (pa.types.is_list(field.type)
+                 or pa.types.is_large_list(field.type))
+                and (pa.types.is_float32(field.type.value_type)
+                     or pa.types.is_float64(field.type.value_type)))
             if (pa.types.is_float64(field.type)
-                    or pa.types.is_float32(field.type)):
+                    or pa.types.is_float32(field.type) or is_float_vec):
                 for row, val in ((1, math.nan), (2, math.inf),
                                  (3, -math.inf)):
-                    if row < nrows:
+                    if row >= nrows:
+                        continue
+                    if is_float_vec:
+                        if d[col][row] is not None:
+                            vec = list(d[col][row])
+                            vec[0] = val
+                            d[col][row] = vec
+                    else:
                         d[col][row] = val
         pq.write_table(pa.table(d, schema=tab.schema),
                        os.path.join(out, f"{t}.parquet"))
