@@ -113,16 +113,23 @@ def cents(col: str | Column) -> Column:
     """Exact integer cents of a 2-decimal double money column
     (``round(x*100)`` is integer-valued to ±ulp, so the cast is exact —
     the same idiom as relational.py's per-row unit fragments).
-    Non-finite input → NULL via :func:`finite` (r18 contract), so a
-    dirty row degrades to a missing measure instead of CAST_OVERFLOW."""
-    return F.round(finite(col) * 100).cast("long")
+    Non-finite input → NULL (r18 contract) via TRY_CAST, not a CASE
+    guard: round(NaN/±Inf·100) stays non-finite and the try-cast maps
+    exactly that to NULL, at the price of the overflow check the ANSI
+    cast already performs — an interleaved q1 A/B measured the
+    per-measure CASE+isnan+abs form ~20-25 % slower on the scan-bound
+    TPC-H path, while try_cast is cost-free. Semantics identical:
+    NULL→NULL, NaN/±Inf→NULL, every finite 2-dec value exact (a money
+    value overflowing BIGINT cents does not exist)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * 100).try_cast("long")
 
 
 def cents_sql(col: str) -> str:
-    """Oracle twin of :func:`cents` (DuckDB CAST from double rounds to
-    nearest, exact on the integer-valued operand; non-finite → NULL
-    via :func:`finite_sql`)."""
-    return f"CAST(ROUND({finite_sql(col)} * 100) AS BIGINT)"
+    """Oracle twin of :func:`cents` (DuckDB TRY_CAST: same
+    non-finite → NULL mapping, rounds-to-nearest exact on the
+    integer-valued operand)."""
+    return f"TRY_CAST(ROUND({col} * 100) AS BIGINT)"
 
 
 def dollars(col: str | Column, alias: str) -> Column:
