@@ -63,7 +63,13 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """Cosine similarity; a ZERO-NORM operand has no direction, so the
+    similarity is NULL (r18 zero-vector census: ANSI `/` threw
+    DIVIDE_BY_ZERO — one all-zeros embedding aborted every cosine
+    query — while DuckDB's `/` yields NULL natively, so try_divide
+    aligns the engines with no oracle change; NULL sims sink to the
+    bottom of DESC rankings in both)."""
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
 def arrow_dot(a: Column, b: Column) -> Column:

@@ -95,9 +95,13 @@ def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 # driver's strict schema comparison against Spark's naive window start.
 EVENTS_SLIDING_SQL = f"""
 WITH exploded AS (
+  -- to_seconds(BIGINT), NOT "x * INTERVAL 1 SECOND": DuckDB casts an
+  -- interval MULTIPLIER to INT32, so the multiply form overflows for
+  -- any epoch past 2^31 s = year 2038 (r18 ts-extremes census find —
+  -- a latent near-term bug, not an exotic one)
   SELECT TIMESTAMP '1970-01-01'
-           + CAST(floor(epoch(ts) / 1800) * 1800 - o * 1800 AS BIGINT)
-             * INTERVAL 1 SECOND AS window_start,
+           + to_seconds(CAST(floor(epoch(ts) / 1800) * 1800 - o * 1800 AS BIGINT))
+             AS window_start,
          value
   FROM events, UNNEST([0, 1]) AS u(o)
   WHERE ts IS NOT NULL
@@ -730,8 +734,10 @@ agg AS (
   GROUP BY anchor
   HAVING COUNT(DISTINCT CASE WHEN i = 0 THEN user_id END) > 0
 )
+-- to_seconds, not "* INTERVAL 1 SECOND" (INT32 multiplier overflow
+-- past year 2038 — see EVENTS_SLIDING_SQL note)
 SELECT TIMESTAMP '1970-01-01'
-         + CAST(anchor * 86400 AS BIGINT) * INTERVAL 1 SECOND AS day,
+         + to_seconds(CAST(anchor * 86400 AS BIGINT)) AS day,
        dau_users, wau_users,
        dau_users * 1000000 // wau_users AS stickiness_e6
 FROM agg

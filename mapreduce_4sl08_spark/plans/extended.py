@@ -470,8 +470,11 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                   l2_norm(F.col("embedding")).alias("norm_b"))
     return (
         pairs.join(ea, "id_a").join(eb, "id_b")
+        # try_divide: a zero-norm member → NULL cos_sim, dropped by the
+        # threshold on both engines (DuckDB's / is NULL-on-zero natively)
         .withColumn("cos_sim",
-                    dot(F.col("emb_a"), F.col("emb_b")) / (F.col("norm_a") * F.col("norm_b")))
+                    F.try_divide(dot(F.col("emb_a"), F.col("emb_b")),
+                                 F.col("norm_a") * F.col("norm_b")))
         .filter(F.col("cos_sim") >= 0.45)
         .select("id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim"))
         .orderBy("id_a", "id_b")

@@ -25,17 +25,48 @@ from .base import (
 
 # ------------------------------------------------------- constraint audit
 
+#: Arrow/pandas-representable timestamp window (datetime64[ns]):
+#: values outside it CRASH every pandas-crossing operator and the
+#: driver's own comparison harness (r18 ts-extremes census at year
+#: 9999/1: 21 OutOfBoundsDatetime crashes, all in the conversion
+#: layer, logs/ts_extremes_census_r18_wide.txt). The engine contract
+#: is therefore: timestamps outside this window are quarantine-gate
+#: material, not valid operator input — this report counts them, one
+#: day of slack inside the true ns bounds on each side.
+_TS_WINDOW_LO = "1677-09-22 00:00:00"
+_TS_WINDOW_HI = "2262-04-10 23:59:59"
+
+
+def _ts_window_count(col: str, ntz: bool) -> F.Column:
+    """Count of timestamps outside the representable window (NULL is
+    not out-of-window — it has its own ``*_not_null`` constraint).
+    The Spark literal type must match the column (TIMESTAMP_NTZ for
+    the warehouse dates, session-TZ TIMESTAMP for events.ts — the
+    session runs UTC, so both align with DuckDB's naive literals)."""
+    kw = "TIMESTAMP_NTZ" if ntz else "TIMESTAMP"
+    lo = F.expr(f"{kw} '{_TS_WINDOW_LO}'")
+    hi = F.expr(f"{kw} '{_TS_WINDOW_HI}'")
+    return F.sum(
+        F.when((F.col(col) < lo) | (F.col(col) > hi), 1)
+        .otherwise(0)).cast("long")
+
+
+def _ts_window_count_sql(col: str) -> str:
+    return (f"SUM(CASE WHEN {col} < TIMESTAMP '{_TS_WINDOW_LO}' "
+            f"OR {col} > TIMESTAMP '{_TS_WINDOW_HI}' "
+            f"THEN 1 ELSE 0 END)::BIGINT")
+
 
 def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality audit (the Deequ/soda-core shape): a
-    fixed constraint suite over orders+lineitem, one row per constraint
-    with its violation count and pass flag.
+    fixed constraint suite over orders+lineitem+events, one row per
+    constraint with its violation count and pass flag.
 
     Plan shape: ONE pass over each fact table computes every row-level
     constraint as a conditional aggregate (no per-constraint rescans);
     the referential-integrity check is a left-anti join against the
-    orders keys. At 100 TB that is two scans plus one shuffle — adding
-    more constraints costs zero additional I/O.
+    orders keys. At 100 TB that is three scans plus one shuffle —
+    adding more constraints costs zero additional I/O.
 
     Non-finite contract (r18): every float measure gets an explicit
     ``*_finite`` violation count — this report is the designed
@@ -45,9 +76,16 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     same CASE path as a NULL on both engines instead of each engine's
     own NaN-comparison rules (Spark: NaN greater than everything;
     DuckDB: IEEE false) deciding the count.
+
+    Timestamp-window contract (r18 ts-extremes census): every event
+    time gets a ``*_ts_representable`` count of values outside the
+    Arrow/pandas datetime64[ns] window — such rows crash any
+    pandas-crossing operator downstream, so they must be quarantined
+    here, in the all-JVM path that CAN still see them.
     """
     o = t(spark, sf_dir, "orders")
     li = t(spark, sf_dir, "lineitem")
+    ev = t(spark, sf_dir, "events")
     o_stats = o.agg(
         (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
         .alias("orders_pk_unique"),
@@ -58,6 +96,8 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
               .otherwise(0)).alias("orders_status_domain"),
         F.sum(F.when(F.col("o_orderdate").isNull(), 1).otherwise(0))
         .alias("orders_orderdate_not_null"),
+        _ts_window_count("o_orderdate", ntz=True)
+        .alias("orders_orderdate_ts_representable"),
     )
     li_stats = li.agg(
         F.sum(F.when((finite("l_quantity") < 1)
@@ -72,6 +112,12 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         nonfinite_count("l_tax").alias("lineitem_tax_finite"),
         F.sum(F.when(F.col("l_shipdate").isNull(), 1).otherwise(0))
         .alias("lineitem_shipdate_not_null"),
+        _ts_window_count("l_shipdate", ntz=True)
+        .alias("lineitem_shipdate_ts_representable"),
+    )
+    ev_stats = ev.agg(
+        nonfinite_count("value").alias("events_value_finite"),
+        _ts_window_count("ts", ntz=False).alias("events_ts_representable"),
     )
     ri = (
         li.join(o.select("o_orderkey"),
@@ -81,16 +127,21 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast the 1-row stat frames explicitly (VERDICT r17 "wrong" 3:
     # the sibling scalar-crossJoin sites all mark it; AQE would pick it
     # anyway, but the plan should SAY it)
-    combined = o_stats.crossJoin(F.broadcast(li_stats)).crossJoin(
-        F.broadcast(ri))
+    combined = (o_stats.crossJoin(F.broadcast(li_stats))
+                .crossJoin(F.broadcast(ev_stats))
+                .crossJoin(F.broadcast(ri)))
     names = [
         "orders_pk_unique", "orders_totalprice_positive",
         "orders_totalprice_finite",
         "orders_status_domain", "orders_orderdate_not_null",
+        "orders_orderdate_ts_representable",
         "lineitem_quantity_range", "lineitem_discount_range",
         "lineitem_quantity_finite", "lineitem_extendedprice_finite",
         "lineitem_discount_finite", "lineitem_tax_finite",
-        "lineitem_shipdate_not_null", "lineitem_orderkey_ri",
+        "lineitem_shipdate_not_null",
+        "lineitem_shipdate_ts_representable",
+        "events_value_finite", "events_ts_representable",
+        "lineitem_orderkey_ri",
     ]
     stacked = combined.select(F.expr(
         "stack({}, {}) AS (constraint_name, n_violations)".format(
@@ -113,7 +164,9 @@ WITH o_stats AS (
          SUM(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P') THEN 1 ELSE 0 END)::BIGINT
            AS orders_status_domain,
          SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)::BIGINT
-           AS orders_orderdate_not_null
+           AS orders_orderdate_not_null,
+         {_ts_window_count_sql('o_orderdate')}
+           AS orders_orderdate_ts_representable
   FROM orders
 ),
 li_stats AS (
@@ -127,8 +180,15 @@ li_stats AS (
          {nonfinite_count_sql('l_discount')} AS lineitem_discount_finite,
          {nonfinite_count_sql('l_tax')} AS lineitem_tax_finite,
          SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)::BIGINT
-           AS lineitem_shipdate_not_null
+           AS lineitem_shipdate_not_null,
+         {_ts_window_count_sql('l_shipdate')}
+           AS lineitem_shipdate_ts_representable
   FROM lineitem
+),
+ev_stats AS (
+  SELECT {nonfinite_count_sql('value')} AS events_value_finite,
+         {_ts_window_count_sql('ts')} AS events_ts_representable
+  FROM events
 ),
 ri AS (
   SELECT COUNT(*)::BIGINT AS lineitem_orderkey_ri
@@ -140,6 +200,7 @@ stacked AS (
   UNION ALL SELECT 'orders_totalprice_finite', orders_totalprice_finite FROM o_stats
   UNION ALL SELECT 'orders_status_domain', orders_status_domain FROM o_stats
   UNION ALL SELECT 'orders_orderdate_not_null', orders_orderdate_not_null FROM o_stats
+  UNION ALL SELECT 'orders_orderdate_ts_representable', orders_orderdate_ts_representable FROM o_stats
   UNION ALL SELECT 'lineitem_quantity_range', lineitem_quantity_range FROM li_stats
   UNION ALL SELECT 'lineitem_discount_range', lineitem_discount_range FROM li_stats
   UNION ALL SELECT 'lineitem_quantity_finite', lineitem_quantity_finite FROM li_stats
@@ -147,6 +208,9 @@ stacked AS (
   UNION ALL SELECT 'lineitem_discount_finite', lineitem_discount_finite FROM li_stats
   UNION ALL SELECT 'lineitem_tax_finite', lineitem_tax_finite FROM li_stats
   UNION ALL SELECT 'lineitem_shipdate_not_null', lineitem_shipdate_not_null FROM li_stats
+  UNION ALL SELECT 'lineitem_shipdate_ts_representable', lineitem_shipdate_ts_representable FROM li_stats
+  UNION ALL SELECT 'events_value_finite', events_value_finite FROM ev_stats
+  UNION ALL SELECT 'events_ts_representable', events_ts_representable FROM ev_stats
   UNION ALL SELECT 'lineitem_orderkey_ri', lineitem_orderkey_ri FROM ri
 )
 SELECT constraint_name, n_violations, n_violations = 0 AS passed

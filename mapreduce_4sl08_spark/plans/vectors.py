@@ -479,9 +479,12 @@ def lsh_bucket_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         cand_pairs.join(cands, "vec_id")
         .join(broadcast(probes), "query_id")
+        # try_divide: zero-norm → NULL sim (see functions.cosine),
+        # NULLS LAST under DESC in both engines
         .select("query_id", "vec_id",
-                (arrow_dot(F.col("q_emb"), F.col("embedding"))
-                 / (F.col("q_norm") * F.col("norm"))).alias("sim_exact"))
+                F.try_divide(arrow_dot(F.col("q_emb"), F.col("embedding")),
+                             F.col("q_norm") * F.col("norm"))
+                .alias("sim_exact"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim_exact").desc(), F.col("vec_id").asc())
     return (
@@ -666,8 +669,9 @@ def _ivf_rank(vectors: DataFrame, centroids: DataFrame, rank_limit: int):
         .crossJoin(broadcast(centroids))
         .select("vec_id",
                 "list_id",
-                (arrow_dot(F.col("embedding"), F.col("c_emb"))
-                 / (F.col("v_norm") * F.col("c_norm"))).alias("c_sim"))
+                F.try_divide(arrow_dot(F.col("embedding"), F.col("c_emb")),
+                             F.col("v_norm") * F.col("c_norm"))
+                .alias("c_sim"))
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("c_sim").desc(), F.col("list_id").asc())
     return (scored.withColumn("rk", F.row_number().over(w))
@@ -712,8 +716,9 @@ def ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
                             l2_norm(F.col("embedding")).alias("norm")), "vec_id")
         .join(broadcast(probes), "query_id")
         .select("query_id", "vec_id",
-                (arrow_dot(F.col("q_emb"), F.col("embedding"))
-                 / (F.col("q_norm") * F.col("norm"))).alias("sim_exact"))
+                F.try_divide(arrow_dot(F.col("q_emb"), F.col("embedding")),
+                             F.col("q_norm") * F.col("norm"))
+                .alias("sim_exact"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim_exact").desc(), F.col("vec_id").asc())
     return (
@@ -1015,9 +1020,15 @@ def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         e.join(broadcast(carr), "label")
         .select("label", "vec_id",
-                (arrow_dot(F.col("embedding"), F.col("c_emb"))
-                 / (l2_norm(F.col("embedding")) * l2_norm(F.col("c_emb"))))
+                F.try_divide(
+                    arrow_dot(F.col("embedding"), F.col("c_emb")),
+                    l2_norm(F.col("embedding")) * l2_norm(F.col("c_emb")))
                 .alias("sim"))
+        # a zero-norm vector has no direction → NULL sim; it cannot be
+        # an OUTLIER candidate, and this ranking is ASC where the
+        # engines' NULL positions split (Spark FIRST, DuckDB LAST) —
+        # excluded on both sides (oracle: sim IS NOT NULL)
+        .filter(F.col("sim").isNotNull())
     )
     w = Window.partitionBy("label").orderBy(
         F.col("sim").asc(), F.col("vec_id").asc())
@@ -1057,6 +1068,10 @@ ranked AS (
          ROW_NUMBER() OVER (PARTITION BY label
                             ORDER BY sim ASC, vec_id ASC) AS rk
   FROM scored
+  -- zero-norm member → NULL sim (DuckDB / is NULL-on-zero): no
+  -- direction, not an outlier candidate; ASC null position would
+  -- otherwise split the engines (Spark FIRST, DuckDB LAST)
+  WHERE sim IS NOT NULL
 )
 SELECT label, CAST(rk AS INT) AS rk, vec_id,
        ROUND(sim, 4) AS cos_to_centroid

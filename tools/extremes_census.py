@@ -1,0 +1,164 @@
+#!/usr/bin/env python
+"""Extreme-value census (r18 scoping, same cadence as the null /
+whitespace / malformed-props / non-finite censuses): run every
+registry (plan, oracle) pair with the driver-strict compare over a
+fixture carrying one pathological-but-representable value per class.
+
+    python tools/extremes_census.py --ts       # extreme timestamps
+    python tools/extremes_census.py --zerovec  # all-zeros embedding
+
+--ts: row 2 of every non-key timestamp/date column gets 2262-01-01,
+row 3 (where present) 1678-01-01 — the far edges of the
+REPRESENTABLE window. The operational story this probes is not
+exotic: one corrupt far-future timestamp makes every
+date-spine/sequence plan (gap fill, calendar densification,
+posexplode(sequence(...))) materialize a ~100k-element array per
+generated spine, and stretches "days since" arithmetic into values
+downstream integer-width casts may not hold.
+
+Why not year 9999/1: pandas datetime64[ns] holds only
+[1677-09-21, 2262-04-11]. Values OUTSIDE that window crash
+``toPandas()`` — i.e. the driver's own comparison harness and every
+Arrow/pandas-crossing operator (first --ts run at year 9999/1:
+21 CRASH-SPARK, every one an OutOfBoundsDatetime in the pandas
+conversion, logs/ts_extremes_census_r18_wide.txt). That boundary is
+therefore a documented ENGINE CONTRACT (timestamps outside the ns
+window are quarantine-gate material — dq_constraint_report counts
+them — not valid operator input), and this census pins value
+equality across the representable range.
+
+--zerovec: embeddings.embedding row 2 becomes all zeros (norm 0).
+Cosine similarity against it is 0/0 — double division yields NaN in
+BOTH engines silently (no ANSI error: ANSI guards integer division
+only), so the question is whether every ranking/threshold treats that
+NaN identically.
+
+Exit status: 0 only when every row is OK; 1 otherwise (gate-ready,
+matching nan_census).
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import sys
+import tempfile
+import traceback
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from tools.null_fixtures import KEY_COLS, TABLES  # noqa: E402
+
+SRC = "/root/testdata/sf0.001"
+
+#: far edges of the pandas datetime64[ns] window (the representable
+#: contract — see module docstring)
+TS_MAX = datetime.datetime(2262, 1, 1, 0, 0, 0)
+TS_MIN = datetime.datetime(1678, 1, 1, 0, 0, 0)
+
+
+def build_ts_extremes(src: str, out: str) -> str:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    for t in TABLES:
+        tab = pq.read_table(os.path.join(src, f"{t}.parquet")).slice(0, 4)
+        d = tab.to_pydict()
+        nrows = len(tab)
+        for col, field in zip(tab.column_names, tab.schema):
+            if col.endswith("key") or col in KEY_COLS:
+                continue
+            ty = field.type
+            if pa.types.is_timestamp(ty):
+                if 2 < nrows:
+                    d[col][2] = TS_MAX
+                if 3 < nrows:
+                    d[col][3] = TS_MIN
+            elif pa.types.is_date(ty):
+                if 2 < nrows:
+                    d[col][2] = TS_MAX.date()
+                if 3 < nrows:
+                    d[col][3] = TS_MIN.date()
+        pq.write_table(pa.table(d, schema=tab.schema),
+                       os.path.join(out, f"{t}.parquet"))
+    return out
+
+
+def build_zero_vector(src: str, out: str) -> str:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    for t in TABLES:
+        tab = pq.read_table(os.path.join(src, f"{t}.parquet")).slice(0, 4)
+        if t == "embeddings":
+            d = tab.to_pydict()
+            d["embedding"][2] = [0.0] * len(d["embedding"][2])
+            tab = pa.table(d, schema=tab.schema)
+        pq.write_table(tab, os.path.join(out, f"{t}.parquet"))
+    return out
+
+
+def main() -> int:
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    from mapreduce_4sl08_spark.plans import QUERIES
+    from tests.oracle import compare_frames
+
+    args = sys.argv[1:]
+    mode = ("ts" if "--ts" in args
+            else "zerovec" if "--zerovec" in args else None)
+    if mode is None:
+        print("pick a mode: --ts or --zerovec")
+        return 2
+    names = ([a for a in args if not a.startswith("--")]
+             or sorted(QUERIES))
+    unknown = [n for n in names if n not in QUERIES]
+    if unknown:
+        print("unknown queries:", ", ".join(unknown))
+        return 2
+    spark = (SparkSession.builder.master("local[4]")
+             .config("spark.ui.enabled", "false")
+             .config("spark.sql.shuffle.partitions", "4")
+             .getOrCreate())
+    ok = mismatch = crash_s = crash_o = 0
+    with tempfile.TemporaryDirectory() as tmp:
+        (build_ts_extremes if mode == "ts" else build_zero_vector)(SRC, tmp)
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                        f"'{tmp}/{t}.parquet'")
+        for name in names:
+            spec = QUERIES[name]
+            try:
+                spark_pdf = spec.fn(spark, tmp).toPandas()
+            except Exception as e:
+                crash_s += 1
+                msg = traceback.format_exception_only(type(e), e)[-1]
+                print(f"CRASH-SPARK   {name} -- {msg.strip()[:160]}")
+                continue
+            if spec.oracle is None:
+                ok += 1
+                print(f"OK(rows-only) {name}")
+                continue
+            try:
+                oracle_pdf = con.execute(spec.oracle).fetchdf()
+            except Exception as e:
+                crash_o += 1
+                msg = traceback.format_exception_only(type(e), e)[-1]
+                print(f"CRASH-ORACLE  {name} -- {msg.strip()[:160]}")
+                continue
+            try:
+                compare_frames(spark_pdf, oracle_pdf, name)
+                ok += 1
+                print(f"OK            {name}")
+            except AssertionError as e:
+                mismatch += 1
+                print(f"MISMATCH      {name} -- "
+                      f"{str(e).splitlines()[0][:160]}")
+    print(f"\n{mode.upper()} CENSUS: OK={ok} MISMATCH={mismatch} "
+          f"CRASH-SPARK={crash_s} CRASH-ORACLE={crash_o}")
+    return 1 if (mismatch or crash_s or crash_o) else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
