@@ -1323,7 +1323,11 @@ SELECT o_orderkey,
        EXTRACT(year FROM o_orderdate)::INT AS o_year,
        EXTRACT(month FROM o_orderdate)::INT AS o_month,
        ROUND(SQRT(ABS({finite_sql('o_totalprice')})), 4) AS sqrt_price,
-       ROUND(LN({finite_sql('o_totalprice')} + 1), 4) AS ln_price,
+       -- positivity arm (r18 --neg census): Spark's ln() returns NULL
+       -- for a non-positive argument where DuckDB THROWS — a refund
+       -- row (negative price) must yield NULL ln_price on both engines
+       CASE WHEN {finite_sql('o_totalprice')} + 1 > 0
+            THEN ROUND(LN({finite_sql('o_totalprice')} + 1), 4) END AS ln_price,
        CASE WHEN {finite_sql('o_totalprice')} > 300000 THEN 'high'
             WHEN {finite_sql('o_totalprice')} > 100000 THEN 'mid'
             ELSE 'low' END AS bucket

@@ -6,6 +6,7 @@ fixture carrying one pathological-but-representable value per class.
 
     python tools/extremes_census.py --ts       # extreme timestamps
     python tools/extremes_census.py --zerovec  # all-zeros embedding
+    python tools/extremes_census.py --neg      # negated money measures
 
 --ts: row 2 of every non-key timestamp/date column gets 2262-01-01,
 row 3 (where present) 1678-01-01 — the far edges of the
@@ -26,6 +27,14 @@ therefore a documented ENGINE CONTRACT (timestamps outside the ns
 window are quarantine-gate material — dq_constraint_report counts
 them — not valid operator input), and this census pins value
 equality across the representable range.
+
+--neg: row 2 of every float scalar measure becomes its negation (a
+refund / correction / chargeback row — routine at 100 TB). The known
+hazards: the integer-unit div identity and ROUND agree on negatives in
+both engines (probed: both `div`/`//` truncate toward zero), but
+DuckDB's ln/sqrt/log10 THROW on a negative argument where Spark
+returns NULL/NaN, and sign-sensitive CASE/range logic may bucket a
+refund differently per engine.
 
 --zerovec: embeddings.embedding row 2 becomes all zeros (norm 0).
 Cosine similarity against it is 0/0 — double division yields NaN in
@@ -84,6 +93,24 @@ def build_ts_extremes(src: str, out: str) -> str:
     return out
 
 
+def build_negated(src: str, out: str) -> str:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    for t in TABLES:
+        tab = pq.read_table(os.path.join(src, f"{t}.parquet")).slice(0, 4)
+        d = tab.to_pydict()
+        for col, field in zip(tab.column_names, tab.schema):
+            if col.endswith("key") or col in KEY_COLS:
+                continue
+            if (pa.types.is_float64(field.type)
+                    or pa.types.is_float32(field.type)):
+                if d[col][2] is not None:
+                    d[col][2] = -abs(d[col][2])
+        pq.write_table(pa.table(d, schema=tab.schema),
+                       os.path.join(out, f"{t}.parquet"))
+    return out
+
+
 def build_zero_vector(src: str, out: str) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -106,9 +133,10 @@ def main() -> int:
 
     args = sys.argv[1:]
     mode = ("ts" if "--ts" in args
-            else "zerovec" if "--zerovec" in args else None)
+            else "zerovec" if "--zerovec" in args
+            else "neg" if "--neg" in args else None)
     if mode is None:
-        print("pick a mode: --ts or --zerovec")
+        print("pick a mode: --ts, --zerovec or --neg")
         return 2
     names = ([a for a in args if not a.startswith("--")]
              or sorted(QUERIES))
@@ -122,7 +150,8 @@ def main() -> int:
              .getOrCreate())
     ok = mismatch = crash_s = crash_o = 0
     with tempfile.TemporaryDirectory() as tmp:
-        (build_ts_extremes if mode == "ts" else build_zero_vector)(SRC, tmp)
+        {"ts": build_ts_extremes, "zerovec": build_zero_vector,
+         "neg": build_negated}[mode](SRC, tmp)
         con = duckdb.connect()
         for t in TABLES:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
