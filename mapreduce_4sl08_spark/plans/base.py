@@ -152,12 +152,21 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+#: Declared corpus embedding dimensionality (TESTDATA.md schema). A
+#: vector of any OTHER length is corrupt (truncated/partially written)
+#: — it cannot participate in per-dimension math, DuckDB's
+#: list_dot_product ERRORS on mismatched lengths, and numpy stacking in
+#: the Arrow paths raises on ragged input (r18 --shortvec census: 7
+#: Spark crashes, 1 oracle crash, 3 silent per-dimension splits).
+EMB_DIM = 64
+
+
 def vec_finite_sql(col: str = "embedding") -> str:
-    """Oracle twin of the vecs() exclusion: NULL vectors AND vectors
-    carrying any non-finite component are out (NULL list makes the
-    lambda predicate NULL → WHERE drops it, but the explicit IS NOT
-    NULL keeps the scan-pushdown visible)."""
-    return (f"{col} IS NOT NULL AND "
+    """Oracle twin of the vecs() exclusion: NULL vectors, vectors
+    carrying any non-finite component, and wrong-dimension vectors are
+    out (NULL list makes the lambda predicate NULL → WHERE drops it,
+    but the explicit IS NOT NULL keeps the scan-pushdown visible)."""
+    return (f"{col} IS NOT NULL AND len({col}) = {EMB_DIM} AND "
             f"len(list_filter({col}, x -> NOT isfinite(x))) = 0")
 
 
@@ -170,9 +179,12 @@ def vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     logs/vector_nan_census_r18.txt: one poisoned element flowed
     through every dot product / norm / centroid — 6 oracle crashes on
     integer conversion and 3 silent ANN row-count/rank splits; a
-    vector with a NaN/±Inf coordinate has no geometry either). Every
-    oracle applies the same exclusion via :func:`vec_finite_sql`, so
-    both engines agree row-for-row. NOTE the (w, L) derivation
+    vector with a NaN/±Inf coordinate has no geometry either), and
+    vectors whose length is not the declared EMB_DIM (r18 --shortvec
+    census: a truncated vector errors DuckDB's list_dot_product,
+    raises in numpy stacking, and silently splits every per-dimension
+    aggregate). Every oracle applies the same exclusion via
+    :func:`vec_finite_sql`, so both engines agree row-for-row. NOTE the (w, L) derivation
     deliberately counts ALL rows (corpus_vec_count reads parquet
     footers, which cannot see nulls; the oracle params CTEs mirror
     with an unfiltered COUNT(*)) — a slightly-wide width on a
@@ -180,6 +192,7 @@ def vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     nonfinite = lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf")))  # noqa: E731
     return (load_table(spark, sf_dir, "embeddings")
             .filter(F.col("embedding").isNotNull())
+            .filter(F.size("embedding") == EMB_DIM)
             .filter(~F.exists("embedding", nonfinite)))
 
 

@@ -341,7 +341,7 @@ def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EMBEDDING_QUANT_SQL = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
-           WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0),
+           WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0),
 dims AS (
   SELECT i, MIN(emb[i + 1]) AS mn, MAX(emb[i + 1]) AS mx
   FROM e, UNNEST(range(64)) AS u(i)

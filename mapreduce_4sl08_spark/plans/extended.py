@@ -400,7 +400,7 @@ SELECT doc_id, lang, label,
        len(regexp_split_to_array(trim(text, ' '), '[ \t\n\x0b\f\r]+'))::INT AS n_tokens,
        ROUND(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 4) AS emb_norm
 FROM documents
-JOIN embeddings ON doc_id = vec_id AND embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+JOIN embeddings ON doc_id = vec_id AND embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
 ORDER BY doc_id
 """
 
@@ -536,7 +536,7 @@ PANDAS_NORMS_SQL = """
 SELECT label, COUNT(*) AS n_vecs,
        ROUND(AVG(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4) AS avg_norm
 FROM embeddings
-WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
 GROUP BY label
 ORDER BY label
 """

@@ -19,7 +19,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from .base import (
-    QuerySpec, SessionMemo, finite, finite_frag, finite_sql,
+    EMB_DIM, QuerySpec, SessionMemo, finite, finite_frag, finite_sql,
     nonfinite_count, nonfinite_count_sql, t,
 )
 
@@ -59,13 +59,13 @@ def _ts_window_count_sql(col: str) -> str:
 
 def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality audit (the Deequ/soda-core shape): a
-    fixed constraint suite over orders+lineitem+events, one row per
-    constraint with its violation count and pass flag.
+    fixed constraint suite over orders+lineitem+events+embeddings, one
+    row per constraint with its violation count and pass flag.
 
     Plan shape: ONE pass over each fact table computes every row-level
     constraint as a conditional aggregate (no per-constraint rescans);
     the referential-integrity check is a left-anti join against the
-    orders keys. At 100 TB that is three scans plus one shuffle —
+    orders keys. At 100 TB that is four scans plus one shuffle —
     adding more constraints costs zero additional I/O.
 
     Non-finite contract (r18): every float measure gets an explicit
@@ -119,6 +119,21 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         nonfinite_count("value").alias("events_value_finite"),
         _ts_window_count("ts", ntz=False).alias("events_ts_representable"),
     )
+    # the embeddings rows mirror EXACTLY what base.vecs() excludes
+    # (wrong-dimension and non-finite-component vectors) — zero-norm
+    # vectors are NOT violations (valid for magnitude-free operators;
+    # cosine NULLs them per functions.cosine)
+    em = t(spark, sf_dir, "embeddings")
+    em_stats = em.agg(
+        F.sum(F.when(F.col("embedding").isNotNull()
+                     & (F.size("embedding") != EMB_DIM), 1).otherwise(0))
+        .cast("long").alias("embeddings_dim_conformant"),
+        F.sum(F.when(F.exists(
+            "embedding",
+            lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf")))), 1)
+            .otherwise(0))
+        .cast("long").alias("embeddings_components_finite"),
+    )
     ri = (
         li.join(o.select("o_orderkey"),
                 li.l_orderkey == F.col("o_orderkey"), "left_anti")
@@ -129,6 +144,7 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # anyway, but the plan should SAY it)
     combined = (o_stats.crossJoin(F.broadcast(li_stats))
                 .crossJoin(F.broadcast(ev_stats))
+                .crossJoin(F.broadcast(em_stats))
                 .crossJoin(F.broadcast(ri)))
     names = [
         "orders_pk_unique", "orders_totalprice_positive",
@@ -141,6 +157,7 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lineitem_shipdate_not_null",
         "lineitem_shipdate_ts_representable",
         "events_value_finite", "events_ts_representable",
+        "embeddings_dim_conformant", "embeddings_components_finite",
         "lineitem_orderkey_ri",
     ]
     stacked = combined.select(F.expr(
@@ -190,6 +207,13 @@ ev_stats AS (
          {_ts_window_count_sql('ts')} AS events_ts_representable
   FROM events
 ),
+em_stats AS (
+  SELECT SUM(CASE WHEN embedding IS NOT NULL AND len(embedding) != {EMB_DIM}
+                  THEN 1 ELSE 0 END)::BIGINT AS embeddings_dim_conformant,
+         SUM(CASE WHEN len(list_filter(embedding, x -> NOT isfinite(x))) > 0
+                  THEN 1 ELSE 0 END)::BIGINT AS embeddings_components_finite
+  FROM embeddings
+),
 ri AS (
   SELECT COUNT(*)::BIGINT AS lineitem_orderkey_ri
   FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
@@ -211,6 +235,8 @@ stacked AS (
   UNION ALL SELECT 'lineitem_shipdate_ts_representable', lineitem_shipdate_ts_representable FROM li_stats
   UNION ALL SELECT 'events_value_finite', events_value_finite FROM ev_stats
   UNION ALL SELECT 'events_ts_representable', events_ts_representable FROM ev_stats
+  UNION ALL SELECT 'embeddings_dim_conformant', embeddings_dim_conformant FROM em_stats
+  UNION ALL SELECT 'embeddings_components_finite', embeddings_components_finite FROM em_stats
   UNION ALL SELECT 'lineitem_orderkey_ri', lineitem_orderkey_ri FROM ri
 )
 SELECT constraint_name, n_violations, n_violations = 0 AS passed

@@ -23,7 +23,7 @@ from pyspark.sql import Window
 from pyspark.sql.functions import broadcast
 
 from ..functions import arrow_dot, cosine, dot, l2_norm
-from .base import QuerySpec, SessionMemo, t, vecs
+from .base import EMB_DIM, QuerySpec, SessionMemo, t, vecs
 
 _N_PROBES = 5   # vec_id < 5 are the probe vectors
 _TOP_K = 5
@@ -59,7 +59,7 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 KNN_SQL = f"""
 WITH probes AS (
   SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb
-  FROM embeddings WHERE vec_id < {_N_PROBES} AND embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+  FROM embeddings WHERE vec_id < {_N_PROBES} AND embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
 ),
 scored AS (
   SELECT p.query_id, e.vec_id,
@@ -67,7 +67,7 @@ scored AS (
            / (sqrt(list_dot_product(p.q_emb, p.q_emb))
               * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS sim_exact
   FROM probes p, embeddings e
-  WHERE e.vec_id <> p.query_id AND e.embedding IS NOT NULL AND len(list_filter(e.embedding, x -> NOT isfinite(x))) = 0
+  WHERE e.vec_id <> p.query_id AND e.embedding IS NOT NULL AND len(e.embedding) = 64 AND len(list_filter(e.embedding, x -> NOT isfinite(x))) = 0
 ),
 ranked AS (
   SELECT query_id, vec_id, sim_exact,
@@ -178,7 +178,8 @@ _BUCKET_TARGET = 128   # expected-bucket-size bound the width defends
 _N_TABLES = 16         # L at/below the clamp; recall lives here
 _TABLES_PER_DOUBLING = 8   # ΔL per corpus doubling past the clamp —
                            # halves the cos-0.9 miss prob per doubling
-_EMB_DIM = 64
+_EMB_DIM = EMB_DIM  # single source of truth: base.EMB_DIM (the vecs()
+                    # dimension-conformance contract uses the same value)
 
 
 def unclamped_band_width(n: int, target: int = _BUCKET_TARGET,
@@ -570,7 +571,7 @@ tagged AS (
   FROM (SELECT vec_id, embedding::DOUBLE[] AS emb,
                list_transform(embedding::DOUBLE[],
                               x -> FLOOR(x * 1e6)) AS emb_e6
-        FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0), params
+        FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0), params
 ),
 bands AS (
   SELECT vec_id, emb,
@@ -731,7 +732,7 @@ def ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 IVF_ANN_SQL = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
-           WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0),
+           WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0),
 centroids AS (
   SELECT vec_id AS list_id, emb AS c_emb
   FROM e ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {_IVF_K}
@@ -799,7 +800,7 @@ SELECT label,
        ROUND(AVG(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4) AS avg_norm,
        ROUND(MAX(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 4) AS max_sq_norm
 FROM embeddings
-WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
 GROUP BY label
 ORDER BY label
 """
@@ -903,7 +904,7 @@ MAPINARROW_NORMS_SQL = """
 SELECT vec_id,
        ROUND(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 4) AS l2_norm
 FROM embeddings
-WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
 ORDER BY vec_id
 """
 
@@ -962,7 +963,7 @@ def embedding_centroid_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame
 
 CENTROID_SQL = """
 WITH e AS (SELECT label, embedding::DOUBLE[] AS emb FROM embeddings
-           WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0),
+           WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0),
 g AS (
   SELECT label, i AS dim, COUNT(*) AS n_vecs,
          SUM(CAST(FLOOR(emb[i + 1] * 1e6) AS BIGINT))::BIGINT AS sum_e6
@@ -1043,7 +1044,7 @@ def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LABEL_OUTLIERS_SQL = f"""
 WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
-           WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0),
+           WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0),
 g AS (
   SELECT label, i AS dim, COUNT(*) AS n_vecs,
          SUM(CAST(FLOOR(emb[i + 1] * 1e6) AS BIGINT))::BIGINT AS sum_e6
@@ -1160,7 +1161,7 @@ WITH q AS (
   SELECT vec_id,
          list_transform(embedding::DOUBLE[],
                         x -> CAST(FLOOR(x * 1000000) AS BIGINT)) AS v
-  FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
 ),
 c0 AS (
   SELECT ROW_NUMBER() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) AS cid,
@@ -1245,7 +1246,7 @@ WITH x AS (
   SELECT i AS dim,
          CAST(FLOOR(emb[i + 1] * 1000000) AS BIGINT) AS x_e6
   FROM (SELECT embedding::DOUBLE[] AS emb FROM embeddings
-        WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0),
+        WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0),
        UNNEST(range({_EMB_DIM})) AS u(i)
 )
 SELECT dim, COUNT(*) AS n_vecs,
@@ -1343,7 +1344,7 @@ q AS (
   SELECT vec_id,
          list_transform(embedding::DOUBLE[],
                         x -> CAST(FLOOR(x * 1000000) AS BIGINT)) AS v
-  FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
 ),
 dists AS (
   SELECT CAST(

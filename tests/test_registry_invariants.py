@@ -371,3 +371,33 @@ def test_global_window_gate_catches_bad_plan(spark):
     good_df = (raw.orderBy(F.col("o_totalprice").desc()).limit(10)
                .select("o_orderkey", F.row_number().over(w).alias("rk")))
     assert not unbounded_global_windows(good_df)
+
+
+def test_vector_oracles_carry_canonical_exclusion():
+    """Single-source gate for the vecs() twin (r18 --shortvec lesson:
+    the exclusion predicate was BAKED into 14 oracle strings, so when
+    vecs() gained the dimension clause the oracles silently kept the
+    old contract — the census caught it, this gate makes the drift a
+    test failure). Every oracle that reads the embeddings table must
+    contain base.vec_finite_sql()'s EXACT current text (plain or
+    e.-qualified); the only allowlisted exception is the quarantine
+    report, which deliberately reads every row to COUNT what vecs()
+    excludes."""
+    import re
+
+    from mapreduce_4sl08_spark.plans.base import vec_finite_sql
+
+    ALLOW_UNFILTERED = {"dq_constraint_report"}
+    offenders = []
+    for name, spec in QUERIES.items():
+        if spec.oracle is None or name in ALLOW_UNFILTERED:
+            continue
+        if not re.search(r"\b(FROM|JOIN)\s+embeddings\b", spec.oracle,
+                         re.IGNORECASE):
+            continue
+        if (vec_finite_sql() not in spec.oracle
+                and vec_finite_sql("e.embedding") not in spec.oracle):
+            offenders.append(name)
+    assert not offenders, (
+        f"embeddings oracles missing the CURRENT vec_finite_sql() text "
+        f"(vecs() and these oracles have drifted apart): {offenders}")

@@ -11,9 +11,19 @@ DESC) and is dropped by threshold filters; the one ASC ranking
 (embedding_label_outliers) excludes NULL sims on both sides because
 the engines' ASC null positions split.
 
-Fixture: embeddings row 2 becomes all zeros; every registry query must
-stay value-equal to its oracle (the full envelope-sweep discipline —
-non-vector queries prove the fixture changes nothing for them).
+r18 --shortvec extension: a TRUNCATED vector (wrong dimensionality —
+a corrupt or partially-written record) errors DuckDB's
+list_dot_product, raises in numpy stacking, and silently splits every
+per-dimension aggregate; contract: excluded at vecs() against the
+declared base.EMB_DIM, mirrored by vec_finite_sql() in every
+embeddings oracle (single-source-enforced by
+test_registry_invariants.test_vector_oracles_carry_canonical_exclusion),
+and counted by dq_constraint_report's embeddings_dim_conformant row.
+
+Fixture: embeddings row 2 becomes all zeros, row 3 is truncated to 3
+elements; every registry query must stay value-equal to its oracle
+(the full envelope-sweep discipline — non-vector queries prove the
+fixture changes nothing for them).
 """
 import os
 
@@ -36,6 +46,7 @@ def sfzerovec_dir(tmp_path_factory):
         if t == "embeddings":
             d = tab.to_pydict()
             d["embedding"][2] = [0.0] * len(d["embedding"][2])
+            d["embedding"][3] = list(d["embedding"][3])[:3]
             tab = pa.table(d, schema=tab.schema)
         pq.write_table(tab, os.path.join(out, f"{t}.parquet"))
     return out
@@ -60,3 +71,14 @@ def test_query_matches_oracle_on_zero_vector(spark, sfzerovec_dir,
         return
     oracle_pdf = duck_sfzerovec.execute(spec.oracle).fetchdf()
     compare_frames(spark_pdf, oracle_pdf, name)
+
+
+def test_quarantine_counts_degenerate_vectors(spark, sfzerovec_dir):
+    """The dq report must SAY what vecs() drops: exactly one
+    wrong-dimension vector on this fixture (the zero vector is NOT a
+    violation — it is valid for magnitude-free operators)."""
+    rows = {r["constraint_name"]: r["n_violations"]
+            for r in QUERIES["dq_constraint_report"]
+            .fn(spark, sfzerovec_dir).collect()}
+    assert rows["embeddings_dim_conformant"] == 1
+    assert rows["embeddings_components_finite"] == 0

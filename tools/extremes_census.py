@@ -7,6 +7,7 @@ fixture carrying one pathological-but-representable value per class.
     python tools/extremes_census.py --ts       # extreme timestamps
     python tools/extremes_census.py --zerovec  # all-zeros embedding
     python tools/extremes_census.py --neg      # negated money measures
+    python tools/extremes_census.py --shortvec # truncated embedding
 
 --ts: row 2 of every non-key timestamp/date column gets 2262-01-01,
 row 3 (where present) 1678-01-01 — the far edges of the
@@ -35,6 +36,12 @@ both engines (probed: both `div`/`//` truncate toward zero), but
 DuckDB's ln/sqrt/log10 THROW on a negative argument where Spark
 returns NULL/NaN, and sign-sensitive CASE/range logic may bucket a
 refund differently per engine.
+
+--shortvec: embeddings.embedding row 2 is truncated to 3 elements (a
+corrupt/partially-written vector). DuckDB's list_dot_product ERRORS on
+mismatched lengths; Spark's zip_with pads the short side with NULL and
+the fold turns the whole dot product NULL — one truncated vector can
+abort an oracle or silently drop/derank rows.
 
 --zerovec: embeddings.embedding row 2 becomes all zeros (norm 0).
 Cosine similarity against it is 0/0 — double division yields NaN in
@@ -124,6 +131,19 @@ def build_zero_vector(src: str, out: str) -> str:
     return out
 
 
+def build_short_vector(src: str, out: str) -> str:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    for t in TABLES:
+        tab = pq.read_table(os.path.join(src, f"{t}.parquet")).slice(0, 4)
+        if t == "embeddings":
+            d = tab.to_pydict()
+            d["embedding"][2] = list(d["embedding"][2])[:3]
+            tab = pa.table(d, schema=tab.schema)
+        pq.write_table(tab, os.path.join(out, f"{t}.parquet"))
+    return out
+
+
 def main() -> int:
     import duckdb
     from pyspark.sql import SparkSession
@@ -134,9 +154,10 @@ def main() -> int:
     args = sys.argv[1:]
     mode = ("ts" if "--ts" in args
             else "zerovec" if "--zerovec" in args
-            else "neg" if "--neg" in args else None)
+            else "neg" if "--neg" in args
+            else "shortvec" if "--shortvec" in args else None)
     if mode is None:
-        print("pick a mode: --ts, --zerovec or --neg")
+        print("pick a mode: --ts, --zerovec, --neg or --shortvec")
         return 2
     names = ([a for a in args if not a.startswith("--")]
              or sorted(QUERIES))
@@ -151,7 +172,7 @@ def main() -> int:
     ok = mismatch = crash_s = crash_o = 0
     with tempfile.TemporaryDirectory() as tmp:
         {"ts": build_ts_extremes, "zerovec": build_zero_vector,
-         "neg": build_negated}[mode](SRC, tmp)
+         "neg": build_negated, "shortvec": build_short_vector}[mode](SRC, tmp)
         con = duckdb.connect()
         for t in TABLES:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
