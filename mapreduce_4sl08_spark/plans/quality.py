@@ -59,14 +59,21 @@ def _ts_window_count_sql(col: str) -> str:
 
 def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality audit (the Deequ/soda-core shape): a
-    fixed constraint suite over orders+lineitem+events+embeddings, one
-    row per constraint with its violation count and pass flag.
+    fixed constraint suite over every fact table, one row per
+    constraint with its violation count and pass flag.
 
     Plan shape: ONE pass over each fact table computes every row-level
     constraint as a conditional aggregate (no per-constraint rescans);
     the referential-integrity check is a left-anti join against the
-    orders keys. At 100 TB that is four scans plus one shuffle —
+    orders keys. At 100 TB that is five scans plus one shuffle —
     adding more constraints costs zero additional I/O.
+
+    Key-uniqueness contract (r18 --dup census): every fact table gets
+    a ``*_pk_unique`` row because the dedup/cluster operator family is
+    DEFINED over key-unique corpora — a duplicated doc_id makes "the
+    document" itself ambiguous, and the 5 cluster queries legitimately
+    diverge on such input. The violation is counted here, upstream of
+    them.
 
     Non-finite contract (r18): every float measure gets an explicit
     ``*_finite`` violation count — this report is the designed
@@ -118,6 +125,8 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev_stats = ev.agg(
         nonfinite_count("value").alias("events_value_finite"),
         _ts_window_count("ts", ntz=False).alias("events_ts_representable"),
+        (F.count(F.lit(1)) - F.countDistinct("event_id"))
+        .alias("events_pk_unique"),
     )
     # the embeddings rows mirror EXACTLY what base.vecs() excludes
     # (wrong-dimension and non-finite-component vectors) — zero-norm
@@ -133,6 +142,17 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf")))), 1)
             .otherwise(0))
         .cast("long").alias("embeddings_components_finite"),
+        (F.count(F.lit(1)) - F.countDistinct("vec_id"))
+        .alias("embeddings_pk_unique"),
+    )
+    # key-uniqueness for the document corpus (fifth single-pass scan):
+    # every dedup-family operator is DEFINED over a key-unique corpus —
+    # a duplicated doc_id makes "the document" ambiguous (r18 --dup
+    # census: 5 dedup/cluster queries legitimately diverge on such
+    # input) — so the violation must be counted HERE, upstream
+    doc_stats = t(spark, sf_dir, "documents").agg(
+        (F.count(F.lit(1)) - F.countDistinct("doc_id"))
+        .alias("documents_pk_unique"),
     )
     ri = (
         li.join(o.select("o_orderkey"),
@@ -145,6 +165,7 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     combined = (o_stats.crossJoin(F.broadcast(li_stats))
                 .crossJoin(F.broadcast(ev_stats))
                 .crossJoin(F.broadcast(em_stats))
+                .crossJoin(F.broadcast(doc_stats))
                 .crossJoin(F.broadcast(ri)))
     names = [
         "orders_pk_unique", "orders_totalprice_positive",
@@ -157,7 +178,9 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lineitem_shipdate_not_null",
         "lineitem_shipdate_ts_representable",
         "events_value_finite", "events_ts_representable",
+        "events_pk_unique",
         "embeddings_dim_conformant", "embeddings_components_finite",
+        "embeddings_pk_unique", "documents_pk_unique",
         "lineitem_orderkey_ri",
     ]
     stacked = combined.select(F.expr(
@@ -204,15 +227,21 @@ li_stats AS (
 ),
 ev_stats AS (
   SELECT {nonfinite_count_sql('value')} AS events_value_finite,
-         {_ts_window_count_sql('ts')} AS events_ts_representable
+         {_ts_window_count_sql('ts')} AS events_ts_representable,
+         (COUNT(*) - COUNT(DISTINCT event_id))::BIGINT AS events_pk_unique
   FROM events
 ),
 em_stats AS (
   SELECT SUM(CASE WHEN embedding IS NOT NULL AND len(embedding) != {EMB_DIM}
                   THEN 1 ELSE 0 END)::BIGINT AS embeddings_dim_conformant,
          SUM(CASE WHEN len(list_filter(embedding, x -> NOT isfinite(x))) > 0
-                  THEN 1 ELSE 0 END)::BIGINT AS embeddings_components_finite
+                  THEN 1 ELSE 0 END)::BIGINT AS embeddings_components_finite,
+         (COUNT(*) - COUNT(DISTINCT vec_id))::BIGINT AS embeddings_pk_unique
   FROM embeddings
+),
+doc_stats AS (
+  SELECT (COUNT(*) - COUNT(DISTINCT doc_id))::BIGINT AS documents_pk_unique
+  FROM documents
 ),
 ri AS (
   SELECT COUNT(*)::BIGINT AS lineitem_orderkey_ri
@@ -235,8 +264,11 @@ stacked AS (
   UNION ALL SELECT 'lineitem_shipdate_ts_representable', lineitem_shipdate_ts_representable FROM li_stats
   UNION ALL SELECT 'events_value_finite', events_value_finite FROM ev_stats
   UNION ALL SELECT 'events_ts_representable', events_ts_representable FROM ev_stats
+  UNION ALL SELECT 'events_pk_unique', events_pk_unique FROM ev_stats
   UNION ALL SELECT 'embeddings_dim_conformant', embeddings_dim_conformant FROM em_stats
   UNION ALL SELECT 'embeddings_components_finite', embeddings_components_finite FROM em_stats
+  UNION ALL SELECT 'embeddings_pk_unique', embeddings_pk_unique FROM em_stats
+  UNION ALL SELECT 'documents_pk_unique', documents_pk_unique FROM doc_stats
   UNION ALL SELECT 'lineitem_orderkey_ri', lineitem_orderkey_ri FROM ri
 )
 SELECT constraint_name, n_violations, n_violations = 0 AS passed
