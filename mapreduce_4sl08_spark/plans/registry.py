@@ -46,73 +46,17 @@ _MODULE_SPECS: list[QuerySpec] = [
 # End-of-round ritual: append the new round's names to the JSON, then
 # rewrite this tuple for the next round's changed plans.
 _ROUND_PRIORITY: tuple[str, ...] = (
-    # round 18 non-finite-contract closure (VERDICT r17 item 1/2).
+    # round 19 (VERDICT r18 items 1-2 + ADVICE items 1-2).
     # ORDER IS THE DRIVER'S PROOF BUDGET ALLOCATION (see _order_key).
-    # Block 1 — per-query semantic fixes (each carries its own contract
-    # decision: quarantine counters, finite-guarded percentiles/
-    # moments/buckets/deltas/tolerances) — highest-information proofs:
+    # Block 1 — queries whose OUTPUT changes this round: the dq report
+    # gains the *_cents_representable counters (ADVICE item 2) and the
+    # embeddings_components_finite counter now also counts NULL-element
+    # vectors (ADVICE item 1):
     "dq_constraint_report",
-    "column_profile_orders",
-    "column_profile_lineitem",
-    "column_profile_events",
-    "column_profile_documents",
-    "events_value_histogram",
-    "events_user_features",
-    "agg_percentiles",
-    "agg_stats_by_flag",
-    "agg_approx_distinct",
-    "functions_showcase",
-    "approx_percentile_check",
-    "q17_small_quantity_revenue",
-    "merge_upsert_orders",
-    "daily_revenue_gapfill",
-    "events_sliding_windows",
-    "grouping_sets_revenue",
-    # Block 1b — vector non-finite contract (r18 vector census,
-    # logs/vector_nan_census_r18.txt): vecs()/vec_finite_sql exclude
-    # vectors with any non-finite component. The nine censused
-    # divergers lead (6 oracle crashes, 3 silent ANN splits):
-    "embedding_near_dup",
-    "lsh_bucket_ann",
-    "ivf_ann",
-    "embedding_centroid_fixedpoint",
-    "embedding_dim_stats",
-    "embedding_label_outliers",
-    "embedding_quantization",
-    "kmeans_lloyd_2iter",
-    "lsh_pair_distance_histogram",
-    # Block 1c — consumers changed only through the shared vecs()
-    # filter (value-identical on clean vectors):
-    "knn_bruteforce_cosine",
-    "embedding_norms",
-    "mapinarrow_norms",
-    "pandas_udf_norms",
-    "docs_with_embeddings",
-    "ivf_recall_eval",
-    # Block 2 — base.cents()/cents_sql() consumers (one shared change,
-    # the finite() guard inside the money choke point):
-    "events_tumbling_hourly",
-    "events_sessionize",
-    "events_session_window_native",
-    "salted_hot_key_agg",
-    "customer_engagement_value",
-    "customer_rfm_segments",
-    "orders_backlog_aging",
-    "orders_monthly_yoy",
-    "q22_idle_rich_customers",
-    "revenue_concentration_deciles",
-    "supplier_concentration_hhi",
-    "window_running_spend",
-    "window_trailing_30d_spend",
-    "join_left_order_counts",
-    "bucketed_join_zero_shuffle",
-    "weighted_median_price_by_nation",
-    "agg_rollup_lineitem",
-    "q18_large_orders",
+    # Block 2 — the 25 r18-changed rows the r18 ~50-row driver budget
+    # cut (VERDICT r18 item 2a; every one also re-proves this round's
+    # ts-quarantine scan filter — they all read orders/lineitem):
     "q11_important_stock",
-    # Block 3 — relational.py integer-unit fragment consumers (the
-    # identical mechanical finite_frag edit, already proven by blocks
-    # 1-2's shapes; these absorb any budget cut before block 4 does):
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -122,14 +66,7 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     "q14_promo_share",
     "q15_top_supplier",
     "q19_disjunctive_revenue",
-    # oracle-only r18 change (ADVICE r17 item 2): json_type OBJECT arm —
-    # provably a no-op on the all-valid-object driver fixtures, pinned
-    # by tests/test_malformed_props.py meanwhile:
     "map_functions_showcase",
-    # Block 4 — the 14 r17 priority rows whose driver proof was cut by
-    # the r17 budget (oracle-only ASCII-trim rewrites, no-ops on the
-    # ASCII driver fixtures, gated meanwhile by the unicode/fuzz
-    # sweeps) — VERDICT r17 item 3:
     "span_dedup_report",
     "text_bigram_top20",
     "text_language_id",
@@ -144,6 +81,55 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     "winnowing_fingerprints",
     "wordcount_documents",
     "zipf_rank_frequency",
+    # Block 3 — the r13-staleness drain (VERDICT r18 item 2b, deferred
+    # twice; the two overlapping names already sit in block 2). After
+    # this round's merge, min last-proven must be >= r14:
+    "agg_cube_orders",
+    "copurchase_triangles",
+    "event_type_share_drift",
+    "events_asof_cogroup",
+    "events_burst_topk",
+    "hash_split_assignment",
+    "join_anti_inactive",
+    "join_full_nation_presence",
+    "join_semi_big_spenders",
+    "lateral_topk_orders",
+    "range_join_prompt_ship",
+    "set_ops_nations",
+    "sort_customers_multi",
+    "source_frequency_cap",
+    "topk_expensive_orders",
+    "watchlist_term_scan",
+    "window_lag_gap_days",
+    "window_topk_orders_per_customer",
+    "zorder_layout_stats",
+    # Block 4 — this round's ts-quarantine / props-contract consumers
+    # beyond blocks 1-3 (the load_table scan filter + oracle shadow
+    # CTEs change nearly every orders/lineitem/events reader; the
+    # pandas-crossing queries the year-9999 wide census crashed are the
+    # highest-information re-proofs). Whatever the budget cuts here is
+    # proven by the builder's 168/168 sweeps at both scales + the ts
+    # census, and leads r20's priority:
+    "events_variant_extract",
+    "events_user_features",
+    "events_sessionize",
+    "events_tumbling_hourly",
+    "events_session_window_native",
+    "events_sliding_windows",
+    "events_windowed_topk",
+    "events_retention_cohorts",
+    "events_rate_anomaly_mad",
+    "events_pivot_types",
+    "events_dedup_exact",
+    "events_asof_last_view",
+    "latest_event_per_user",
+    "daily_new_vs_returning",
+    "daily_revenue_gapfill",
+    "date_functions_showcase",
+    "rolling_active_users",
+    "scd2_status_history",
+    "window_running_spend",
+    "orders_monthly_yoy",
 )
 
 _HISTORY_PATH = Path(__file__).with_name("checked_history.json")
