@@ -163,11 +163,17 @@ EMB_DIM = 64
 
 def vec_finite_sql(col: str = "embedding") -> str:
     """Oracle twin of the vecs() exclusion: NULL vectors, vectors
-    carrying any non-finite component, and wrong-dimension vectors are
-    out (NULL list makes the lambda predicate NULL → WHERE drops it,
-    but the explicit IS NOT NULL keeps the scan-pushdown visible)."""
+    carrying any NULL or non-finite component, and wrong-dimension
+    vectors are out (NULL list makes the lambda predicate NULL → WHERE
+    drops it, but the explicit IS NOT NULL keeps the scan-pushdown
+    visible). The ``x IS NULL`` arm is the r19 contract fix (ADVICE
+    r18): DuckDB's list_filter silently DISCARDS NULL elements from the
+    filtered list, so without it a ``[1.0, NULL, …]`` vector was KEPT
+    by the oracle while Spark's ~exists() dropped it under three-valued
+    logic — a cross-engine split on every vector query."""
     return (f"{col} IS NOT NULL AND len({col}) = {EMB_DIM} AND "
-            f"len(list_filter({col}, x -> NOT isfinite(x))) = 0")
+            f"len(list_filter({col}, x -> x IS NULL OR NOT isfinite(x)))"
+            f" = 0")
 
 
 def vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -183,17 +189,23 @@ def vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors whose length is not the declared EMB_DIM (r18 --shortvec
     census: a truncated vector errors DuckDB's list_dot_product,
     raises in numpy stacking, and silently splits every per-dimension
-    aggregate). Every oracle applies the same exclusion via
-    :func:`vec_finite_sql`, so both engines agree row-for-row. NOTE the (w, L) derivation
+    aggregate), and vectors carrying a NULL ELEMENT (r19, ADVICE r18:
+    the old isnan|inf lambda already DROPPED them — exists() over a
+    NULL element is NULL under three-valued logic, and ~NULL filters
+    out — but DuckDB's list_filter silently discards NULL elements, so
+    the oracle KEPT the row; the predicate is now explicit on both
+    sides and a [1.0, NULL, …] vector is corrupt by contract). Every
+    oracle applies the same exclusion via :func:`vec_finite_sql`, so
+    both engines agree row-for-row. NOTE the (w, L) derivation
     deliberately counts ALL rows (corpus_vec_count reads parquet
     footers, which cannot see nulls; the oracle params CTEs mirror
     with an unfiltered COUNT(*)) — a slightly-wide width on a
     dirty-vector corpus is safe, a cross-engine width split is not."""
-    nonfinite = lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf")))  # noqa: E731
+    bad = lambda x: x.isNull() | F.isnan(x) | (F.abs(x) == F.lit(float("inf")))  # noqa: E731
     return (load_table(spark, sf_dir, "embeddings")
             .filter(F.col("embedding").isNotNull())
             .filter(F.size("embedding") == EMB_DIM)
-            .filter(~F.exists("embedding", nonfinite)))
+            .filter(~F.exists("embedding", bad)))
 
 
 class SessionMemo(dict):

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from ..functions import TOKEN_SPLIT_RE
-from .base import QuerySpec, t, vecs
+from .base import QuerySpec, t, vec_finite_sql, vecs
 
 # ------------------------------------------------------------ sequence packing
 # Greedy sequential packing of documents into fixed-size token bins
@@ -339,9 +339,9 @@ def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-EMBEDDING_QUANT_SQL = """
+EMBEDDING_QUANT_SQL = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
-           WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0),
+           WHERE {vec_finite_sql()}),
 dims AS (
   SELECT i, MIN(emb[i + 1]) AS mn, MAX(emb[i + 1]) AS mx
   FROM e, UNNEST(range(64)) AS u(i)

@@ -263,10 +263,17 @@ ORDER BY user_id, session_start
 
 
 def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """get_json_object over the props JSON column + agg per type."""
+    """get_json_object over the props JSON column + agg per type.
+
+    try_cast, NOT cast (r19 type-mismatch contract, VERDICT r18 item
+    4): one ``{"k": "abc"}`` record makes the ANSI cast throw
+    CAST_INVALID_INPUT and abort the whole job — the contract across
+    every props consumer is type-mismatched value → NULL extraction,
+    the same leniency already pinned for malformed JSON."""
     e = t(spark, sf_dir, "events")
     return (
-        e.select("event_type", F.get_json_object("props", "$.k").cast("int").alias("k"))
+        e.select("event_type",
+                 F.get_json_object("props", "$.k").try_cast("int").alias("k"))
         .groupBy("event_type")
         .agg(F.round(F.avg("k"), 4).alias("avg_k"),
              F.max("k").alias("max_k"),
@@ -281,12 +288,26 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 # engine. (Engines' validity DIALECTS differ on edge inputs — DuckDB's
 # yyjson accepts a trailing comma Jackson rejects — so the pinned
 # class is clearly-malformed JSON; see tests/test_malformed_props.py.)
-EVENTS_JSON_SQL = """
+#
+# Strict-integer mirror (r19 type-mismatch contract): Spark's
+# string->int try_cast accepts optional sign + digits (surrounding
+# ASCII whitespace trimmed) and NULLs everything else, while DuckDB's
+# bare TRY_CAST happily ROUNDS '1.5' to 2 — so the oracle pins the
+# integer format with a regex before casting. In-scope classes (probed,
+# tests/test_malformed_props.py): non-numeric strings, string-typed
+# integers, non-scalar values, int32 overflow. Numeric/boolean
+# COERCION stays a documented dialect boundary (Spark variant-get
+# truncates 1.5, DuckDB rounds, get_json_object+try_cast NULLs —
+# three-way; a shared parser UDF would be needed).
+_K_STRICT = (
+    "TRY_CAST(CASE WHEN json_valid(props) AND regexp_matches("
+    "trim(json_extract_string(props, '$.k'), ' '), '^[+-]?[0-9]+$') "
+    "THEN trim(json_extract_string(props, '$.k'), ' ') END AS INT)")
+
+EVENTS_JSON_SQL = f"""
 SELECT event_type,
-       ROUND(AVG(CAST(CASE WHEN json_valid(props)
-                 THEN json_extract_string(props, '$.k') END AS INT)), 4) AS avg_k,
-       MAX(CAST(CASE WHEN json_valid(props)
-                 THEN json_extract_string(props, '$.k') END AS INT)) AS max_k,
+       ROUND(AVG({_K_STRICT}), 4) AS avg_k,
+       MAX({_K_STRICT}) AS max_k,
        COUNT(*) AS n
 FROM events
 GROUP BY event_type
@@ -306,11 +327,20 @@ def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     would kill the whole 100 TB job — the contract across every props
     consumer is malformed → NULL extraction (matching
     get_json_object/from_json leniency), and NULL k rows then drop at
-    the % 10 filter in both engines."""
+    the % 10 filter in both engines.
+
+    try_variant_get, NOT variant_get (r19 type-mismatch contract):
+    variant_get throws INVALID_VARIANT_CAST on ``{"k": "abc"}`` — one
+    bad record aborting the job again. try_variant_get NULLs it; the
+    oracle mirrors via the strict-integer extraction (_K_STRICT) and a
+    json_type-derived schema string, which agree for every in-scope
+    class (integer-typed, string-typed, non-scalar, overflow); numeric
+    COERCION of non-integer values is the documented dialect boundary
+    (try_variant_get truncates 1.5 where a string cast NULLs it)."""
     e = t(spark, sf_dir, "events")
     return (
         e.select("event_id",
-                 F.expr("variant_get(try_parse_json(props), '$.k', 'int')")
+                 F.expr("try_variant_get(try_parse_json(props), '$.k', 'int')")
                  .alias("k"),
                  F.expr("schema_of_variant(try_parse_json(props))")
                  .alias("props_schema"))
@@ -319,14 +349,22 @@ def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-EVENTS_VARIANT_SQL = """
+# props_schema mirrors schema_of_variant for the k-value types that can
+# SURVIVE the % 10 filter in-scope (integer-typed and string-typed k);
+# other types either NULL k (dropped on both sides) or sit in the
+# documented coercion boundary above.
+EVENTS_VARIANT_SQL = f"""
 SELECT event_id,
-       CAST(CASE WHEN json_valid(props)
-                 THEN json_extract_string(props, '$.k') END AS INT) AS k,
-       'OBJECT<k: BIGINT>' AS props_schema
+       {_K_STRICT} AS k,
+       CASE WHEN json_valid(props) THEN
+         CASE json_type(props, '$.k')
+           WHEN 'UBIGINT' THEN 'OBJECT<k: BIGINT>'
+           WHEN 'BIGINT' THEN 'OBJECT<k: BIGINT>'
+           WHEN 'VARCHAR' THEN 'OBJECT<k: STRING>'
+         END
+       END AS props_schema
 FROM events
-WHERE CAST(CASE WHEN json_valid(props)
-                THEN json_extract_string(props, '$.k') END AS INT) % 10 = 0
+WHERE {_K_STRICT} % 10 = 0
 ORDER BY event_id
 """
 

@@ -15,7 +15,9 @@ from pyspark.sql.types import DoubleType
 
 from ..functions import TOKEN_SPLIT_RE
 from ..sources import register_views
-from .base import QuerySpec, SessionMemo, finite, finite_frag, t, vecs
+from .base import (
+    QuerySpec, SessionMemo, finite, finite_frag, t, vec_finite_sql, vecs,
+)
 
 # ---------------------------------------------------------------- subqueries
 
@@ -395,12 +397,12 @@ def docs_with_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DOCS_EMB_SQL = r"""
+DOCS_EMB_SQL = rf"""
 SELECT doc_id, lang, label,
        len(regexp_split_to_array(trim(text, ' '), '[ \t\n\x0b\f\r]+'))::INT AS n_tokens,
        ROUND(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 4) AS emb_norm
 FROM documents
-JOIN embeddings ON doc_id = vec_id AND embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+JOIN embeddings ON doc_id = vec_id AND {vec_finite_sql()}
 ORDER BY doc_id
 """
 
@@ -532,11 +534,11 @@ def pandas_udf_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-PANDAS_NORMS_SQL = """
+PANDAS_NORMS_SQL = f"""
 SELECT label, COUNT(*) AS n_vecs,
        ROUND(AVG(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4) AS avg_norm
 FROM embeddings
-WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+WHERE {vec_finite_sql()}
 GROUP BY label
 ORDER BY label
 """
@@ -655,16 +657,34 @@ def map_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is true — the ordered CASE adds json_type(props) = 'OBJECT' (CASE,
 # not AND: SQL conjunctions don't guarantee evaluation order, and
 # json_type THROWS on input json_valid already rejected).
-MAP_FUNCS_SQL = """
+#
+# r19 type-mismatch contract (VERDICT r18 item 4): Spark's PERMISSIVE
+# from_json NULLs the WHOLE map when ANY value fails the int parse —
+# probed: string-typed "7", non-integer numbers (1.5), booleans,
+# arrays/objects, and int32-overflow integers all null the map. The
+# map-level arm below mirrors that exactly: a value is map-compatible
+# iff its JSON type is an integer (and fits INT32 via TRY_CAST) or
+# JSON null. This arm is FULLY general (unlike the scalar extractors,
+# whose numeric-coercion boundary is documented in plans/events.py).
+_MAP_BAD_VALUE = (
+    "len(list_filter(json_keys(props), ky -> "
+    "json_type(props, ky) NOT IN ('UBIGINT', 'BIGINT', 'NULL') "
+    "OR (json_type(props, ky) IN ('UBIGINT', 'BIGINT') "
+    "AND TRY_CAST(json_extract_string(props, ky) AS INT) IS NULL))) > 0")
+
+MAP_FUNCS_SQL = f"""
 SELECT event_id,
        CASE WHEN props IS NULL OR NOT json_valid(props) THEN NULL
             WHEN json_type(props) != 'OBJECT' THEN NULL
+            WHEN {_MAP_BAD_VALUE} THEN NULL
             ELSE 'k' END AS prop_keys,
        CAST(CASE WHEN props IS NULL OR NOT json_valid(props) THEN NULL
                  WHEN json_type(props) != 'OBJECT' THEN NULL
+                 WHEN {_MAP_BAD_VALUE} THEN NULL
                  ELSE json_extract_string(props, '$.k') END AS INT) AS k_value,
        CASE WHEN props IS NULL OR NOT json_valid(props) THEN NULL
             WHEN json_type(props) != 'OBJECT' THEN NULL
+            WHEN {_MAP_BAD_VALUE} THEN NULL
             ELSE LENGTH(event_type)::INT END AS type_len
 FROM events
 ORDER BY event_id
@@ -729,6 +749,16 @@ ORDER BY o_orderkey
 # ---------------------------------------------------------------- approx aggregates
 
 
+def _within_rel_tol(approx: str, exact: str) -> F.Column:
+    """The sketch-sanity predicate agg_approx_distinct ships: relative
+    error under 5%. Module-level (r19, VERDICT r18 item 5) so the
+    standing mutation test (tests/test_within_tol.py) exercises the
+    PRODUCTION predicate — a deliberately-broken sketch value must
+    fail it, and the n>=100 fixture groups prove the non-vacuous
+    branch actually evaluates."""
+    return F.abs(F.col(approx) - F.col(exact)) / F.col(exact) < F.lit(0.05)
+
+
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates: HyperLogLog++ distinct counts + quantile
     sketches — THE constant-memory shapes for 100 TB cardinality work.
@@ -750,10 +780,7 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact distincts get their own single-EXPAND pass — 5.9 s cold.
     """
     l = t(spark, sf_dir, "lineitem")
-    tol = (
-        lambda approx, exact:
-        F.abs(F.col(approx) - F.col(exact)) / F.col(exact) < F.lit(0.05)
-    )
+    tol = _within_rel_tol
     # medians over finite() prices (r18): one NaN made both medians NaN,
     # and Spark's NaN-greater comparison turned the tolerance check
     # False (not NULL) where the oracle emits literal TRUE

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ..sources.tables import TS_WINDOW_HI, TS_WINDOW_LO, load_table
 from .base import (
     EMB_DIM, QuerySpec, SessionMemo, finite, finite_frag, finite_sql,
     nonfinite_count, nonfinite_count_sql, t,
@@ -29,12 +30,22 @@ from .base import (
 #: values outside it CRASH every pandas-crossing operator and the
 #: driver's own comparison harness (r18 ts-extremes census at year
 #: 9999/1: 21 OutOfBoundsDatetime crashes, all in the conversion
-#: layer, logs/ts_extremes_census_r18_wide.txt). The engine contract
-#: is therefore: timestamps outside this window are quarantine-gate
-#: material, not valid operator input — this report counts them, one
-#: day of slack inside the true ns bounds on each side.
-_TS_WINDOW_LO = "1677-09-22 00:00:00"
-_TS_WINDOW_HI = "2262-04-10 23:59:59"
+#: layer, logs/ts_extremes_census_r18_wide.txt). The engine contract:
+#: timestamps outside this window are quarantine material — r19
+#: ENFORCES the exclusion at sources.tables.load_table (the single
+#: source of the window bounds, imported here so the counter and the
+#: filter can never drift). This module's queries are the upstream
+#: census that reports what that filter drops, so they read the tables
+#: RAW (quarantine=False) — the only queries in the registry that do.
+_TS_WINDOW_LO = TS_WINDOW_LO
+_TS_WINDOW_HI = TS_WINDOW_HI
+
+
+def traw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Raw-table loader for the quality gates: bypasses the
+    ts-representability quarantine so the *_ts_representable counters
+    can still SEE the rows every other query excludes at the scan."""
+    return load_table(spark, sf_dir, name, quarantine=False)
 
 
 def _ts_window_count(col: str, ntz: bool) -> F.Column:
@@ -54,6 +65,29 @@ def _ts_window_count(col: str, ntz: bool) -> F.Column:
 def _ts_window_count_sql(col: str) -> str:
     return (f"SUM(CASE WHEN {col} < TIMESTAMP '{_TS_WINDOW_LO}' "
             f"OR {col} > TIMESTAMP '{_TS_WINDOW_HI}' "
+            f"THEN 1 ELSE 0 END)::BIGINT")
+
+
+def _cents_unrepresentable_count(col: str) -> F.Column:
+    """Quarantine counter for the FINITE-overflow class (ADVICE r18
+    item 2): cents()'s TRY_CAST maps a finite-but-absurd money value
+    (|x| ≳ 9.2e16 dollars) to NULL exactly like a NaN — silently
+    dropping it from every revenue sum on both engines — and
+    ``*_finite`` only counts NaN/±Inf. This row counts what the
+    try-cast drops BEYOND the non-finite class, so the dq report says
+    everything cents() can discard. Same TRY_CAST structure as cents()
+    itself, so the boundary is definitionally identical."""
+    c = F.col(col)
+    return F.sum(
+        F.when(c.isNotNull() & ~F.isnan(c)
+               & (F.abs(c) != F.lit(float("inf")))
+               & F.round(c * 100).try_cast("long").isNull(), 1)
+        .otherwise(0)).cast("long")
+
+
+def _cents_unrepresentable_count_sql(col: str) -> str:
+    return (f"SUM(CASE WHEN {col} IS NOT NULL AND isfinite({col}) "
+            f"AND TRY_CAST(ROUND({col} * 100) AS BIGINT) IS NULL "
             f"THEN 1 ELSE 0 END)::BIGINT")
 
 
@@ -90,9 +124,9 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     pandas-crossing operator downstream, so they must be quarantined
     here, in the all-JVM path that CAN still see them.
     """
-    o = t(spark, sf_dir, "orders")
-    li = t(spark, sf_dir, "lineitem")
-    ev = t(spark, sf_dir, "events")
+    o = traw(spark, sf_dir, "orders")
+    li = traw(spark, sf_dir, "lineitem")
+    ev = traw(spark, sf_dir, "events")
     o_stats = o.agg(
         (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
         .alias("orders_pk_unique"),
@@ -105,6 +139,8 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("orders_orderdate_not_null"),
         _ts_window_count("o_orderdate", ntz=True)
         .alias("orders_orderdate_ts_representable"),
+        _cents_unrepresentable_count("o_totalprice")
+        .alias("orders_totalprice_cents_representable"),
     )
     li_stats = li.agg(
         F.sum(F.when((finite("l_quantity") < 1)
@@ -121,25 +157,33 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("lineitem_shipdate_not_null"),
         _ts_window_count("l_shipdate", ntz=True)
         .alias("lineitem_shipdate_ts_representable"),
+        _cents_unrepresentable_count("l_extendedprice")
+        .alias("lineitem_extendedprice_cents_representable"),
     )
     ev_stats = ev.agg(
         nonfinite_count("value").alias("events_value_finite"),
         _ts_window_count("ts", ntz=False).alias("events_ts_representable"),
+        _cents_unrepresentable_count("value")
+        .alias("events_value_cents_representable"),
         (F.count(F.lit(1)) - F.countDistinct("event_id"))
         .alias("events_pk_unique"),
     )
     # the embeddings rows mirror EXACTLY what base.vecs() excludes
-    # (wrong-dimension and non-finite-component vectors) — zero-norm
-    # vectors are NOT violations (valid for magnitude-free operators;
-    # cosine NULLs them per functions.cosine)
-    em = t(spark, sf_dir, "embeddings")
+    # (wrong-dimension and NULL-or-non-finite-component vectors — the
+    # NULL-element arm is the r19 ADVICE fix: vecs() always dropped
+    # [1.0, NULL, …] via three-valued exists(), but neither counter
+    # nor oracle saw it) — zero-norm vectors are NOT violations (valid
+    # for magnitude-free operators; cosine NULLs them per
+    # functions.cosine)
+    em = traw(spark, sf_dir, "embeddings")
     em_stats = em.agg(
         F.sum(F.when(F.col("embedding").isNotNull()
                      & (F.size("embedding") != EMB_DIM), 1).otherwise(0))
         .cast("long").alias("embeddings_dim_conformant"),
         F.sum(F.when(F.exists(
             "embedding",
-            lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf")))), 1)
+            lambda x: x.isNull() | F.isnan(x)
+            | (F.abs(x) == F.lit(float("inf")))), 1)
             .otherwise(0))
         .cast("long").alias("embeddings_components_finite"),
         (F.count(F.lit(1)) - F.countDistinct("vec_id"))
@@ -150,7 +194,7 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a duplicated doc_id makes "the document" ambiguous (r18 --dup
     # census: 5 dedup/cluster queries legitimately diverge on such
     # input) — so the violation must be counted HERE, upstream
-    doc_stats = t(spark, sf_dir, "documents").agg(
+    doc_stats = traw(spark, sf_dir, "documents").agg(
         (F.count(F.lit(1)) - F.countDistinct("doc_id"))
         .alias("documents_pk_unique"),
     )
@@ -172,12 +216,15 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "orders_totalprice_finite",
         "orders_status_domain", "orders_orderdate_not_null",
         "orders_orderdate_ts_representable",
+        "orders_totalprice_cents_representable",
         "lineitem_quantity_range", "lineitem_discount_range",
         "lineitem_quantity_finite", "lineitem_extendedprice_finite",
         "lineitem_discount_finite", "lineitem_tax_finite",
         "lineitem_shipdate_not_null",
         "lineitem_shipdate_ts_representable",
+        "lineitem_extendedprice_cents_representable",
         "events_value_finite", "events_ts_representable",
+        "events_value_cents_representable",
         "events_pk_unique",
         "embeddings_dim_conformant", "embeddings_components_finite",
         "embeddings_pk_unique", "documents_pk_unique",
@@ -206,7 +253,9 @@ WITH o_stats AS (
          SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)::BIGINT
            AS orders_orderdate_not_null,
          {_ts_window_count_sql('o_orderdate')}
-           AS orders_orderdate_ts_representable
+           AS orders_orderdate_ts_representable,
+         {_cents_unrepresentable_count_sql('o_totalprice')}
+           AS orders_totalprice_cents_representable
   FROM orders
 ),
 li_stats AS (
@@ -222,19 +271,24 @@ li_stats AS (
          SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)::BIGINT
            AS lineitem_shipdate_not_null,
          {_ts_window_count_sql('l_shipdate')}
-           AS lineitem_shipdate_ts_representable
+           AS lineitem_shipdate_ts_representable,
+         {_cents_unrepresentable_count_sql('l_extendedprice')}
+           AS lineitem_extendedprice_cents_representable
   FROM lineitem
 ),
 ev_stats AS (
   SELECT {nonfinite_count_sql('value')} AS events_value_finite,
          {_ts_window_count_sql('ts')} AS events_ts_representable,
+         {_cents_unrepresentable_count_sql('value')}
+           AS events_value_cents_representable,
          (COUNT(*) - COUNT(DISTINCT event_id))::BIGINT AS events_pk_unique
   FROM events
 ),
 em_stats AS (
   SELECT SUM(CASE WHEN embedding IS NOT NULL AND len(embedding) != {EMB_DIM}
                   THEN 1 ELSE 0 END)::BIGINT AS embeddings_dim_conformant,
-         SUM(CASE WHEN len(list_filter(embedding, x -> NOT isfinite(x))) > 0
+         SUM(CASE WHEN len(list_filter(embedding,
+                           x -> x IS NULL OR NOT isfinite(x))) > 0
                   THEN 1 ELSE 0 END)::BIGINT AS embeddings_components_finite,
          (COUNT(*) - COUNT(DISTINCT vec_id))::BIGINT AS embeddings_pk_unique
   FROM embeddings
@@ -254,6 +308,7 @@ stacked AS (
   UNION ALL SELECT 'orders_status_domain', orders_status_domain FROM o_stats
   UNION ALL SELECT 'orders_orderdate_not_null', orders_orderdate_not_null FROM o_stats
   UNION ALL SELECT 'orders_orderdate_ts_representable', orders_orderdate_ts_representable FROM o_stats
+  UNION ALL SELECT 'orders_totalprice_cents_representable', orders_totalprice_cents_representable FROM o_stats
   UNION ALL SELECT 'lineitem_quantity_range', lineitem_quantity_range FROM li_stats
   UNION ALL SELECT 'lineitem_discount_range', lineitem_discount_range FROM li_stats
   UNION ALL SELECT 'lineitem_quantity_finite', lineitem_quantity_finite FROM li_stats
@@ -262,8 +317,10 @@ stacked AS (
   UNION ALL SELECT 'lineitem_tax_finite', lineitem_tax_finite FROM li_stats
   UNION ALL SELECT 'lineitem_shipdate_not_null', lineitem_shipdate_not_null FROM li_stats
   UNION ALL SELECT 'lineitem_shipdate_ts_representable', lineitem_shipdate_ts_representable FROM li_stats
+  UNION ALL SELECT 'lineitem_extendedprice_cents_representable', lineitem_extendedprice_cents_representable FROM li_stats
   UNION ALL SELECT 'events_value_finite', events_value_finite FROM ev_stats
   UNION ALL SELECT 'events_ts_representable', events_ts_representable FROM ev_stats
+  UNION ALL SELECT 'events_value_cents_representable', events_value_cents_representable FROM ev_stats
   UNION ALL SELECT 'events_pk_unique', events_pk_unique FROM ev_stats
   UNION ALL SELECT 'embeddings_dim_conformant', embeddings_dim_conformant FROM em_stats
   UNION ALL SELECT 'embeddings_components_finite', embeddings_components_finite FROM em_stats
@@ -328,7 +385,7 @@ def profile_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     single-column scans read the same bytes once each and every
     per-column distinct stays a plain two-phase aggregate.
     """
-    df = t(spark, sf_dir, table)
+    df = traw(spark, sf_dir, table)
     profiles = [
         df.agg(
             F.sum(F.when(F.col(name).isNull(), 1).otherwise(0)).cast("long")

@@ -7,13 +7,16 @@ surface). ``__spark_entry__`` exposes exactly this.
 
 from __future__ import annotations
 
+import dataclasses
 import json
+import re
 import warnings
 from collections.abc import Callable
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..sources.tables import TS_QUARANTINE_COLS, ts_quarantine_sql
 from . import (
     curation, events, extended, quality, relational, scale, text, vectors,
     warehouse,
@@ -30,6 +33,59 @@ _MODULE_SPECS: list[QuerySpec] = [
     *curation.SPECS,
     *warehouse.SPECS,
     *quality.SPECS,
+]
+
+# ------------------- timestamp-representability quarantine, oracle side
+#
+# sources.tables.load_table excludes rows whose event time lies outside
+# the Arrow/pandas-representable window (r19 enforcement of the r18
+# ts-extremes contract — one year-9999 row must not abort a 100 TB
+# job). EVERY oracle that reads a quarantined table must apply the
+# identical exclusion, or the engines split on dirty fixtures. Editing
+# ~94 oracle strings by hand is exactly the drift hazard the r18
+# shortvec census exposed for the vector predicate — so the mirror is
+# MECHANICAL: each affected oracle gets a shadow CTE per referenced
+# table (``orders AS (SELECT * FROM main.orders WHERE …)``); the bare
+# name binds to the CTE everywhere in the query (including inside
+# subqueries and the two WITH RECURSIVE oracles, where the shadow is
+# non-self-referential thanks to the ``main.`` qualification), while
+# ``main.<table>`` still resolves to the driver's registered view.
+# The quality-gate queries are exempt: they are the upstream census
+# that counts what the quarantine drops, so they must read raw.
+RAW_ORACLE_QUERIES = frozenset({
+    "dq_constraint_report",
+    "column_profile_orders", "column_profile_lineitem",
+    "column_profile_events", "column_profile_documents",
+})
+
+_TS_TABLE_RE = {
+    table: re.compile(rf"\b{table}\b", re.IGNORECASE)
+    for table in TS_QUARANTINE_COLS
+}
+
+
+def _wrap_ts_quarantine(sql: str) -> str:
+    """Prepend shadow CTEs for every quarantined table the oracle
+    references. A regex hit inside a longer identifier can't happen
+    (\\b excludes letters/digits/underscore); a hit inside a string
+    literal merely adds an unused — harmless — CTE."""
+    tables = [t for t, pat in _TS_TABLE_RE.items() if pat.search(sql)]
+    if not tables:
+        return sql
+    shadows = ",\n".join(ts_quarantine_sql(t) for t in tables)
+    head = sql.lstrip()
+    if re.match(r"(?i)^WITH\s+RECURSIVE\b", head):
+        body = head[len("WITH"):].lstrip()[len("RECURSIVE"):]
+        return f"WITH RECURSIVE\n{shadows},{body}"
+    if re.match(r"(?i)^WITH\b", head):
+        return f"WITH\n{shadows},{head[len('WITH'):]}"
+    return f"WITH\n{shadows}\n{head}"
+
+
+_MODULE_SPECS = [
+    spec if spec.oracle is None or spec.name in RAW_ORACLE_QUERIES
+    else dataclasses.replace(spec, oracle=_wrap_ts_quarantine(spec.oracle))
+    for spec in _MODULE_SPECS
 ]
 
 # Driver CORRECTNESS coverage history (the driver checks ~50 rows per
@@ -130,6 +186,76 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     "scd2_status_history",
     "window_running_spend",
     "orders_monthly_yoy",
+    # Block 5 — NULL-element vector contract (ADVICE r18 item 1): the
+    # vecs() lambda is now explicit (was equivalent three-valued drop)
+    # and vec_finite_sql gained the `x IS NULL` arm in all embeddings
+    # oracles — provably a no-op on the NULL-free driver fixtures,
+    # pinned meanwhile by tests/test_nonfinite.py's NULL-element row:
+    "knn_bruteforce_cosine",
+    "embedding_near_dup",
+    "lsh_bucket_ann",
+    "ivf_ann",
+    "ivf_recall_eval",
+    "embedding_centroid_fixedpoint",
+    "embedding_dim_stats",
+    "embedding_label_outliers",
+    "embedding_quantization",
+    "embedding_norms",
+    "mapinarrow_norms",
+    "pandas_udf_norms",
+    "docs_with_embeddings",
+    "kmeans_lloyd_2iter",
+    "lsh_pair_distance_histogram",
+    # Block 6 — remaining consumers of the ONE shared mechanical
+    # change (the load_table ts-quarantine scan filter; no per-query
+    # logic touched — the same shape blocks 2-4 prove first). Proven
+    # this round by the 168/168 full-registry sweeps at both scales +
+    # the --ts/--tswide censuses; they drain the driver budget from
+    # r20's front:
+    "agg_approx_distinct",
+    "agg_percentiles",
+    "agg_rollup_lineitem",
+    "agg_stats_by_flag",
+    "approx_percentile_check",
+    "brand_basket_rules",
+    "copurchase_degree_histogram",
+    "customer_engagement_value",
+    "customer_rfm_segments",
+    "events_funnel_conversion",
+    "events_interarrival_histogram",
+    "events_json_extract",
+    "events_power_users_pareto",
+    "events_transition_matrix",
+    "events_value_histogram",
+    "events_weekday_hour_profile",
+    "functions_showcase",
+    "grouping_sets_revenue",
+    "join_left_order_counts",
+    "join_right_order_customer",
+    "key_skew_profile",
+    "lineitem_unpivot_measures",
+    "merge_upsert_orders",
+    "order_cadence_percentiles",
+    "orders_backlog_aging",
+    "q12_priority_by_ship_delay",
+    "q13_order_count_histogram",
+    "q16_supplier_cnt_by_part",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q20_dominant_suppliers",
+    "q21_waiting_suppliers",
+    "q22_idle_rich_customers",
+    "q4_late_ship_orders",
+    "q8_market_share",
+    "q9_product_profit",
+    "revenue_concentration_deciles",
+    "salted_hot_key_agg",
+    "session_path_topk",
+    "supplier_concentration_hhi",
+    "trade_reachability_recursive",
+    "weighted_median_price_by_nation",
+    "window_trailing_30d_spend",
+    "window_value_functions",
 )
 
 _HISTORY_PATH = Path(__file__).with_name("checked_history.json")

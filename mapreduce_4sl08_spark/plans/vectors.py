@@ -23,7 +23,7 @@ from pyspark.sql import Window
 from pyspark.sql.functions import broadcast
 
 from ..functions import arrow_dot, cosine, dot, l2_norm
-from .base import EMB_DIM, QuerySpec, SessionMemo, t, vecs
+from .base import EMB_DIM, QuerySpec, SessionMemo, t, vec_finite_sql, vecs
 
 _N_PROBES = 5   # vec_id < 5 are the probe vectors
 _TOP_K = 5
@@ -59,7 +59,7 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 KNN_SQL = f"""
 WITH probes AS (
   SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb
-  FROM embeddings WHERE vec_id < {_N_PROBES} AND embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+  FROM embeddings WHERE vec_id < {_N_PROBES} AND {vec_finite_sql()}
 ),
 scored AS (
   SELECT p.query_id, e.vec_id,
@@ -67,7 +67,7 @@ scored AS (
            / (sqrt(list_dot_product(p.q_emb, p.q_emb))
               * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS sim_exact
   FROM probes p, embeddings e
-  WHERE e.vec_id <> p.query_id AND e.embedding IS NOT NULL AND len(e.embedding) = 64 AND len(list_filter(e.embedding, x -> NOT isfinite(x))) = 0
+  WHERE e.vec_id <> p.query_id AND {vec_finite_sql('e.embedding')}
 ),
 ranked AS (
   SELECT query_id, vec_id, sim_exact,
@@ -571,7 +571,7 @@ tagged AS (
   FROM (SELECT vec_id, embedding::DOUBLE[] AS emb,
                list_transform(embedding::DOUBLE[],
                               x -> FLOOR(x * 1e6)) AS emb_e6
-        FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0), params
+        FROM embeddings WHERE {vec_finite_sql()}), params
 ),
 bands AS (
   SELECT vec_id, emb,
@@ -732,7 +732,7 @@ def ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 IVF_ANN_SQL = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
-           WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0),
+           WHERE {vec_finite_sql()}),
 centroids AS (
   SELECT vec_id AS list_id, emb AS c_emb
   FROM e ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {_IVF_K}
@@ -794,13 +794,13 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-EMB_NORMS_SQL = """
+EMB_NORMS_SQL = f"""
 SELECT label,
        COUNT(*) AS n_vecs,
        ROUND(AVG(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4) AS avg_norm,
        ROUND(MAX(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 4) AS max_sq_norm
 FROM embeddings
-WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+WHERE {vec_finite_sql()}
 GROUP BY label
 ORDER BY label
 """
@@ -900,11 +900,11 @@ def mapinarrow_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-MAPINARROW_NORMS_SQL = """
+MAPINARROW_NORMS_SQL = f"""
 SELECT vec_id,
        ROUND(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 4) AS l2_norm
 FROM embeddings
-WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+WHERE {vec_finite_sql()}
 ORDER BY vec_id
 """
 
@@ -961,9 +961,9 @@ def embedding_centroid_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-CENTROID_SQL = """
+CENTROID_SQL = f"""
 WITH e AS (SELECT label, embedding::DOUBLE[] AS emb FROM embeddings
-           WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0),
+           WHERE {vec_finite_sql()}),
 g AS (
   SELECT label, i AS dim, COUNT(*) AS n_vecs,
          SUM(CAST(FLOOR(emb[i + 1] * 1e6) AS BIGINT))::BIGINT AS sum_e6
@@ -1044,7 +1044,7 @@ def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LABEL_OUTLIERS_SQL = f"""
 WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
-           WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0),
+           WHERE {vec_finite_sql()}),
 g AS (
   SELECT label, i AS dim, COUNT(*) AS n_vecs,
          SUM(CAST(FLOOR(emb[i + 1] * 1e6) AS BIGINT))::BIGINT AS sum_e6
@@ -1161,7 +1161,7 @@ WITH q AS (
   SELECT vec_id,
          list_transform(embedding::DOUBLE[],
                         x -> CAST(FLOOR(x * 1000000) AS BIGINT)) AS v
-  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+  FROM embeddings WHERE {vec_finite_sql()}
 ),
 c0 AS (
   SELECT ROW_NUMBER() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) AS cid,
@@ -1246,7 +1246,7 @@ WITH x AS (
   SELECT i AS dim,
          CAST(FLOOR(emb[i + 1] * 1000000) AS BIGINT) AS x_e6
   FROM (SELECT embedding::DOUBLE[] AS emb FROM embeddings
-        WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0),
+        WHERE {vec_finite_sql()}),
        UNNEST(range({_EMB_DIM})) AS u(i)
 )
 SELECT dim, COUNT(*) AS n_vecs,
@@ -1344,7 +1344,7 @@ q AS (
   SELECT vec_id,
          list_transform(embedding::DOUBLE[],
                         x -> CAST(FLOOR(x * 1000000) AS BIGINT)) AS v
-  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+  FROM embeddings WHERE {vec_finite_sql()}
 ),
 dists AS (
   SELECT CAST(

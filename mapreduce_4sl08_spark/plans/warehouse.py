@@ -446,6 +446,15 @@ FROM reach GROUP BY nation ORDER BY nation
 # -------------------------------------------- approx-percentile verification
 
 
+def _sketch_within_2pct(approx_expr: str, exact_col: str) -> F.Column:
+    """approx_percentile_check's sketch-sanity predicate: the sketch
+    pick within 2% of the exact-rank pick, in exact integer arithmetic
+    (|ap - exact| * 50 <= exact, i.e. no float division). Module-level
+    (r19, VERDICT r18 item 5) so tests/test_within_tol.py can mutate
+    it: a broken sketch value must FAIL the production predicate."""
+    return F.expr(f"abs({approx_expr} - {exact_col}) * 50") <= F.col(exact_col)
+
+
 def approx_percentile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-verification contract (same pattern as agg_approx_distinct):
     Spark computes approx_percentile (Greenwald-Khanna sketch) AND the
@@ -510,12 +519,10 @@ def approx_percentile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "flag", "n", "p50_cents", "p95_cents",
             F.coalesce(
-                vacuous
-                | (F.expr("abs(ap[0] - p50_cents) * 50") <= F.col("p50_cents")),
+                vacuous | _sketch_within_2pct("ap[0]", "p50_cents"),
                 F.lit(True)).alias("p50_within_tol"),
             F.coalesce(
-                vacuous
-                | (F.expr("abs(ap[1] - p95_cents) * 50") <= F.col("p95_cents")),
+                vacuous | _sketch_within_2pct("ap[1]", "p95_cents"),
                 F.lit(True)).alias("p95_within_tol"),
         )
         .orderBy("flag")

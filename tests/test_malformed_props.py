@@ -14,16 +14,27 @@ NULL map while json_valid() is true, so the map oracle adds an ordered
 json_type(props) = 'OBJECT' CASE arm; the variant/json-path consumers
 already align (a non-object has no $.k on either engine).
 
+r19 (VERDICT r18 item 4) PINS the type-mismatched-value class that r18
+documented out of scope: VALID objects whose $.k value cannot be an
+int — non-numeric strings ('{"k": "abc"}'), string-typed integers,
+non-scalar values, int32 overflow, whitespace-padded string-ints.
+Contract: mismatched value → NULL extraction on both engines — Spark
+via try_cast / try_variant_get / PERMISSIVE from_json map-nulling
+(plain cast/variant_get would ABORT the job on one bad record), DuckDB
+via the strict-integer regex mirror (plans/events._K_STRICT — a bare
+TRY_CAST would ROUND '1.5' where Spark NULLs it) and the fully-general
+map-level arm (plans/extended._MAP_BAD_VALUE).
+
 Documented boundary — two classes stay OUT of scope until a real
 corpus shows they matter (full alignment needs a shared parser UDF on
 both sides):
 - validity DIALECTS on edge inputs: DuckDB (yyjson) accepts a trailing
   comma ('{"k": 1, }') that Spark (Jackson) rejects;
-- TYPE-MISMATCHED values inside a valid object ('{"k": "abc"}'):
-  Spark's PERMISSIVE from_json nulls the WHOLE map on one bad value
-  (so prop_keys/type_len null too) while DuckDB extracts per-path and
-  its CAST throws — no single-expression oracle mirrors map-level
-  failure; TRY_CAST would fix k_value but not the map-level columns.
+- numeric/boolean COERCION of non-integer values ('{"k": 1.5}',
+  '{"k": true}'): three-way — try_variant_get truncates 1.5 -> 1 and
+  casts true -> 1, DuckDB's TRY_CAST rounds '1.5' -> 2, and
+  get_json_object+try_cast NULLs both (the map query ALIGNS even here:
+  its map-level arm fires for every non-integer type).
 """
 import os
 
@@ -35,14 +46,16 @@ import pytest
 from mapreduce_4sl08_spark.plans import QUERIES
 from tests.conftest import SF_SMOKE as SRC
 from tests.oracle import compare_frames
+from tools.extremes_census import TYPE_MISMATCH_PROPS
 
 TABLES = ("region nation customer supplier part orders lineitem "
           "events documents embeddings").split()
 
 #: rows 0-2: clearly-malformed in BOTH JSON dialects;
 #: rows 3-4: VALID JSON that is not an object (r18 — json_valid passes,
-#: from_json-to-MapType still yields a NULL map)
-MALFORMED = ['{"k":', "not json", "", "123", "[1]"]
+#: from_json-to-MapType still yields a NULL map);
+#: rows 5-9 (r19): valid objects with TYPE-MISMATCHED $.k values
+MALFORMED = ['{"k":', "not json", "", "123", "[1]", *TYPE_MISMATCH_PROPS]
 
 
 @pytest.fixture(scope="module")

@@ -88,3 +88,25 @@ def test_quarantine_gates_report_nonfinite(spark, sfnonfinite_dir):
     for col in ("l_quantity", "l_extendedprice", "l_discount", "l_tax"):
         assert prof[col] == 3, f"profile {col}: {prof[col]} != 3"
     assert prof["l_orderkey"] == 0  # non-float columns report 0
+
+    # the vector counter covers the NULL-ELEMENT class too (r19,
+    # ADVICE r18): rows 1-3 carry a non-finite component, row 4 a NULL
+    # component — all four are geometry-less and must be counted, not
+    # silently dropped by vecs()/vec_finite_sql alone
+    assert dq["embeddings_components_finite"] == 4, (
+        f"embeddings_components_finite: expected 4 (3 non-finite + 1 "
+        f"NULL-element), got {dq['embeddings_components_finite']}")
+
+
+def test_vecs_drops_null_element_vector(spark, sfnonfinite_dir):
+    """The [x, NULL, …] vector has no geometry: base.vecs() must
+    exclude it (Spark already did via three-valued exists(); this pins
+    the behavior so a refactor to an explicit predicate cannot
+    accidentally KEEP the row, and the oracle twin's `x IS NULL` arm
+    has a Spark-side anchor)."""
+    from mapreduce_4sl08_spark.plans.base import vecs
+    kept = {r.vec_id for r in
+            vecs(spark, sfnonfinite_dir).select("vec_id").collect()}
+    # rows 1-4 are poisoned (nan/+inf/-inf elements, NULL element) —
+    # only row 0's vector survives
+    assert len(kept) == 1, f"vecs() kept {sorted(kept)}, expected 1 row"

@@ -15,6 +15,7 @@ import re
 import pytest
 
 from mapreduce_4sl08_spark.plans import QUERIES
+from tests.conftest import SF_SMOKE
 
 SCALAR_AGG_QUERIES = {
     # single-row results: no ORDER BY needed for determinism
@@ -25,7 +26,7 @@ SCALAR_AGG_QUERIES = {
 
 @pytest.mark.parametrize("name", sorted(QUERIES), ids=str)
 def test_no_row_at_a_time_python(spark, name):
-    df = QUERIES[name].fn(spark, "/root/testdata/sf0.001")
+    df = QUERIES[name].fn(spark, SF_SMOKE)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan, (
         f"{name} uses a row-at-a-time Python UDF — use built-ins or an "
@@ -348,7 +349,7 @@ def test_global_window_sits_above_bounded_input(spark, name):
     without partitionBy must have a limit(k) or aggregate BELOW it in
     the analyzed plan. A violation is a plan that sorts the raw
     relation on one executor."""
-    df = QUERIES[name].fn(spark, "/root/testdata/sf0.001")
+    df = QUERIES[name].fn(spark, SF_SMOKE)
     bad = unbounded_global_windows(df)
     assert not bad, (
         f"{name} plans a global (unpartitioned) window over an "
@@ -362,7 +363,7 @@ def test_global_window_gate_catches_bad_plan(spark):
     window above a limit(k) is not."""
     from pyspark.sql import Window, functions as F
 
-    raw = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    raw = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
     w = Window.orderBy(F.col("o_totalprice").desc())
     bad_df = raw.select("o_orderkey", F.row_number().over(w).alias("rk"))
     assert unbounded_global_windows(bad_df), (

@@ -1,53 +1,60 @@
-"""Timestamp-representability contract (r18 ts-extremes census).
+"""Timestamp-representability contract (r18 census → r19 enforcement).
 
 The engine's Arrow/pandas crossings (grouped-map ops, the driver's own
 comparison harness) can only represent timestamps inside the
 datetime64[ns] window [1677-09-21, 2262-04-11] — a year-9999 value
-crashes them with OutOfBoundsDatetime (21 queries in the wide census,
-logs/ts_extremes_census_r18_wide.txt). The contract:
+crashes them with OutOfBoundsDatetime (21 queries in the r18 wide
+census, logs/ts_extremes_census_r18_wide.txt). The contract:
 
 - INSIDE the window, value equality holds registry-wide at the far
   edges (tools/extremes_census.py --ts: 168/168 OK at 1678/2262 after
   the to_seconds() oracle fix — DuckDB's ``BIGINT * INTERVAL 1
   SECOND`` casts the multiplier to INT32 and overflowed at year 2038).
-- OUTSIDE the window, rows are quarantine material:
-  dq_constraint_report's ``*_ts_representable`` rows count them in the
-  all-JVM path that can still see them, BEFORE any pandas-crossing
-  operator would abort. This test pins that the counter actually fires
-  on a year-9999 row (and that the dq report itself — whose output
-  carries no timestamps — survives data its downstream consumers
-  cannot).
-"""
-import datetime
-import os
+- OUTSIDE the window, rows are EXCLUDED at the ingestion choke point
+  (r19, VERDICT r18 item 1): sources.tables.load_table filters them at
+  the scan, and every ts-reading oracle applies the identical WHERE
+  through a mechanically-prepended shadow CTE
+  (plans/registry._wrap_ts_quarantine) — so one year-9999 row no
+  longer aborts the 21 pandas-crossing queries; it silently —
+  NO: observably — drops out, counted by dq_constraint_report's
+  ``*_ts_representable`` rows, which read the tables RAW
+  (quarantine=False) so the upstream census can still see the rows.
 
+This module pins all three layers on a year-9999/year-1 fixture:
+the dq counters fire, the dq report itself stays oracle-equal, and —
+the r19 "done" bar — EVERY registry query runs the full driver-strict
+value compare with the out-of-window rows present end-to-end.
+"""
 import duckdb
-import pyarrow as pa
-import pyarrow.parquet as pq
+import pytest
 
 from mapreduce_4sl08_spark.plans import QUERIES
 from tests.conftest import SF_SMOKE as SRC
 from tests.oracle import compare_frames
+from tools.extremes_census import build_ts_wide
 from tools.null_fixtures import TABLES
 
 
-def _build_out_of_window(out: str) -> str:
+@pytest.fixture(scope="module")
+def sftswide_dir(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("sftswide"))
+    return build_ts_wide(SRC, out)
+
+
+@pytest.fixture(scope="module")
+def duck_sftswide(sftswide_dir):
+    con = duckdb.connect()
     for t in TABLES:
-        tab = pq.read_table(os.path.join(SRC, f"{t}.parquet")).slice(0, 4)
-        d = tab.to_pydict()
-        for col, field in zip(tab.column_names, tab.schema):
-            if pa.types.is_timestamp(field.type):
-                d[col][2] = datetime.datetime(9999, 12, 31, 23, 59, 59)
-                d[col][3] = datetime.datetime(1, 1, 2, 0, 0, 0)
-        pq.write_table(pa.table(d, schema=tab.schema),
-                       os.path.join(out, f"{t}.parquet"))
-    return out
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"'{sftswide_dir}/{t}.parquet'")
+    return con
 
 
-def test_dq_counts_out_of_window_timestamps(spark, tmp_path):
-    sf = _build_out_of_window(str(tmp_path))
+def test_dq_counts_out_of_window_timestamps(spark, sftswide_dir,
+                                            duck_sftswide):
     rows = {r["constraint_name"]: r["n_violations"]
-            for r in QUERIES["dq_constraint_report"].fn(spark, sf).collect()}
+            for r in QUERIES["dq_constraint_report"]
+            .fn(spark, sftswide_dir).collect()}
     for c in ("orders_orderdate_ts_representable",
               "lineitem_shipdate_ts_representable",
               "events_ts_representable"):
@@ -55,9 +62,38 @@ def test_dq_counts_out_of_window_timestamps(spark, tmp_path):
 
     # and the dq report stays oracle-equal on data its downstream
     # pandas-crossing consumers cannot even convert
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
     spec = QUERIES["dq_constraint_report"]
-    compare_frames(spec.fn(spark, sf).toPandas(),
-                   con.execute(spec.oracle).fetchdf(), "dq_ts_window")
+    compare_frames(spec.fn(spark, sftswide_dir).toPandas(),
+                   duck_sftswide.execute(spec.oracle).fetchdf(),
+                   "dq_ts_window")
+
+
+def test_quarantine_excludes_rows_at_scan(spark, sftswide_dir):
+    """The enforcement itself: a quarantined load of each ts-bearing
+    table drops exactly the 2 out-of-window rows (and ONLY those — a
+    NULL ts row belongs to the null contract, not this one)."""
+    from mapreduce_4sl08_spark.sources.tables import (
+        TS_QUARANTINE_COLS, load_table,
+    )
+    for table in TS_QUARANTINE_COLS:
+        raw = load_table(spark, sftswide_dir, table,
+                         quarantine=False).count()
+        kept = load_table(spark, sftswide_dir, table).count()
+        assert raw - kept == 2, (
+            f"{table}: quarantine dropped {raw - kept} rows, expected 2")
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle_on_out_of_window_ts(spark, sftswide_dir,
+                                                  duck_sftswide, name):
+    """The r19 'done' bar (VERDICT r18 item 1): the full driver-strict
+    value compare for every registry query with year-9999/year-1 rows
+    flowing end-to-end — both engines must exclude them identically
+    (or, for the raw-reading quality gates, count them identically)."""
+    spec = QUERIES[name]
+    spark_pdf = spec.fn(spark, sftswide_dir).toPandas()
+    if spec.oracle is None:
+        assert spark_pdf is not None
+        return
+    oracle_pdf = duck_sftswide.execute(spec.oracle).fetchdf()
+    compare_frames(spark_pdf, oracle_pdf, name)

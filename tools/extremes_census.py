@@ -5,10 +5,12 @@ registry (plan, oracle) pair with the driver-strict compare over a
 fixture carrying one pathological-but-representable value per class.
 
     python tools/extremes_census.py --ts       # extreme timestamps
+    python tools/extremes_census.py --tswide   # OUT-OF-WINDOW timestamps
     python tools/extremes_census.py --zerovec  # all-zeros embedding
     python tools/extremes_census.py --neg      # negated money measures
     python tools/extremes_census.py --shortvec # truncated embedding
     python tools/extremes_census.py --dup      # duplicated first row
+    python tools/extremes_census.py --proptype # type-mismatched $.k
 
 --ts: row 2 of every non-key timestamp/date column gets 2262-01-01,
 row 3 (where present) 1678-01-01 — the far edges of the
@@ -19,16 +21,16 @@ posexplode(sequence(...))) materialize a ~100k-element array per
 generated spine, and stretches "days since" arithmetic into values
 downstream integer-width casts may not hold.
 
-Why not year 9999/1: pandas datetime64[ns] holds only
-[1677-09-21, 2262-04-11]. Values OUTSIDE that window crash
-``toPandas()`` — i.e. the driver's own comparison harness and every
-Arrow/pandas-crossing operator (first --ts run at year 9999/1:
-21 CRASH-SPARK, every one an OutOfBoundsDatetime in the pandas
-conversion, logs/ts_extremes_census_r18_wide.txt). That boundary is
-therefore a documented ENGINE CONTRACT (timestamps outside the ns
-window are quarantine-gate material — dq_constraint_report counts
-them — not valid operator input), and this census pins value
-equality across the representable range.
+--tswide: rows 2/3 carry year-9999 / year-1 values — OUTSIDE the
+pandas datetime64[ns] window [1677-09-21, 2262-04-11]. In r18 these
+crashed 21 pandas-crossing queries (OutOfBoundsDatetime in the
+conversion layer, logs/ts_extremes_census_r18_wide.txt) and were
+pinned as detect-only quarantine material. r19 (VERDICT item 1)
+ENFORCES the quarantine at the sources.tables.load_table choke point
+with a mirrored shadow CTE in every ts-reading oracle, so this mode
+must be 168/168 OK with the dirty rows flowing END-TO-END: the
+analytics exclude them identically on both engines, and the raw-
+reading quality gates (dq report, column profiles) count them.
 
 --neg: row 2 of every float scalar measure becomes its negation (a
 refund / correction / chargeback row — routine at 100 TB). The known
@@ -52,6 +54,18 @@ counts ``*_pk_unique`` violations upstream. Those rows print
 BOUNDARY and do not fail the exit status; every OTHER query must
 still be value-equal (joins fan out N×M identically, argmax picks
 among identical payloads, distinct collapses).
+
+--proptype (r19, VERDICT r18 item 4): events.props rows 1-5 carry
+VALID JSON objects whose $.k value is type-mismatched for the int
+extraction — a non-numeric string, a string-typed integer, an array,
+an int32-overflow integer, and a whitespace-padded string-int. The
+contract (probed per engine pair): mismatched value → NULL extraction
+on BOTH sides — Spark via try_cast / try_variant_get / PERMISSIVE
+from_json map-nulling, DuckDB via the strict-integer regex mirror
+(plans/events._K_STRICT) and the map-level arm
+(plans/extended._MAP_BAD_VALUE). Numeric/boolean COERCION of
+non-integer values stays a documented dialect boundary (1.5:
+variant-get truncates, DuckDB TRY_CAST rounds, string-cast NULLs).
 
 --zerovec: embeddings.embedding row 2 becomes all zeros (norm 0).
 Cosine similarity against it is 0/0 — double division yields NaN in
@@ -94,7 +108,8 @@ _DUP_BOUNDARY = frozenset({
 })
 
 
-def build_ts_extremes(src: str, out: str) -> str:
+def _build_ts(src: str, out: str, ts_max: datetime.datetime,
+              ts_min: datetime.datetime) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
     for t in TABLES:
@@ -107,17 +122,30 @@ def build_ts_extremes(src: str, out: str) -> str:
             ty = field.type
             if pa.types.is_timestamp(ty):
                 if 2 < nrows:
-                    d[col][2] = TS_MAX
+                    d[col][2] = ts_max
                 if 3 < nrows:
-                    d[col][3] = TS_MIN
+                    d[col][3] = ts_min
             elif pa.types.is_date(ty):
                 if 2 < nrows:
-                    d[col][2] = TS_MAX.date()
+                    d[col][2] = ts_max.date()
                 if 3 < nrows:
-                    d[col][3] = TS_MIN.date()
+                    d[col][3] = ts_min.date()
         pq.write_table(pa.table(d, schema=tab.schema),
                        os.path.join(out, f"{t}.parquet"))
     return out
+
+
+def build_ts_extremes(src: str, out: str) -> str:
+    return _build_ts(src, out, TS_MAX, TS_MIN)
+
+
+def build_ts_wide(src: str, out: str) -> str:
+    """Out-of-window rows (year 9999 / year 1) — the quarantine class
+    the r19 load_table filter + oracle shadow CTEs must EXCLUDE
+    identically on both engines."""
+    return _build_ts(src, out,
+                     datetime.datetime(9999, 12, 31, 23, 59, 59),
+                     datetime.datetime(1, 1, 2, 0, 0, 0))
 
 
 def build_negated(src: str, out: str) -> str:
@@ -168,6 +196,26 @@ def build_duplicated(src: str, out: str) -> str:
     return out
 
 
+#: the pinned type-mismatch classes (see --proptype in the docstring)
+TYPE_MISMATCH_PROPS = ['{"k": "abc"}', '{"k": "7"}', '{"k": [1]}',
+                       '{"k": 99999999999999}', '{"k": " 20 "}']
+
+
+def build_prop_type_mismatch(src: str, out: str) -> str:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    for t in TABLES:
+        tab = pq.read_table(os.path.join(src, f"{t}.parquet"))
+        if t == "events":
+            d = tab.to_pydict()
+            for i, p in enumerate(TYPE_MISMATCH_PROPS, start=1):
+                if i < len(tab):
+                    d["props"][i] = p
+            tab = pa.table(d, schema=tab.schema)
+        pq.write_table(tab, os.path.join(out, f"{t}.parquet"))
+    return out
+
+
 def build_short_vector(src: str, out: str) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -189,13 +237,16 @@ def main() -> int:
     from tests.oracle import compare_frames
 
     args = sys.argv[1:]
-    mode = ("ts" if "--ts" in args
+    mode = ("tswide" if "--tswide" in args
+            else "ts" if "--ts" in args
             else "zerovec" if "--zerovec" in args
             else "neg" if "--neg" in args
             else "shortvec" if "--shortvec" in args
-            else "dup" if "--dup" in args else None)
+            else "dup" if "--dup" in args
+            else "proptype" if "--proptype" in args else None)
     if mode is None:
-        print("pick a mode: --ts, --zerovec, --neg, --shortvec or --dup")
+        print("pick a mode: --ts, --tswide, --zerovec, --neg, "
+              "--shortvec, --dup or --proptype")
         return 2
     names = ([a for a in args if not a.startswith("--")]
              or sorted(QUERIES))
@@ -209,9 +260,11 @@ def main() -> int:
              .getOrCreate())
     ok = mismatch = crash_s = crash_o = 0
     with tempfile.TemporaryDirectory() as tmp:
-        {"ts": build_ts_extremes, "zerovec": build_zero_vector,
+        {"ts": build_ts_extremes, "tswide": build_ts_wide,
+         "zerovec": build_zero_vector,
          "neg": build_negated, "shortvec": build_short_vector,
-         "dup": build_duplicated}[mode](SRC, tmp)
+         "dup": build_duplicated,
+         "proptype": build_prop_type_mismatch}[mode](SRC, tmp)
         con = duckdb.connect()
         for t in TABLES:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM "

@@ -53,9 +53,14 @@ def build_nonfinite(src: str, out: str) -> str:
     pass. Vector class included (r18 vector census): one ELEMENT of
     embeddings.embedding per poisoned row carries the same per-row
     class — the vecs()/vec_finite_sql exclusion must drop exactly
-    those vectors on both engines."""
+    those vectors on both engines. Row 4 (r19, ADVICE r18): scalars
+    stay LIVE but one embedding ELEMENT is NULL — the class where
+    Spark's three-valued exists() dropped the vector while DuckDB's
+    list_filter silently discarded the NULL element and KEPT it; the
+    explicit ``x IS NULL`` arm of vec_finite_sql() must drop it on
+    both sides and embeddings_components_finite must count it."""
     for t in TABLES:
-        tab = pq.read_table(os.path.join(src, f"{t}.parquet")).slice(0, 4)
+        tab = pq.read_table(os.path.join(src, f"{t}.parquet")).slice(0, 5)
         d = tab.to_pydict()
         nrows = len(tab)
         for col, field in zip(tab.column_names, tab.schema):
@@ -79,6 +84,10 @@ def build_nonfinite(src: str, out: str) -> str:
                             d[col][row] = vec
                     else:
                         d[col][row] = val
+        if t == "embeddings" and nrows > 4 and d["embedding"][4] is not None:
+            vec = list(d["embedding"][4])
+            vec[1] = None  # NULL ELEMENT, scalars live (r19 class)
+            d["embedding"][4] = vec
         pq.write_table(pa.table(d, schema=tab.schema),
                        os.path.join(out, f"{t}.parquet"))
     return out
