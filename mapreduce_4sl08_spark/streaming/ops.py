@@ -35,11 +35,23 @@ def events_stream(spark: SparkSession, path: str,
     """File-source stream with the events schema (parquet dir). The ts
     column must already be microsecond timestamps (use
     sources.tables.load_table + a re-write for the raw nanos testdata —
-    see tests/test_streaming.py)."""
+    see tests/test_streaming.py).
+
+    Applies the same ts-representability quarantine as the batch choke
+    point (sources.tables.load_table, r19): one year-9999 record would
+    otherwise poison the Arrow crossing inside every stateful pandas
+    operator mid-stream — and the streaming twins must see exactly the
+    rows their batch twins see, or equality-to-batch breaks on dirty
+    sources. NULL ts stays (watermark operators drop it themselves,
+    per the r17 null-ts contract)."""
+    from ..sources.tables import TS_WINDOW_HI, TS_WINDOW_LO
     reader = spark.readStream.schema(EVENTS_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return reader.parquet(path)
+    return reader.parquet(path).filter(
+        F.col("ts").isNull()
+        | F.col("ts").between(F.expr(f"TIMESTAMP '{TS_WINDOW_LO}'"),
+                              F.expr(f"TIMESTAMP '{TS_WINDOW_HI}'")))
 
 
 def stream_tumbling_counts(events: DataFrame,

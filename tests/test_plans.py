@@ -337,6 +337,27 @@ def test_profile_schema_declaration_matches_live_parquet(spark, sf_dir):
         assert live == declared, table
 
 
+def test_ts_quarantine_cols_cover_schema(spark, sf_dir):
+    """TS_QUARANTINE_COLS is the declared list the ts-representability
+    quarantine (load_table filter + oracle shadow CTEs) governs. Pin it
+    to the live parquet schemas in BOTH directions: every timestamp/
+    date column in the corpus must be quarantined (a new temporal
+    column silently outside the contract could abort pandas-crossing
+    consumers again), and every declared column must exist."""
+    from mapreduce_4sl08_spark.sources.tables import (
+        TABLE_NAMES, TS_QUARANTINE_COLS, load_table,
+    )
+    temporal = {"timestamp", "timestamp_ntz", "date"}
+    for table in TABLE_NAMES:
+        live = [c for c, dt in
+                load_table(spark, sf_dir, table, quarantine=False).dtypes
+                if dt in temporal]
+        declared = list(TS_QUARANTINE_COLS.get(table, ()))
+        assert live == declared, (
+            f"{table}: temporal columns {live} vs quarantine "
+            f"declaration {declared}")
+
+
 def test_pagerank_memoized_no_persist_growth(spark, sf_smoke_dir):
     """Same sweep invariant as the co-purchase edges: repeated pagerank
     invocations reuse ONE memoized rank plan (and its node/link caches)."""

@@ -374,6 +374,41 @@ def test_global_window_gate_catches_bad_plan(spark):
     assert not unbounded_global_windows(good_df)
 
 
+def test_ts_oracles_carry_quarantine_shadow():
+    """Every oracle that references a ts-bearing table must read it
+    through the quarantine shadow CTE (the mechanical mirror of the
+    load_table ts-representability filter) — except the raw-reading
+    quality gates, which COUNT what the filter drops. Since the wrap is
+    applied at registry assembly this is near-tautological today; the
+    gate exists so a future bypass (a spec added after the wrap, or a
+    name added to RAW_ORACLE_QUERIES without the quality-gate
+    rationale) fails a test instead of shipping a cross-engine split
+    on dirty timestamps."""
+    import re
+
+    from mapreduce_4sl08_spark.plans.registry import RAW_ORACLE_QUERIES
+    from mapreduce_4sl08_spark.sources.tables import (
+        TS_QUARANTINE_COLS, ts_quarantine_sql,
+    )
+
+    offenders = []
+    for name, spec in QUERIES.items():
+        if spec.oracle is None or name in RAW_ORACLE_QUERIES:
+            continue
+        for table in TS_QUARANTINE_COLS:
+            if (re.search(rf"\b{table}\b", spec.oracle, re.IGNORECASE)
+                    and ts_quarantine_sql(table) not in spec.oracle):
+                offenders.append((name, table))
+    assert not offenders, (
+        f"ts-reading oracles missing the quarantine shadow CTE: "
+        f"{offenders}")
+    # and the exempt set stays exactly the quality gates
+    assert RAW_ORACLE_QUERIES == {
+        "dq_constraint_report", "column_profile_orders",
+        "column_profile_lineitem", "column_profile_events",
+        "column_profile_documents"}
+
+
 def test_vector_oracles_carry_canonical_exclusion():
     """Single-source gate for the vecs() twin (r18 --shortvec lesson:
     the exclusion predicate was BAKED into 14 oracle strings, so when

