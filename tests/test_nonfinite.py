@@ -110,3 +110,47 @@ def test_vecs_drops_null_element_vector(spark, sfnonfinite_dir):
     # rows 1-4 are poisoned (nan/+inf/-inf elements, NULL element) —
     # only row 0's vector survives
     assert len(kept) == 1, f"vecs() kept {sorted(kept)}, expected 1 row"
+
+
+def test_cents_representable_counter_fires(spark, tmp_path):
+    """ADVICE r18 item 2 (closed r19): a FINITE but cents-overflowing
+    money value (1e17 dollars -> 1e19 cents > BIGINT max) is dropped
+    by cents()'s TRY_CAST exactly like a NaN — the dq report must say
+    so. Pins the three *_cents_representable counters at 1 on a
+    fixture carrying one such value per column, the dq report
+    oracle-equal on that fixture, and a money consumer (q1) value-
+    equal — both engines drop the row's measure identically."""
+    import os
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for t in TABLES:
+        tab = pq.read_table(os.path.join(SRC, f"{t}.parquet"))
+        d = tab.to_pydict()
+        if t == "orders":
+            d["o_totalprice"][1] = 1e17
+        elif t == "lineitem":
+            d["l_extendedprice"][1] = 1e17
+        elif t == "events":
+            d["value"][1] = 1e17
+        pq.write_table(pa.table(d, schema=tab.schema),
+                       str(tmp_path / f"{t}.parquet"))
+    sf = str(tmp_path)
+    dq = {r["constraint_name"]: r["n_violations"]
+          for r in QUERIES["dq_constraint_report"].fn(spark, sf).collect()}
+    for c in ("orders_totalprice_cents_representable",
+              "lineitem_extendedprice_cents_representable",
+              "events_value_cents_representable"):
+        assert dq[c] == 1, f"{c}: expected 1 overflow, got {dq[c]}"
+    # ...and it is NOT double-counted as non-finite
+    assert dq["orders_totalprice_finite"] == 0
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    for name in ("dq_constraint_report", "q1_pricing_summary"):
+        spec = QUERIES[name]
+        compare_frames(spec.fn(spark, sf).toPandas(),
+                       con.execute(spec.oracle).fetchdf(), name)
