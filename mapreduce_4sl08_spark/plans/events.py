@@ -291,18 +291,24 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Strict-integer mirror (r19 type-mismatch contract): Spark's
 # string->int try_cast accepts optional sign + digits (surrounding
-# ASCII whitespace trimmed) and NULLs everything else, while DuckDB's
-# bare TRY_CAST happily ROUNDS '1.5' to 2 — so the oracle pins the
-# integer format with a regex before casting. In-scope classes (probed,
+# whitespace trimmed) and NULLs everything else, while DuckDB's
+# bare TRY_CAST happily ROUNDS '1.5' to 2 — so the oracle extracts the
+# integer via an anchored regex (empty extract -> TRY_CAST('') ->
+# NULL). The whitespace class is spelled out per the repo contract
+# (never \s in oracle regexes), matching Spark's cast-trim for the
+# ASCII whitespace set; Spark's trimAll additionally strips the other
+# control bytes <= 0x20 — a JSON-escaped "9" corner documented
+# out of scope with the validity dialects. In-scope classes (probed,
 # tests/test_malformed_props.py): non-numeric strings, string-typed
-# integers, non-scalar values, int32 overflow. Numeric/boolean
-# COERCION stays a documented dialect boundary (Spark variant-get
-# truncates 1.5, DuckDB rounds, get_json_object+try_cast NULLs —
-# three-way; a shared parser UDF would be needed).
+# integers (incl. whitespace-padded), non-scalar values, int32
+# overflow. Numeric/boolean COERCION stays a documented dialect
+# boundary (Spark variant-get truncates 1.5, DuckDB rounds,
+# get_json_object+try_cast NULLs — three-way; a shared parser UDF
+# would be needed).
 _K_STRICT = (
-    "TRY_CAST(CASE WHEN json_valid(props) AND regexp_matches("
-    "trim(json_extract_string(props, '$.k'), ' '), '^[+-]?[0-9]+$') "
-    "THEN trim(json_extract_string(props, '$.k'), ' ') END AS INT)")
+    r"TRY_CAST(regexp_extract(CASE WHEN json_valid(props) THEN "
+    r"json_extract_string(props, '$.k') END, "
+    r"'^[ \t\n\x0b\f\r]*([+-]?[0-9]+)[ \t\n\x0b\f\r]*$', 1) AS INT)")
 
 EVENTS_JSON_SQL = f"""
 SELECT event_type,

@@ -196,9 +196,12 @@ def build_duplicated(src: str, out: str) -> str:
     return out
 
 
-#: the pinned type-mismatch classes (see --proptype in the docstring)
+#: the pinned type-mismatch classes (see --proptype in the docstring);
+#: the last row's value parses to a TAB-prefixed string-int — Spark's
+#: cast trims it, so the oracle's strict-integer regex must too
 TYPE_MISMATCH_PROPS = ['{"k": "abc"}', '{"k": "7"}', '{"k": [1]}',
-                       '{"k": 99999999999999}', '{"k": " 20 "}']
+                       '{"k": 99999999999999}', '{"k": " 20 "}',
+                       '{"k": "\\t9"}']
 
 
 def build_prop_type_mismatch(src: str, out: str) -> str:
