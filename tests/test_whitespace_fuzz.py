@@ -34,6 +34,19 @@ ALPHABET = [
     "a", "b", "the", "Zb9", "é", "日本", "\U0001F680", "́",
     " ", "\t", "\n", "\r", "\f", "\x0b", "\xa0", "　", "​",
     "م", ".", "-", "_", "'",
+    # r19: C0 control bytes — legal in parquet strings, historically a
+    # truncation/terminator hazard in C-string engines; both engines
+    # treat them as ordinary non-space chars (the tokenizer contract's
+    # class [ \t\n\x0b\f\r] excludes them). NUL (\x00) specifically is
+    # a DOCUMENTED COLLATION DIALECT and stays out of the alphabet:
+    # DuckDB's sort-key encoding treats a NUL byte as a terminator —
+    # probed: list_sort/ORDER BY tie '\x00' with '' and 'a\x00' with
+    # 'a' (stable input order preserved) while GROUP BY / DISTINCT /
+    # '<' see the byte — so strings differing only past a NUL have no
+    # defined cross-engine relative order (Spark compares the byte
+    # lexicographically everywhere). Same boundary class as DuckDB's
+    # Unicode trim() and RE2's \s.
+    "\x01", "\x1f",
 ]
 
 
