@@ -11,6 +11,7 @@ fixture carrying one pathological-but-representable value per class.
     python tools/extremes_census.py --shortvec # truncated embedding
     python tools/extremes_census.py --dup      # duplicated first row
     python tools/extremes_census.py --proptype # type-mismatched $.k
+    python tools/extremes_census.py --negzero  # signed-zero measures
 
 --ts: row 2 of every non-key timestamp/date column gets 2262-01-01,
 row 3 (where present) 1678-01-01 — the far edges of the
@@ -66,6 +67,14 @@ from_json map-nulling, DuckDB via the strict-integer regex mirror
 (plans/extended._MAP_BAD_VALUE). Numeric/boolean COERCION of
 non-integer values stays a documented dialect boundary (1.5:
 variant-get truncates, DuckDB TRY_CAST rounds, string-cast NULLs).
+
+--negzero (r19): row 2 of every float scalar measure becomes -0.0 —
+IEEE signed zero survives parquet round-trips and arises from rounding
+a tiny negative number. The hazards probed before building: both
+engines' GROUP BY collapse ±0.0 into one group; the exact-cents cast
+maps -0.0 to integer 0 on both sides; but a -0.0 DENOMINATOR splits
+engines (Spark x/-0.0 → ±Inf, DuckDB → NULL) — the census proves no
+query lets a raw measure reach a denominator unguarded.
 
 --zerovec: embeddings.embedding row 2 becomes all zeros (norm 0).
 Cosine similarity against it is 0/0 — double division yields NaN in
@@ -166,6 +175,24 @@ def build_negated(src: str, out: str) -> str:
     return out
 
 
+def build_neg_zero(src: str, out: str) -> str:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    for t in TABLES:
+        tab = pq.read_table(os.path.join(src, f"{t}.parquet")).slice(0, 4)
+        d = tab.to_pydict()
+        for col, field in zip(tab.column_names, tab.schema):
+            if col.endswith("key") or col in KEY_COLS:
+                continue
+            if (pa.types.is_float64(field.type)
+                    or pa.types.is_float32(field.type)):
+                if d[col][2] is not None:
+                    d[col][2] = -0.0
+        pq.write_table(pa.table(d, schema=tab.schema),
+                       os.path.join(out, f"{t}.parquet"))
+    return out
+
+
 def build_zero_vector(src: str, out: str) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -246,10 +273,11 @@ def main() -> int:
             else "neg" if "--neg" in args
             else "shortvec" if "--shortvec" in args
             else "dup" if "--dup" in args
-            else "proptype" if "--proptype" in args else None)
+            else "proptype" if "--proptype" in args
+            else "negzero" if "--negzero" in args else None)
     if mode is None:
         print("pick a mode: --ts, --tswide, --zerovec, --neg, "
-              "--shortvec, --dup or --proptype")
+              "--shortvec, --dup, --proptype or --negzero")
         return 2
     names = ([a for a in args if not a.startswith("--")]
              or sorted(QUERIES))
@@ -267,7 +295,8 @@ def main() -> int:
          "zerovec": build_zero_vector,
          "neg": build_negated, "shortvec": build_short_vector,
          "dup": build_duplicated,
-         "proptype": build_prop_type_mismatch}[mode](SRC, tmp)
+         "proptype": build_prop_type_mismatch,
+         "negzero": build_neg_zero}[mode](SRC, tmp)
         con = duckdb.connect()
         for t in TABLES:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
