@@ -54,8 +54,13 @@ TABLES = ("region nation customer supplier part orders lineitem "
 #: rows 0-2: clearly-malformed in BOTH JSON dialects;
 #: rows 3-4: VALID JSON that is not an object (r18 — json_valid passes,
 #: from_json-to-MapType still yields a NULL map);
-#: rows 5-9 (r19): valid objects with TYPE-MISMATCHED $.k values
-MALFORMED = ['{"k":', "not json", "", "123", "[1]", *TYPE_MISMATCH_PROPS]
+#: rows 5-10 (r19): valid objects with TYPE-MISMATCHED $.k values;
+#: row 11 (r19): 1500-deep nesting — a VALIDITY-DIALECT probe (Jackson
+#: rejects depth > 1000 so Spark's parses yield NULL, DuckDB's yyjson
+#: accepts unbounded depth) that stays ALIGNED because a nested-object
+#: $.k extracts to NULL through every consumer's contract on both sides
+MALFORMED = ['{"k":', "not json", "", "123", "[1]", *TYPE_MISMATCH_PROPS,
+             '{"k":' * 1500 + '1' + '}' * 1500]
 
 
 @pytest.fixture(scope="module")
