@@ -12,6 +12,7 @@ fixture carrying one pathological-but-representable value per class.
     python tools/extremes_census.py --dup      # duplicated first row
     python tools/extremes_census.py --proptype # type-mismatched $.k
     python tools/extremes_census.py --negzero  # signed-zero measures
+    python tools/extremes_census.py --soup     # ALL classes composed
 
 --ts: row 2 of every non-key timestamp/date column gets 2262-01-01,
 row 3 (where present) 1678-01-01 — the far edges of the
@@ -193,6 +194,74 @@ def build_neg_zero(src: str, out: str) -> str:
     return out
 
 
+def build_soup(src: str, out: str) -> str:
+    """--soup (r19 capstone): EVERY quarantine/contract class at once,
+    on different rows of an 8-row slice — the isolation censuses prove
+    each contract alone; this proves they COMPOSE (a NaN measure next
+    to a year-9999 timestamp next to a corrupt vector next to a
+    type-mismatched props value, all in one batch, like real dirty
+    data arrives). Layout per table: row 1 NaN measures, row 2 +Inf,
+    row 3 -Inf AND year-9999 temporal, row 4 year-1 temporal, row 5
+    NULL measures/text, row 6 -0.0 measures; embeddings additionally:
+    row 1 NaN element, row 2 +Inf element, row 3 truncated, row 4 NULL
+    element, row 5 NULL vector, row 6 all-zeros; events.props rows 1-6
+    cycle the malformed + type-mismatched classes."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    props_dirt = ['{"k":', "not json", '{"k": "abc"}', '{"k": [1]}',
+                  None, '{"k": " 20 "}']
+    for t in TABLES:
+        tab = pq.read_table(os.path.join(src, f"{t}.parquet")).slice(0, 8)
+        d = tab.to_pydict()
+        nrows = len(tab)
+        for col, field in zip(tab.column_names, tab.schema):
+            if col.endswith("key") or col in KEY_COLS:
+                continue
+            ty = field.type
+            if pa.types.is_float64(ty) or pa.types.is_float32(ty):
+                for row, val in ((1, math.nan), (2, math.inf),
+                                 (3, -math.inf), (5, None), (6, -0.0)):
+                    if row < nrows:
+                        d[col][row] = val
+            elif pa.types.is_timestamp(ty):
+                if 3 < nrows:
+                    d[col][3] = datetime.datetime(9999, 12, 31, 23, 59, 59)
+                if 4 < nrows:
+                    d[col][4] = datetime.datetime(1, 1, 2, 0, 0)
+                if 5 < nrows:
+                    d[col][5] = None
+            elif ((pa.types.is_string(ty) or pa.types.is_large_string(ty))
+                  and col != "lang"):
+                # lang stays live: it is a dedup-family grouping key and
+                # the per-language plans key on it
+                if 5 < nrows:
+                    d[col][5] = None
+        if t == "events":
+            for i, p in enumerate(props_dirt, start=1):
+                if i < nrows:
+                    d["props"][i] = p
+        if t == "embeddings":
+            emb = d["embedding"]
+            dim = len(emb[0])
+            if 1 < nrows and emb[1] is not None:
+                v = list(emb[1]); v[0] = math.nan; emb[1] = v
+            if 2 < nrows and emb[2] is not None:
+                v = list(emb[2]); v[0] = math.inf; emb[2] = v
+            if 3 < nrows and emb[3] is not None:
+                emb[3] = list(emb[3])[:3]
+            if 4 < nrows and emb[4] is not None:
+                v = list(emb[4]); v[1] = None; emb[4] = v
+            if 5 < nrows:
+                emb[5] = None
+            if 6 < nrows:
+                emb[6] = [0.0] * dim
+        pq.write_table(pa.table(d, schema=tab.schema),
+                       os.path.join(out, f"{t}.parquet"))
+    return out
+
+
 def build_zero_vector(src: str, out: str) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -274,10 +343,11 @@ def main() -> int:
             else "shortvec" if "--shortvec" in args
             else "dup" if "--dup" in args
             else "proptype" if "--proptype" in args
-            else "negzero" if "--negzero" in args else None)
+            else "negzero" if "--negzero" in args
+            else "soup" if "--soup" in args else None)
     if mode is None:
         print("pick a mode: --ts, --tswide, --zerovec, --neg, "
-              "--shortvec, --dup, --proptype or --negzero")
+              "--shortvec, --dup, --proptype, --negzero or --soup")
         return 2
     names = ([a for a in args if not a.startswith("--")]
              or sorted(QUERIES))
@@ -296,7 +366,8 @@ def main() -> int:
          "neg": build_negated, "shortvec": build_short_vector,
          "dup": build_duplicated,
          "proptype": build_prop_type_mismatch,
-         "negzero": build_neg_zero}[mode](SRC, tmp)
+         "negzero": build_neg_zero,
+         "soup": build_soup}[mode](SRC, tmp)
         con = duckdb.connect()
         for t in TABLES:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
