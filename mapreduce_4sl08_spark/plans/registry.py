@@ -102,75 +102,23 @@ _MODULE_SPECS = [
 # End-of-round ritual: append the new round's names to the JSON, then
 # rewrite this tuple for the next round's changed plans.
 _ROUND_PRIORITY: tuple[str, ...] = (
-    # round 19 (VERDICT r18 items 1-2 + ADVICE items 1-2).
-    # ORDER IS THE DRIVER'S PROOF BUDGET ALLOCATION (see _order_key).
-    # Block 1 — queries whose OUTPUT changes this round: the dq report
-    # gains the *_cents_representable counters (ADVICE item 2) and the
-    # embeddings_components_finite counter now also counts NULL-element
-    # vectors (ADVICE item 1):
-    "dq_constraint_report",
-    # Block 2 — the 25 r18-changed rows the r18 ~50-row driver budget
-    # cut (VERDICT r18 item 2a; every one also re-proves this round's
-    # ts-quarantine scan filter — they all read orders/lineitem):
-    "q11_important_stock",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q10_returned_items",
-    "q14_promo_share",
-    "q15_top_supplier",
-    "q19_disjunctive_revenue",
-    "map_functions_showcase",
-    "span_dedup_report",
-    "text_bigram_top20",
-    "text_language_id",
-    "text_repetition_stats",
-    "text_token_stats",
-    "tfidf_top_terms",
-    "token_budget_selection",
-    "token_pmi_top_pairs",
-    "tokenizer_fertility_by_lang",
-    "unigram_rarity_score",
-    "vocab_growth_curve",
-    "winnowing_fingerprints",
-    "wordcount_documents",
-    "zipf_rank_frequency",
-    # Block 3 — the r13-staleness drain (VERDICT r18 item 2b, deferred
-    # twice; the two overlapping names already sit in block 2). After
-    # this round's merge, min last-proven must be >= r14:
-    "agg_cube_orders",
-    "copurchase_triangles",
-    "event_type_share_drift",
-    "events_asof_cogroup",
-    "events_burst_topk",
-    "hash_split_assignment",
-    "join_anti_inactive",
-    "join_full_nation_presence",
-    "join_semi_big_spenders",
-    "lateral_topk_orders",
-    "range_join_prompt_ship",
-    "set_ops_nations",
-    "sort_customers_multi",
-    "source_frequency_cap",
-    "topk_expensive_orders",
-    "watchlist_term_scan",
-    "window_lag_gap_days",
-    "window_topk_orders_per_customer",
-    "zorder_layout_stats",
-    # Block 4 — this round's ts-quarantine / props-contract consumers
-    # beyond blocks 1-3 (the load_table scan filter + oracle shadow
-    # CTEs change nearly every orders/lineitem/events reader; the
-    # pandas-crossing queries the year-9999 wide census crashed are the
-    # highest-information re-proofs). Whatever the budget cuts here is
-    # proven by the builder's 168/168 sweeps at both scales + the ts
-    # census, and leads r20's priority:
+    # round 20 (VERDICT r19 item 1 + ADVICE r19 items). ORDER IS THE
+    # DRIVER'S PROOF BUDGET ALLOCATION (see _order_key).
+    # Block 1 — the one row whose PLAN and OUTPUT change this round:
+    # events_variant_extract closes the numeric-coercion cardinality
+    # split (ADVICE r19 item 2) by gating try_variant_get on the k
+    # sub-variant's schema (BIGINT/STRING only) — double/boolean-typed
+    # k now NULLs (drops) on BOTH engines instead of Spark-only
+    # truncating:
     "events_variant_extract",
-    "events_user_features",
-    "events_sessionize",
-    "events_tumbling_hourly",
-    "events_session_window_native",
+    # Blocks 2-4 — the 74 rows of r19's 124-row priority tuple beyond
+    # that round's ~50-row driver budget (VERDICT r19 item 1: "they
+    # must lead r20"). All were proven by six 168/168 builder sweeps,
+    # the 124/124 driver-strict 10x sweep, and the judge's own 168/168
+    # sweep — this retires the driver-CORRECTNESS debt for their
+    # current (post-ts-quarantine) form. Order preserved from r19.
+    # Block 2 — r19 block-4 tail: ts-quarantine consumers that cross
+    # into pandas/Arrow or window state (highest-information re-proofs):
     "events_sliding_windows",
     "events_windowed_topk",
     "events_retention_cohorts",
@@ -186,11 +134,8 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     "scd2_status_history",
     "window_running_spend",
     "orders_monthly_yoy",
-    # Block 5 — NULL-element vector contract (ADVICE r18 item 1): the
-    # vecs() lambda is now explicit (was equivalent three-valued drop)
-    # and vec_finite_sql gained the `x IS NULL` arm in all embeddings
-    # oracles — provably a no-op on the NULL-free driver fixtures,
-    # pinned meanwhile by tests/test_nonfinite.py's NULL-element row:
+    # Block 3 — r19 block 5: the 15 embeddings rows carrying the
+    # NULL-element vector contract (vec_finite_sql x IS NULL arm):
     "knn_bruteforce_cosine",
     "embedding_near_dup",
     "lsh_bucket_ann",
@@ -206,12 +151,8 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     "docs_with_embeddings",
     "kmeans_lloyd_2iter",
     "lsh_pair_distance_histogram",
-    # Block 6 — remaining consumers of the ONE shared mechanical
-    # change (the load_table ts-quarantine scan filter; no per-query
-    # logic touched — the same shape blocks 2-4 prove first). Proven
-    # this round by the 168/168 full-registry sweeps at both scales +
-    # the --ts/--tswide censuses; they drain the driver budget from
-    # r20's front:
+    # Block 4 — r19 block 6: remaining consumers of the shared
+    # load_table ts-quarantine scan filter (no per-query logic change):
     "agg_approx_distinct",
     "agg_percentiles",
     "agg_rollup_lineitem",
