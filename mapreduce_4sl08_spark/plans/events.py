@@ -301,10 +301,13 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 # out of scope with the validity dialects. In-scope classes (probed,
 # tests/test_malformed_props.py): non-numeric strings, string-typed
 # integers (incl. whitespace-padded), non-scalar values, int32
-# overflow. Numeric/boolean COERCION stays a documented dialect
-# boundary (Spark variant-get truncates 1.5, DuckDB rounds,
-# get_json_object+try_cast NULLs — three-way; a shared parser UDF
-# would be needed).
+# overflow. Numeric/boolean COERCION: the string paths agree already
+# (get_json_object serializes 20.0 to '20.0', try_cast NULLs it; the
+# regex mirror NULLs it too); the VARIANT path was the one engine that
+# coerced (try_variant_get truncated 1.5 -> 1, kept 20.0 as 20 — a
+# silent CARDINALITY split under the % 10 filter, ADVICE r19 item 2) —
+# closed in r20 by gating on the k sub-variant's schema, see
+# events_variant_extract.
 _K_STRICT = (
     r"TRY_CAST(regexp_extract(CASE WHEN json_valid(props) THEN "
     r"json_extract_string(props, '$.k') END, "
@@ -339,17 +342,30 @@ def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant_get throws INVALID_VARIANT_CAST on ``{"k": "abc"}`` — one
     bad record aborting the job again. try_variant_get NULLs it; the
     oracle mirrors via the strict-integer extraction (_K_STRICT) and a
-    json_type-derived schema string, which agree for every in-scope
-    class (integer-typed, string-typed, non-scalar, overflow); numeric
-    COERCION of non-integer values is the documented dialect boundary
-    (try_variant_get truncates 1.5 where a string cast NULLs it)."""
+    json_type-derived schema string.
+
+    Schema-gated extraction (r20, ADVICE r19 item 2): a bare
+    ``try_variant_get(v, '$.k', 'int')`` COERCES non-integer variants —
+    ``20.0`` (DECIMAL(2,0)) -> 20, ``1.5`` -> 1, ``true`` -> 1 — where
+    the oracle's strict-integer regex NULLs them: under the ``% 10``
+    filter that was a silent CARDINALITY split, not just a value split.
+    The gate accepts only sub-variants whose schema_of_variant is
+    BIGINT (JSON integers of every magnitude parse to BIGINT; int32
+    overflow then NULLs in the try-cast, same as the oracle's
+    TRY_CAST) or STRING (string->int try-cast semantics, mirrored by
+    _K_STRICT since r19). Everything else — DECIMAL (JSON doubles),
+    BOOLEAN, ARRAY/OBJECT, VOID (JSON null / absent key) — yields NULL
+    k and drops at the filter on BOTH engines. Pinned per-class by
+    tests/test_malformed_props.py and the --proptype census."""
     e = t(spark, sf_dir, "events")
+    k_schema = "schema_of_variant(try_variant_get(v, '$.k', 'variant'))"
     return (
-        e.select("event_id",
-                 F.expr("try_variant_get(try_parse_json(props), '$.k', 'int')")
-                 .alias("k"),
-                 F.expr("schema_of_variant(try_parse_json(props))")
-                 .alias("props_schema"))
+        e.select("event_id", F.expr("try_parse_json(props)").alias("v"))
+        .select("event_id",
+                F.when(F.expr(k_schema).isin("BIGINT", "STRING"),
+                       F.expr("try_variant_get(v, '$.k', 'int')"))
+                .alias("k"),
+                F.expr("schema_of_variant(v)").alias("props_schema"))
         .filter(F.col("k") % 10 == 0)
         .orderBy("event_id")
     )

@@ -54,6 +54,20 @@ TS_QUARANTINE_COLS: dict[str, tuple[str, ...]] = {
 }
 
 
+def ts_window_us() -> tuple[int, int]:
+    """The quarantine window as epoch-MICROSECOND instants — the
+    session-timezone-invariant form for filtering an instant-typed
+    (TimestampType) column. A ``TIMESTAMP '<bound>'`` literal is
+    interpreted in spark.sql.session.timeZone, so a non-UTC session
+    would shift the boundary relative to the batch choke point and the
+    oracle (ADVICE r19 item 3); ``timestamp_micros(<exact int>)``
+    denotes the same instant in every session. Exact: the bounds are
+    whole seconds, and their µs magnitudes (~9.2e15) are plain Python
+    ints here — no float step."""
+    return (_ts_window_ns(TS_WINDOW_LO) // 1000,
+            _ts_window_ns(TS_WINDOW_HI) // 1000)
+
+
 def _ts_window_ns(bound: str) -> int:
     """Window bound as ns-epoch, in pure integer arithmetic (the value
     is ~±9.2e18 — past double's 2^53 exact range, so no float step may

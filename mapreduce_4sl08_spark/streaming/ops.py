@@ -43,15 +43,26 @@ def events_stream(spark: SparkSession, path: str,
     operator mid-stream — and the streaming twins must see exactly the
     rows their batch twins see, or equality-to-batch breaks on dirty
     sources. NULL ts stays (watermark operators drop it themselves,
-    per the r17 null-ts contract)."""
-    from ..sources.tables import TS_WINDOW_HI, TS_WINDOW_LO
+    per the r17 null-ts contract).
+
+    The bounds are epoch-µs instants (timestamp_micros), NOT
+    ``TIMESTAMP '<wall>'`` literals (ADVICE r19 item 3): a session-tz
+    literal is re-interpreted per session, so a non-UTC session would
+    shift this boundary relative to the batch choke point — which
+    filters the raw NTZ/ns columns with representation-matched bounds
+    (sources/tables.load_table) — and rows near the window edge would
+    split stream-vs-batch. Instants are session-invariant; this stream
+    schema's ts is instant-typed (the pre-converted µs rewrite), so
+    the comparison is exact in any timezone."""
+    from ..sources.tables import ts_window_us
+    lo_us, hi_us = ts_window_us()
     reader = spark.readStream.schema(EVENTS_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.parquet(path).filter(
         F.col("ts").isNull()
-        | F.col("ts").between(F.expr(f"TIMESTAMP '{TS_WINDOW_LO}'"),
-                              F.expr(f"TIMESTAMP '{TS_WINDOW_HI}'")))
+        | F.col("ts").between(F.timestamp_micros(F.lit(lo_us)),
+                              F.timestamp_micros(F.lit(hi_us))))
 
 
 def stream_tumbling_counts(events: DataFrame,

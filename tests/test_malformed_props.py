@@ -25,16 +25,21 @@ via the strict-integer regex mirror (plans/events._K_STRICT — a bare
 TRY_CAST would ROUND '1.5' where Spark NULLs it) and the fully-general
 map-level arm (plans/extended._MAP_BAD_VALUE).
 
-Documented boundary — two classes stay OUT of scope until a real
-corpus shows they matter (full alignment needs a shared parser UDF on
-both sides):
-- validity DIALECTS on edge inputs: DuckDB (yyjson) accepts a trailing
-  comma ('{"k": 1, }') that Spark (Jackson) rejects;
-- numeric/boolean COERCION of non-integer values ('{"k": 1.5}',
-  '{"k": true}'): three-way — try_variant_get truncates 1.5 -> 1 and
-  casts true -> 1, DuckDB's TRY_CAST rounds '1.5' -> 2, and
-  get_json_object+try_cast NULLs both (the map query ALIGNS even here:
-  its map-level arm fires for every non-integer type).
+r20 (ADVICE r19 item 2) PINS the numeric/boolean COERCION class that
+r19 documented as a boundary: '{"k": 20.0}', '{"k": 1.5}',
+'{"k": true}'. The string paths already NULLed these
+(get_json_object serializes 20.0 to '20.0'; try_cast and the oracle
+regex both reject it) and the map query's map-level arm fires for
+every non-integer type — but the VARIANT path coerced (try_variant_get
+truncated 1.5 -> 1, kept 20.0 as 20: a silent CARDINALITY split under
+events_variant_extract's % 10 filter, the one boundary that changed
+row counts). Closed by gating extraction on the k sub-variant's
+schema (BIGINT/STRING only — plans/events.events_variant_extract).
+
+Documented boundary — one class stays OUT of scope until a real
+corpus shows it matters (full alignment needs a shared parser on both
+sides): validity DIALECTS on edge inputs — DuckDB (yyjson) accepts a
+trailing comma ('{"k": 1, }') that Spark (Jackson) rejects.
 """
 import os
 
@@ -54,8 +59,9 @@ TABLES = ("region nation customer supplier part orders lineitem "
 #: rows 0-2: clearly-malformed in BOTH JSON dialects;
 #: rows 3-4: VALID JSON that is not an object (r18 — json_valid passes,
 #: from_json-to-MapType still yields a NULL map);
-#: rows 5-10 (r19): valid objects with TYPE-MISMATCHED $.k values;
-#: row 11 (r19): 1500-deep nesting — a VALIDITY-DIALECT probe (Jackson
+#: rows 5-13 (r19 + r20 coercion classes): valid objects with
+#: TYPE-MISMATCHED $.k values, sourced from the census pin list;
+#: last row (r19): 1500-deep nesting — a VALIDITY-DIALECT probe (Jackson
 #: rejects depth > 1000 so Spark's parses yield NULL, DuckDB's yyjson
 #: accepts unbounded depth) that stays ALIGNED because a nested-object
 #: $.k extracts to NULL through every consumer's contract on both sides

@@ -409,6 +409,36 @@ def test_ts_oracles_carry_quarantine_shadow():
         "column_profile_documents"}
 
 
+def test_wrapped_oracles_parse_in_duckdb():
+    """The wrap itself must not BREAK an oracle (ADVICE r19 item 1):
+    _wrap_ts_quarantine prepends shadow CTEs by text surgery, so an
+    oracle starting with a SQL comment before WITH, or one defining
+    its own CTE named orders/lineitem/events, would mis-splice into
+    invalid SQL (malformed WITH or duplicate CTE name). The shadow
+    gate above only catches a MISSING shadow — this gate EXPLAINs
+    every wrapped oracle in a viewless DuckDB so wrap-induced
+    breakage fails here, at parse/bind time, instead of in the
+    driver. Views are registered over the smoke tables (binding — not
+    just parsing — is what catches a duplicate-CTE collision)."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_SMOKE}/{t}.parquet'")
+    failures = []
+    for name, spec in QUERIES.items():
+        if spec.oracle is None:
+            continue
+        try:
+            con.execute(f"EXPLAIN {spec.oracle}")
+        except duckdb.Error as e:
+            failures.append((name, str(e).splitlines()[0]))
+    assert not failures, (
+        f"wrapped oracles no longer parse/bind in DuckDB: {failures}")
+
+
 def test_vector_oracles_carry_canonical_exclusion():
     """Single-source gate for the vecs() twin (r18 --shortvec lesson:
     the exclusion predicate was BAKED into 14 oracle strings, so when

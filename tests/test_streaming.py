@@ -668,3 +668,49 @@ def test_stream_tumbling_out_of_window_ts_matches_batch_twin(
     # and no out-of-window window ever entered the stream's state
     years = {r.window_start.year for r in got.collect()}
     assert years and max(years) < 2263 and min(years) > 1677
+
+
+def test_stream_quarantine_boundary_is_session_tz_invariant(
+        spark, tmp_path):
+    """r20 (ADVICE r19 item 3): the stream-source ts quarantine must
+    cut at the same INSTANTS in every session timezone. The pre-r20
+    filter compared against session-tz TIMESTAMP literals — correct
+    only because the engine pins UTC; a user session in another zone
+    would shift the streaming boundary by the tz offset relative to
+    the batch choke point (which filters the RAW columns with
+    representation-matched bounds) and split stream-vs-batch near the
+    window edges. The bounds are now epoch-µs instants
+    (sources.tables.ts_window_us), so the kept-row set over a fixture
+    with rows exactly AT and 1s OUTSIDE each window edge must be
+    identical under UTC and a DST-shifting zone."""
+    from mapreduce_4sl08_spark.sources.tables import ts_window_us
+
+    lo_us, hi_us = ts_window_us()
+    rows = [  # (event_id, µs-instant or None)
+        (1, lo_us - 1_000_000),   # 1s before the window: quarantined
+        (2, lo_us),               # exactly at the lower edge: kept
+        (3, hi_us),               # exactly at the upper edge: kept
+        (4, hi_us + 1_000_000),   # 1s past the window: quarantined
+        (5, 1_500_000_000_000_000),  # a 2017 instant: kept
+        (6, None),                # NULL ts: kept (r17 null-ts contract)
+    ]
+    src = str(tmp_path / "tz_edges")
+    (spark.createDataFrame(rows, "event_id long, us long")
+     .select("event_id", F.timestamp_micros("us").alias("ts"),
+             F.lit(1).cast("long").alias("user_id"),
+             F.lit("view").alias("event_type"),
+             F.lit(1.0).alias("value"), F.lit("{}").alias("props"))
+     .write.parquet(src))
+
+    def kept_ids(tz):
+        spark.conf.set("spark.sql.session.timeZone", tz)
+        try:
+            got = run_to_memory(events_stream(spark, src),
+                                f"t_tz_{tz.replace('/', '_')}")
+            return sorted(r.event_id for r in got.collect())
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    assert kept_ids("UTC") == [2, 3, 5, 6]
+    assert kept_ids("America/New_York") == [2, 3, 5, 6]
+    assert kept_ids("Asia/Kathmandu") == [2, 3, 5, 6]  # +05:45 offset

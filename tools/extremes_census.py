@@ -57,17 +57,19 @@ BOUNDARY and do not fail the exit status; every OTHER query must
 still be value-equal (joins fan out N×M identically, argmax picks
 among identical payloads, distinct collapses).
 
---proptype (r19, VERDICT r18 item 4): events.props rows 1-5 carry
+--proptype (r19, VERDICT r18 item 4): events.props rows 1-9 carry
 VALID JSON objects whose $.k value is type-mismatched for the int
 extraction — a non-numeric string, a string-typed integer, an array,
-an int32-overflow integer, and a whitespace-padded string-int. The
-contract (probed per engine pair): mismatched value → NULL extraction
-on BOTH sides — Spark via try_cast / try_variant_get / PERMISSIVE
-from_json map-nulling, DuckDB via the strict-integer regex mirror
+an int32-overflow integer, a whitespace-padded string-int, and (r20,
+ADVICE r19 item 2) the numeric-coercion classes: a DOUBLE-typed
+integer value 20.0 (divisible by 10 — the row the pre-r20 variant
+path silently KEPT while the oracle dropped it), a non-integer double
+1.5, and a boolean. The contract (probed per engine pair):
+mismatched value → NULL extraction on BOTH sides — Spark via
+try_cast / schema-gated try_variant_get / PERMISSIVE from_json
+map-nulling, DuckDB via the strict-integer regex mirror
 (plans/events._K_STRICT) and the map-level arm
-(plans/extended._MAP_BAD_VALUE). Numeric/boolean COERCION of
-non-integer values stays a documented dialect boundary (1.5:
-variant-get truncates, DuckDB TRY_CAST rounds, string-cast NULLs).
+(plans/extended._MAP_BAD_VALUE).
 
 --negzero (r19): row 2 of every float scalar measure becomes -0.0 —
 IEEE signed zero survives parquet round-trips and arises from rounding
@@ -204,14 +206,16 @@ def build_soup(src: str, out: str) -> str:
     row 3 -Inf AND year-9999 temporal, row 4 year-1 temporal, row 5
     NULL measures/text, row 6 -0.0 measures; embeddings additionally:
     row 1 NaN element, row 2 +Inf element, row 3 truncated, row 4 NULL
-    element, row 5 NULL vector, row 6 all-zeros; events.props rows 1-6
-    cycle the malformed + type-mismatched classes."""
+    element, row 5 NULL vector, row 6 all-zeros; events.props rows 1-7
+    cycle the malformed + type-mismatched + coercion classes (row 7:
+    the DOUBLE-typed 20.0 that splits cardinality without the r20
+    variant schema gate)."""
     import math
 
     import pyarrow as pa
     import pyarrow.parquet as pq
     props_dirt = ['{"k":', "not json", '{"k": "abc"}', '{"k": [1]}',
-                  None, '{"k": " 20 "}']
+                  None, '{"k": " 20 "}', '{"k": 20.0}']
     for t in TABLES:
         tab = pq.read_table(os.path.join(src, f"{t}.parquet")).slice(0, 8)
         d = tab.to_pydict()
@@ -297,7 +301,12 @@ def build_duplicated(src: str, out: str) -> str:
 #: cast trims it, so the oracle's strict-integer regex must too
 TYPE_MISMATCH_PROPS = ['{"k": "abc"}', '{"k": "7"}', '{"k": [1]}',
                        '{"k": 99999999999999}', '{"k": " 20 "}',
-                       '{"k": "\\t9"}']
+                       '{"k": "\\t9"}',
+                       # r20 coercion classes (ADVICE r19 item 2): the
+                       # DOUBLE-typed 20.0 is the cardinality-split row
+                       # (% 10 == 0) the schema gate now drops engine-
+                       # identically; 1.5/true pin truncation/boolean
+                       '{"k": 20.0}', '{"k": 1.5}', '{"k": true}']
 
 
 def build_prop_type_mismatch(src: str, out: str) -> str:
