@@ -304,8 +304,13 @@ def stream_user_value_ema(events: DataFrame, alpha: float = 0.3) -> DataFrame:
         def close(self) -> None:
             pass
 
+    # null-ts rows are excluded like the transition operator's (r20):
+    # the fold is ts-ordered, and pandas sorts NaT LAST within a batch
+    # where the batch oracle orders nulls first — one null-ts row with
+    # a live value would silently reorder the fold on dirty sources
     return (
-        events.groupBy("user_id")
+        events.filter(F.col("ts").isNotNull())
+        .groupBy("user_id")
         .transformWithStateInPandas(
             statefulProcessor=EmaProcessor(),
             outputStructType=EMA_OUTPUT_SCHEMA,
@@ -357,7 +362,16 @@ def stream_transition_counts(events: DataFrame,
     (ts, event_id)); the caller feeds time-ordered files — the same
     contract a production deployment meets with ordered log segments
     plus allowed-lateness reorder buffering upstream. State is O(users)
-    and partition-local to the user_id shuffle key."""
+    and partition-local to the user_id shuffle key.
+
+    Null-ts rows are excluded EXPLICITLY (r20, found by the composed
+    soup twin test): a transition is ordered by ts, so the batch twin
+    (plans/events.events_transition_matrix) drops them — but a
+    watermark does NOT drop null event times from a stateful operator
+    (it only governs state eviction; probed empirically on
+    dropDuplicatesWithinWatermark and applyInPandasWithState), so
+    without the filter one null-ts row adds a phantom transition and
+    splits stream from batch on dirty sources."""
 
     def update(key, pdfs, state):
         import pandas as pd
@@ -377,7 +391,8 @@ def stream_transition_counts(events: DataFrame,
             })
 
     return (
-        events.withWatermark("ts", watermark)
+        events.filter(F.col("ts").isNotNull())
+        .withWatermark("ts", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
             update,

@@ -14,6 +14,16 @@ Reading: |median(now) - median(r16)| within the cross-round spread →
 the driver delta was noise; a reproducible gap → the named diff costs
 real time and needs attention.
 
+r20 (VERDICT r19 item 5) adds the three rows the r19 driver bench
+showed elevated, each against its faithful R18 reconstruction:
+events_tumbling_hourly and events_sessionize differ from r18 only by
+the ts-quarantine scan filter (the single r19 hot-path change), so the
+r18 arm is the identical plan body over an unquarantined read;
+sort_customers_multi reads only `customer` — NOT a quarantined table —
+so its r18 form IS the current plan, and its pair doubles as the
+noise-floor sentinel (two identical plans: any delta there calibrates
+pure host drift).
+
     python tools/ab_bench_movers.py [sf_dir] [rounds]
 """
 from __future__ import annotations
@@ -108,6 +118,71 @@ def _r16_user_features(spark, sf_dir):
     )
 
 
+def _r18_tumbling(spark, sf_dir):
+    """events_tumbling_hourly as of r18: identical body, events read
+    WITHOUT the r19 ts-quarantine scan filter."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_4sl08_spark.plans.base import cents, dollars
+    from mapreduce_4sl08_spark.sources.tables import load_table
+    e = load_table(spark, sf_dir, "events", quarantine=False)
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum(cents("value")).alias("_sv_c"))
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "n_events", dollars("_sv_c", "sum_value"))
+        .orderBy("window_start", "event_type")
+    )
+
+
+def _r18_sessionize(spark, sf_dir):
+    """events_sessionize as of r18: identical body (incl. the null-ts
+    filter and finite cents), events read WITHOUT the quarantine."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mapreduce_4sl08_spark.plans.base import cents, dollars
+    from mapreduce_4sl08_spark.sources.tables import load_table
+    e = load_table(spark, sf_dir, "events",
+                   quarantine=False).filter(F.col("ts").isNotNull())
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc())
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts", 1).over(w))
+    sessions = (
+        e.withColumn("new_session",
+                     F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .withColumn("session_seq", F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    )
+    return (
+        sessions.groupBy("user_id", "session_seq")
+        .agg(F.min("ts").alias("session_start"),
+             F.max("ts").alias("session_end"),
+             F.count(F.lit(1)).alias("n_events"),
+             F.sum(cents("value")).alias("_sv_c"))
+        .select("user_id", "session_seq", "session_start", "session_end",
+                "n_events", dollars("_sv_c", "sum_value"))
+        .orderBy("user_id", "session_seq")
+    )
+
+
+def _r18_sort_multi(spark, sf_dir):
+    """sort_customers_multi as of r18 == the CURRENT plan (customer is
+    not a quarantined table; no r19 diff touched it). Identical-plan
+    pair = the noise-floor sentinel."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_4sl08_spark.plans.base import t
+    c = t(spark, sf_dir, "customer")
+    return (
+        c.select("c_custkey", "c_mktsegment",
+                 F.round("c_acctbal", 2).alias("c_acctbal"))
+        .orderBy(F.col("c_mktsegment").asc(), F.col("c_acctbal").desc(),
+                 F.col("c_custkey").asc())
+    )
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 7
@@ -117,12 +192,23 @@ def main() -> int:
 
     spark = get_session()
     pairs = {
-        "events_sessionize":
+        "events_sessionize_vs_r16":
             (QUERIES["events_sessionize"].fn,
              _r16_sessionize),
-        "events_user_features":
+        "events_user_features_vs_r16":
             (QUERIES["events_user_features"].fn,
              _r16_user_features),
+        # r20 movers (VERDICT r19 item 5): the three rows elevated in
+        # the r19 driver bench, vs their r18 forms
+        "events_tumbling_hourly_vs_r18":
+            (QUERIES["events_tumbling_hourly"].fn,
+             _r18_tumbling),
+        "events_sessionize_vs_r18":
+            (QUERIES["events_sessionize"].fn,
+             _r18_sessionize),
+        "sort_customers_multi_vs_r18_noise_floor":
+            (QUERIES["sort_customers_multi"].fn,
+             _r18_sort_multi),
     }
 
     for name, (now_fn, r16_fn) in pairs.items():
