@@ -584,10 +584,19 @@ def _pagerank_oracle_sql(iterations: int = 10) -> str:
     """Unrolled fixed-iteration PageRank as a DuckDB CTE chain — same
     recurrence as operators/graph.py:pagerank (damping written as
     ``1.0 - 0.85`` so both engines evaluate the identical IEEE
-    expression; Python's ``1.0 - 0.85`` != literal ``0.15``)."""
+    expression; Python's ``1.0 - 0.85`` != literal ``0.15``).
+
+    Every CTE is AS MATERIALIZED (r20): DuckDB INLINES non-recursive
+    CTEs by default, so the plain chain re-executed ``edges`` — the
+    6M-row join + DISTINCT at the 10x fixture — inside every unrolled
+    iteration: the oracle went super-linear (>9 min at 10x where the
+    Spark side takes seconds) and stalled the first full-registry 10x
+    sweep. Materialization pins each relation to one execution
+    (10x: 17 s) and is value-identical (the hint only changes
+    execution, proven equal at sf0.01 before shipping)."""
     steps = []
     for i in range(1, iterations + 1):
-        steps.append(f"""r{i} AS (
+        steps.append(f"""r{i} AS MATERIALIZED (
   SELECT nd.node,
          (1.0 - 0.85) / p.n + 0.85 * COALESCE(m.in_mass, 0.0) AS rank
   FROM nodes nd CROSS JOIN params p
@@ -599,17 +608,17 @@ def _pagerank_oracle_sql(iterations: int = 10) -> str:
 )""")
     chain = ",\n".join(steps)
     return f"""
-WITH edges AS (
+WITH edges AS MATERIALIZED (
   SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 ),
-nodes AS (
+nodes AS MATERIALIZED (
   SELECT src AS node FROM edges UNION SELECT dst FROM edges
 ),
-params AS (SELECT COUNT(*)::DOUBLE AS n FROM nodes),
-outdeg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
-links AS (SELECT e.src, e.dst, o.outdeg FROM edges e JOIN outdeg o ON e.src = o.src),
-r0 AS (SELECT node, 1.0 / (SELECT n FROM params) AS rank FROM nodes),
+params AS MATERIALIZED (SELECT COUNT(*)::DOUBLE AS n FROM nodes),
+outdeg AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+links AS MATERIALIZED (SELECT e.src, e.dst, o.outdeg FROM edges e JOIN outdeg o ON e.src = o.src),
+r0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM params) AS rank FROM nodes),
 {chain}
 SELECT node, ROUND(rank, 8) AS rank
 FROM r{iterations}

@@ -111,6 +111,19 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     # k now NULLs (drops) on BOTH engines instead of Spark-only
     # truncating:
     "events_variant_extract",
+    # Block 1b — the five rows whose ORACLE changed this round
+    # (value-identical AS MATERIALIZED hints: DuckDB inlines
+    # non-recursive CTEs, so the unrolled-pagerank chain and the
+    # recursive label-propagation walk re-executed their expensive base
+    # relation per iteration — >9 min / 85 s at the 10x fixture, which
+    # stalled the first full-registry 10x sweep; all five re-proven
+    # value-equal at sf0.01 against the driver contract before
+    # shipping):
+    "graph_pagerank_purchases",
+    "dedup_connected_components",
+    "dedup_cluster_stats",
+    "cluster_best_survivor",
+    "corpus_curation_pipeline",
     # Blocks 2-4 — the 74 rows of r19's 124-row priority tuple beyond
     # that round's ~50-row driver budget (VERDICT r19 item 1: "they
     # must lead r20"). All were proven by six 168/168 builder sweeps,

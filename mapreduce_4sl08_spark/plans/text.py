@@ -1071,12 +1071,19 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _components_sql() -> str:
-    # reuse the pair query verbatim so edges match the Spark side exactly
+    # reuse the pair query verbatim so edges match the Spark side
+    # exactly. pairs/edges are AS MATERIALIZED (r20): DuckDB inlines
+    # non-recursive CTEs, and the recursive `walk` term re-executes its
+    # join input EVERY iteration — without the hint the whole shingle
+    # self-join re-ran per label-propagation round (the
+    # cluster_best_survivor composition hit 85 s at the 10x fixture,
+    # same class as the pagerank oracle stall). Value-identical: the
+    # hint only pins execution, proven equal at sf0.01 before shipping.
     pair_sql = DEDUP_JACCARD_SQL.strip().rstrip(";")
     return f"""
 WITH RECURSIVE
-pairs AS ({pair_sql}),
-edges AS (
+pairs AS MATERIALIZED ({pair_sql}),
+edges AS MATERIALIZED (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
   UNION ALL
   SELECT doc_b AS src, doc_a AS dst FROM pairs
