@@ -124,6 +124,7 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     "dedup_cluster_stats",
     "cluster_best_survivor",
     "corpus_curation_pipeline",
+    "trade_reachability_recursive",
     # Blocks 2-4 — the 74 rows of r19's 124-row priority tuple beyond
     # that round's ~50-row driver budget (VERDICT r19 item 1: "they
     # must lead r20"). All were proven by six 168/168 builder sweeps,
@@ -206,7 +207,6 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     "salted_hot_key_agg",
     "session_path_topk",
     "supplier_concentration_hhi",
-    "trade_reachability_recursive",
     "weighted_median_price_by_nation",
     "window_trailing_30d_spend",
     "window_value_functions",

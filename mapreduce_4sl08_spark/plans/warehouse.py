@@ -413,8 +413,13 @@ def trade_reachability_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+# flows/edges AS MATERIALIZED (r20 scale gate): the recursive reach
+# term joins `edges` per hop — DuckDB inlines non-recursive CTEs, so
+# without the hint the full lineitem 3-way join re-ran every hop
+# (bounded here at 3 hops, but the same class that blew up the
+# pagerank oracle at the 10x fixture). Value-identical.
 REACHABILITY_SQL = f"""
-WITH RECURSIVE flows AS (
+WITH RECURSIVE flows AS MATERIALIZED (
   SELECT c.c_nationkey::INT AS src, s.s_nationkey::INT AS dst,
          SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
   FROM lineitem
@@ -424,7 +429,7 @@ WITH RECURSIVE flows AS (
   WHERE c.c_nationkey <> s.s_nationkey
   GROUP BY 1, 2
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT src, dst FROM (
     SELECT src, dst,
            row_number() OVER (PARTITION BY src

@@ -409,6 +409,36 @@ def test_ts_oracles_carry_quarantine_shadow():
         "column_profile_documents"}
 
 
+def test_iterative_oracles_materialize_their_base_ctes():
+    """Scale gate for the ORACLE side (r20): DuckDB inlines
+    non-recursive CTEs, so an iterative oracle — an unrolled
+    fixed-iteration chain or a WITH RECURSIVE walk — re-executes its
+    base relation once PER ITERATION unless the base is AS
+    MATERIALIZED. That made the pagerank oracle >9 min and the
+    CC-composed survivor oracle 85 s at the 10x fixture (vs seconds
+    for the Spark side) and stalled the full-registry 10x sweep. Pin
+    the hint so a rewrite doesn't silently reintroduce the blowup:
+    every recursive oracle whose walk joins a derived base relation
+    must materialize that base."""
+    import re
+
+    for name, spec in QUERIES.items():
+        if spec.oracle is None or "WITH RECURSIVE" not in spec.oracle:
+            continue
+        # trade_reachability_recursive's recursive term joins a raw
+        # TABLE (no derived base to re-execute) — exempt by structure
+        if not re.search(r"pairs AS|edges AS", spec.oracle):
+            continue
+        assert "AS MATERIALIZED" in spec.oracle, (
+            f"{name}: recursive oracle joins a derived base CTE without "
+            f"AS MATERIALIZED — it will re-execute the base per "
+            f"iteration and blow up at 10x+ fixtures")
+    from mapreduce_4sl08_spark.plans.extended import PAGERANK_SQL
+    assert PAGERANK_SQL.count("AS MATERIALIZED") == 16, (
+        "the unrolled pagerank oracle must materialize all 16 CTEs "
+        "(edges/nodes/params/outdeg/links/r0 + the 10 iterations)")
+
+
 def test_wrapped_oracles_parse_in_duckdb():
     """The wrap itself must not BREAK an oracle (ADVICE r19 item 1):
     _wrap_ts_quarantine prepends shadow CTEs by text surgery, so an
