@@ -15,6 +15,15 @@ applies), every `queries()` entry hash-compared against its
 Exit 0 = every query green; exit 1 = any mismatch, with a per-query
 FAIL line and the exception. ~2-3 min for the full registry at sf0.01
 on this container. Run before every round end.
+
+Per-query watchdog (r20): the first full-registry sweep at the 10x
+fixture STALLED — DuckDB re-executed an inlined CTE per unrolled
+pagerank iteration, >9 min for one oracle with no output, and the
+stall was only diagnosed by hand (ps + per-side reproduction). Each
+side now runs under a wall-clock budget ($SWEEP_QUERY_TIMEOUT seconds,
+default 600): an overrun interrupts DuckDB (connection.interrupt) /
+cancels the Spark job group and FAILS that query by name, so a future
+super-linear plan or oracle costs one red line, not a lost round.
 """
 
 from __future__ import annotations
@@ -50,15 +59,25 @@ def main() -> int:
         con.execute(f"CREATE VIEW {tbl} AS SELECT * "
                     f"FROM '{sf_dir}/{tbl}.parquet'")
 
+    from tools.sweep_watchdog import timeboxed
+
+    sc = spark.sparkContext
     qs, oracles = E.queries(), E.oracle_sql()
     failures: list[str] = []
     t0 = time.perf_counter()
     for i, name in enumerate(qs, 1):
         tq = time.perf_counter()
         try:
-            got = qs[name](spark, sf_dir).toPandas()
+            sc.setJobGroup(name, name, interruptOnCancel=True)
+            got = timeboxed(
+                f"{name} (spark)",
+                lambda: qs[name](spark, sf_dir).toPandas(),
+                lambda: sc.cancelJobGroup(name))
             if name in oracles:
-                want = con.execute(oracles[name]).fetchdf()
+                want = timeboxed(
+                    f"{name} (oracle)",
+                    lambda: con.execute(oracles[name]).fetchdf(),
+                    con.interrupt)
                 compare_frames(got, want, name)
                 status = "ok"
             else:

@@ -52,14 +52,26 @@ def main() -> int:
     if unknown:
         print("unknown queries:", ", ".join(unknown))
         return 2
+    # same per-query watchdog as sweep_all (see tools/sweep_watchdog):
+    # a super-linear plan or oracle fails by name instead of stalling
+    from tools.sweep_watchdog import timeboxed
+
+    sc = spark.sparkContext
     failures: list[str] = []
     t0 = time.perf_counter()
     for i, name in enumerate(names, 1):
         tq = time.perf_counter()
         try:
-            got = qs[name](spark, sf_dir).toPandas()
+            sc.setJobGroup(name, name, interruptOnCancel=True)
+            got = timeboxed(
+                f"{name} (spark)",
+                lambda: qs[name](spark, sf_dir).toPandas(),
+                lambda: sc.cancelJobGroup(name))
             if name in oracles:
-                want = con.execute(oracles[name]).fetchdf()
+                want = timeboxed(
+                    f"{name} (oracle)",
+                    lambda: con.execute(oracles[name]).fetchdf(),
+                    con.interrupt)
                 compare_frames(got, want, name)
                 status = "ok"
             else:
