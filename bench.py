@@ -136,6 +136,16 @@ def main() -> None:
         "queries_min": mins,
         "runs": n_runs,
         "sf": sf,
+        # Cross-round box-state sentinels (VERDICT r20 item 4): two
+        # fingerprint-pinned rows whose plans stay untouched round over
+        # round (sort_customers_multi reads one small unquarantined
+        # table; events_tumbling_hourly had identical fingerprints
+        # through r19-r21). A uniform move in BOTH sentinels between
+        # rounds is host drift — normalize the other rows by it before
+        # calling a regression.
+        "sentinel": {n: medians[n]
+                     for n in ("sort_customers_multi",
+                               "events_tumbling_hourly") if n in medians},
     }
     if errors:
         # partial total: "value" covers only the queries that ran, so a

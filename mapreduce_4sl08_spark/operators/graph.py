@@ -44,7 +44,10 @@ def pagerank(edges: DataFrame, iterations: int = 10,
         # 1/n seed would otherwise ZeroDivisionError (r15 sf0 sweep)
         return nodes.withColumn("rank", F.lit(0.0))
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    links = truncate_lineage(edges.join(outdeg, "src"))
+    # lazy (r21): the plan-size cut happens at wrap time either way;
+    # the blocks materialize inside the consumer's first job instead of
+    # paying a dedicated materialization job per truncation
+    links = truncate_lineage(edges.join(outdeg, "src"), eager=False)
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     for i in range(iterations):
@@ -63,7 +66,7 @@ def pagerank(edges: DataFrame, iterations: int = 10,
             )
         )
         if (i + 1) % _CKPT_EVERY == 0 and i < iterations - 1:
-            ranks = truncate_lineage(ranks)
+            ranks = truncate_lineage(ranks, eager=False)
     return ranks
 
 

@@ -147,9 +147,16 @@ class QuerySpec:
     doc: str = ""
 
 
-def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Shorthand table loader used by every plan builder."""
-    return load_table(spark, sf_dir, name)
+def t(spark: SparkSession, sf_dir: str, name: str,
+      fanout: bool = False) -> DataFrame:
+    """Shorthand table loader used by every plan builder.
+
+    ``fanout=True`` opts this call site into the post-scan parallelism
+    floor (sources/tables.py): use it where heavy per-row JVM work
+    follows the scan (tokenize/shingle/hash pipelines, multi-measure
+    aggregations, per-pair vector math) — measured r21 to cut those
+    queries 0.55-0.83x, while costing a fixed exchange on cheap ones."""
+    return load_table(spark, sf_dir, name, fanout=fanout)
 
 
 #: Declared corpus embedding dimensionality (TESTDATA.md schema). A
@@ -176,7 +183,7 @@ def vec_finite_sql(col: str = "embedding") -> str:
             f" = 0")
 
 
-def vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def vecs(spark: SparkSession, sf_dir: str, fanout: bool = False) -> DataFrame:
     """The embeddings relation as VECTOR OPERATORS see it: rows whose
     embedding is NULL are excluded (r16 null-sweep find — a missing
     vector has no geometry; NULL lists crashed the numpy signature /
@@ -202,7 +209,7 @@ def vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     with an unfiltered COUNT(*)) — a slightly-wide width on a
     dirty-vector corpus is safe, a cross-engine width split is not."""
     bad = lambda x: x.isNull() | F.isnan(x) | (F.abs(x) == F.lit(float("inf")))  # noqa: E731
-    return (load_table(spark, sf_dir, "embeddings")
+    return (load_table(spark, sf_dir, "embeddings", fanout=fanout)
             .filter(F.col("embedding").isNotNull())
             .filter(F.size("embedding") == EMB_DIM)
             .filter(~F.exists("embedding", bad)))

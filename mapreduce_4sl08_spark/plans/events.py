@@ -123,8 +123,11 @@ ORDER BY window_start
 
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # null-ts contract (module note above): sequence boundaries are
-    # undefined for an event with no time — exclude on BOTH sides
-    e = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    # undefined for an event with no time — exclude on BOTH sides.
+    # fanout: the user_id-hash exchange it adds is exactly the window's
+    # required ClusteredDistribution, so the lag/sum windows below reuse
+    # it instead of shuffling post-normalization rows (r21: 0.94x)
+    e = t(spark, sf_dir, "events", fanout=True).filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts", 1).over(w))
     sessions = (

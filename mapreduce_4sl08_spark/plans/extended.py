@@ -200,14 +200,6 @@ _SIMHASH_BANDS = 4  # 16 bits per band; hamming<=3 → >=1 identical band (pigeo
 _HAMMING_MAX = 3
 
 
-def _half_bit(col: str, bit: int):
-    """+1/-1 contribution of a token to bit `bit` of one 32-bit simhash
-    half, reading the pre-computed token-hash column (hash the token ONCE
-    in a projection — aggregate expressions are not CSE'd, so embedding
-    md5 here would compute it 64 times per row)."""
-    return (F.shiftright(F.col(col), bit).bitwiseAND(F.lit(1)) * 2 - 1)
-
-
 #: per-(application, sf_dir) memo of the persisted fingerprint table —
 #: the banded self-join reads it on BOTH sides, and without persistence
 #: each side re-runs the corpus scan + tokenize + md5 + 64-sum
@@ -232,7 +224,11 @@ def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     memo_key = (spark.sparkContext.applicationId, sf_dir)
     hashed = _SIMHASH_MEMO.get(memo_key)
     if hashed is None:
-        d = t(spark, sf_dir, "documents")
+        # fanout: tokenize + per-token md5 + the 64-sum aggregation is
+        # heavy map work; the doc_id-hash exchange it adds is REUSED by
+        # the groupBy("doc_id") right below (ClusteredDistribution), so
+        # the fingerprint build gains parallelism without a new shuffle
+        d = t(spark, sf_dir, "documents", fanout=True)
         # token distinctness only exists WITHIN a document, so dedup
         # row-locally with array_distinct before exploding — the row-level
         # .distinct() it replaces shuffled the whole exploded token index
@@ -250,60 +246,85 @@ def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.conv(F.substring("m", 9, 8), 16, 10).cast("long").alias("h_lo"),
             )
         )
+        # Packed-counter aggregation (r21 optimization round). The
+        # mathematical contract is unchanged — bit b of a half is set
+        # iff SUM over tokens of (2·bit_b − 1) >= 0, which is exactly
+        # 2·cnt_b >= n where cnt_b counts tokens with bit b set and n
+        # is the doc's (distinct-)token count. Instead of 64 separate
+        # ±1 SUM buffers (one per bit per half), each of the 32 bit
+        # positions accumulates BOTH halves' counters in one BIGINT:
+        # low 32 bits carry cnt_hi_b, bits 32+ carry cnt_lo_b
+        # (integer sums commute exactly; no float anywhere). Overflow
+        # bound: acc_b <= n·(2^32 + 1), signed-64-safe to n ≈ 2.1e9
+        # tokens/doc — Spark's 2 GB string cap bounds a doc's token
+        # count ~2x lower, so the packing can never wrap.
+        #
+        # Why restructure at all: the previous form built ~700 Column
+        # objects through py4j (64 sums + 64 CASE terms + chained
+        # adds) — measured 1.86 s of DRIVER time per invocation at
+        # sf0.1, more than the query's entire execution (1.3 s). The
+        # packed form is 32 agg expressions + 2 reconstruction
+        # expressions, parsed from SQL strings in a handful of py4j
+        # calls; it also halves the hash-aggregate buffer width.
         sim = hashed_toks.groupBy("doc_id").agg(
-            *[F.sum(_half_bit(f"h_{half}", b)).alias(f"s_{half}_{b}")
-              for half in ("hi", "lo") for b in range(_SIMHASH_HALF_BITS)])
-        halves = []
-        for half in ("hi", "lo"):
-            bits = None
-            for b in range(_SIMHASH_HALF_BITS):
-                term = F.when(F.col(f"s_{half}_{b}") >= 0,
-                              F.lit(1 << b)).otherwise(F.lit(0))
-                bits = term if bits is None else bits + term
-            halves.append(bits.cast("long").alias(f"sim_{half}"))
+            *[F.expr(f"sum(((h_hi >> {b}) & 1) + (((h_lo >> {b}) & 1) << 32))")
+              .alias(f"acc_{b}") for b in range(_SIMHASH_HALF_BITS)],
+            F.count(F.lit(1)).alias("n_toks"),
+        )
+        cnt = {"hi": lambda b: f"(acc_{b} & 4294967295)",
+               "lo": lambda b: f"(acc_{b} >> 32)"}
+        halves = [
+            F.expr("CAST(" + " + ".join(
+                f"(CASE WHEN 2 * {cnt[half](b)} >= n_toks "
+                f"THEN {1 << b} ELSE 0 END)"
+                for b in range(_SIMHASH_HALF_BITS)) + " AS BIGINT)")
+            .alias(f"sim_{half}")
+            for half in ("hi", "lo")
+        ]
         # persisted + memoized: BOTH sides of the banded self-join read
         # the fingerprint table — without this each side re-ran the
-        # corpus scan + md5 + 64-sum aggregation (see _SIMHASH_MEMO)
+        # corpus scan + md5 + sum aggregation (see _SIMHASH_MEMO)
         hashed = sim.select("doc_id", *halves).persist()
         _SIMHASH_MEMO[memo_key] = hashed
 
-    def _band_slice(side: str, j: int):
+    # All join-side expressions below are SQL strings parsed by one
+    # F.expr each (r21): the Column-algebra form cost ~100 py4j round
+    # trips per invocation for identical analyzed expressions.
+    # shiftright(x, n) function form, not `x >> n`: inside array(...)
+    # the SQL lexer resolves `>>` as two type-argument closers (the
+    # ARRAY<ARRAY<int>> ambiguity) and the infix form fails to parse
+    def _band_slice(side: str, j: int) -> str:
         half = "hi" if j < 2 else "lo"
-        return (F.shiftright(F.col(f"{side}.sim_{half}"), 16 * (j % 2))
-                .bitwiseAND(F.lit(0xFFFF)))
+        return f"(shiftright({side}.sim_{half}, {16 * (j % 2)}) & 65535)"
 
     # 4×16-bit bands: two per half — keys stay small positive ints
-    band_exprs = [
-        F.concat(F.lit(f"{j}:"),
-                 F.shiftright(F.col(f"sim_{half}"), 16 * (j % 2))
-                 .bitwiseAND(F.lit(0xFFFF)))
-        for j, half in enumerate(("hi", "hi", "lo", "lo"))
-    ]
+    band_sql = ", ".join(
+        f"concat('{j}:', shiftright(sim_{half}, {16 * (j % 2)}) & 65535)"
+        for j, half in enumerate(("hi", "hi", "lo", "lo")))
     bands = hashed.select(
         "doc_id", "sim_hi", "sim_lo",
-        F.posexplode(F.array(*band_exprs)).alias("band_id", "band_key"),
+        F.posexplode(F.expr(f"array({band_sql})")).alias("band_id", "band_key"),
     )
     a, b2 = bands.alias("a"), bands.alias("b")
-    hamming = (
-        F.bit_count(F.col("a.sim_hi").bitwiseXOR(F.col("b.sim_hi")))
-        + F.bit_count(F.col("a.sim_lo").bitwiseXOR(F.col("b.sim_lo")))
-    ).cast("int")
+    hamming = ("CAST(bit_count(a.sim_hi ^ b.sim_hi)"
+               " + bit_count(a.sim_lo ^ b.sim_lo) AS INT)")
     # a pair sharing k of the 4 bands is emitted by k joined rows; keep
     # only the row whose matched band is the FIRST equal band (decidable
     # row-locally — both full fingerprints ride along), so every
     # qualifying pair is emitted exactly once and the .distinct() this
     # replaces — a shuffle of every verified multi-band pair (2.7×
     # multiplicity measured at sf0.1: 281,692 → 105,002 rows) — is gone.
-    first_eq = F.when(_band_slice("a", 0) == _band_slice("b", 0), 0) \
-                .when(_band_slice("a", 1) == _band_slice("b", 1), 1) \
-                .when(_band_slice("a", 2) == _band_slice("b", 2), 2) \
-                .otherwise(3)
+    first_eq = ("CASE"
+                + "".join(
+                    f" WHEN {_band_slice('a', j)} = {_band_slice('b', j)}"
+                    f" THEN {j}" for j in range(3))
+                + " ELSE 3 END")
     return (
-        a.join(b2, (F.col("a.band_key") == F.col("b.band_key"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .filter((hamming <= _HAMMING_MAX) & (F.col("a.band_id") == first_eq))
+        a.join(b2, F.expr("a.band_key = b.band_key AND a.doc_id < b.doc_id"))
+        .filter(F.expr(f"{hamming} <= {_HAMMING_MAX}"
+                       f" AND a.band_id = ({first_eq})"))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
-                hamming.alias("hamming"))
+                F.expr(hamming).alias("hamming"))
         .orderBy("doc_a", "doc_b")
     )
 

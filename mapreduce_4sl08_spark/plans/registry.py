@@ -102,114 +102,74 @@ _MODULE_SPECS = [
 # End-of-round ritual: append the new round's names to the JSON, then
 # rewrite this tuple for the next round's changed plans.
 _ROUND_PRIORITY: tuple[str, ...] = (
-    # round 20 (VERDICT r19 item 1 + ADVICE r19 items). ORDER IS THE
-    # DRIVER'S PROOF BUDGET ALLOCATION (see _order_key).
-    # Block 1 — the one row whose PLAN and OUTPUT change this round:
-    # events_variant_extract closes the numeric-coercion cardinality
-    # split (ADVICE r19 item 2) by gating try_variant_get on the k
-    # sub-variant's schema (BIGINT/STRING only) — double/boolean-typed
-    # k now NULLs (drops) on BOTH engines instead of Spark-only
-    # truncating:
-    "events_variant_extract",
-    # Block 1b — the five rows whose ORACLE changed this round
-    # (value-identical AS MATERIALIZED hints: DuckDB inlines
-    # non-recursive CTEs, so the unrolled-pagerank chain and the
-    # recursive label-propagation walk re-executed their expensive base
-    # relation per iteration — >9 min / 85 s at the 10x fixture, which
-    # stalled the first full-registry 10x sweep; all five re-proven
-    # value-equal at sf0.01 against the driver contract before
-    # shipping):
-    "graph_pagerank_purchases",
+    # round 21 (optimization round 1; VERDICT r20 items 1+judge brief).
+    # ORDER IS THE DRIVER'S PROOF BUDGET ALLOCATION (see _order_key).
+    # Block 1 — the 14 rows whose PLAN or EXECUTION changed this round
+    # (scan fan-out on heavy-map call sites; simhash packed-counter
+    # aggregation; lazy lineage truncation in the CC/pagerank loops;
+    # SQL-string expression consolidation in the minhash/jaccard
+    # builders — all value-identical, proven by the 168/168 sf0.01
+    # sweep with fan-out active, but the driver must re-prove them
+    # first per the plan-drift gate):
+    # Block 2 — the 23-row r14-r16 proof-staleness tail (VERDICT r20
+    # item 1: multimodal pair, q8/q9/q12/q16/q20/q21, window rows),
+    # least-recently-proven first.
+    # Block 3 — the 30 unretired rows of r20's priority tuple (the
+    # block-4 tail the r20 driver budget did not reach).
+    "simhash_dedup",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
     "dedup_connected_components",
-    "dedup_cluster_stats",
-    "cluster_best_survivor",
-    "corpus_curation_pipeline",
-    "trade_reachability_recursive",
-    # Blocks 2-4 — the 74 rows of r19's 124-row priority tuple beyond
-    # that round's ~50-row driver budget (VERDICT r19 item 1: "they
-    # must lead r20"). All were proven by six 168/168 builder sweeps,
-    # the 124/124 driver-strict 10x sweep, and the judge's own 168/168
-    # sweep — this retires the driver-CORRECTNESS debt for their
-    # current (post-ts-quarantine) form. Order preserved from r19.
-    # Block 2 — r19 block-4 tail: ts-quarantine consumers that cross
-    # into pandas/Arrow or window state (highest-information re-proofs):
-    "events_sliding_windows",
-    "events_windowed_topk",
-    "events_retention_cohorts",
-    "events_rate_anomaly_mad",
-    "events_pivot_types",
-    "events_dedup_exact",
-    "events_asof_last_view",
-    "latest_event_per_user",
-    "daily_new_vs_returning",
-    "daily_revenue_gapfill",
-    "date_functions_showcase",
-    "rolling_active_users",
-    "scd2_status_history",
-    "window_running_spend",
-    "orders_monthly_yoy",
-    # Block 3 — r19 block 5: the 15 embeddings rows carrying the
-    # NULL-element vector contract (vec_finite_sql x IS NULL arm):
+    "wordcount_documents",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
     "knn_bruteforce_cosine",
-    "embedding_near_dup",
-    "lsh_bucket_ann",
-    "ivf_ann",
+    "events_sessionize",
+    "minhash_recall_eval",
+    "near_dup_containment",
+    "dedup_cross_source_matrix",
     "ivf_recall_eval",
-    "embedding_centroid_fixedpoint",
-    "embedding_dim_stats",
-    "embedding_label_outliers",
-    "embedding_quantization",
-    "embedding_norms",
-    "mapinarrow_norms",
-    "pandas_udf_norms",
-    "docs_with_embeddings",
-    "kmeans_lloyd_2iter",
-    "lsh_pair_distance_histogram",
-    # Block 4 — r19 block 6: remaining consumers of the shared
-    # load_table ts-quarantine scan filter (no per-query logic change):
-    "agg_approx_distinct",
-    "agg_percentiles",
-    "agg_rollup_lineitem",
-    "agg_stats_by_flag",
-    "approx_percentile_check",
-    "brand_basket_rules",
-    "copurchase_degree_histogram",
-    "customer_engagement_value",
-    "customer_rfm_segments",
-    "events_funnel_conversion",
-    "events_interarrival_histogram",
-    "events_json_extract",
-    "events_power_users_pareto",
+    "ivf_ann",  # shares the memoized IVF centroid table with ivf_recall_eval
+    "graph_pagerank_purchases",
+    "join_right_order_customer",
+    "lineitem_unpivot_measures",
+    "q13_order_count_histogram",
+    "q16_supplier_cnt_by_part",
+    "q9_product_profit",
+    "string_functions_showcase",
+    "window_rank_family",
+    "q21_waiting_suppliers",
+    "text_char_trigram_profile",
+    "window_value_functions",
+    "key_skew_profile",
+    "q8_market_share",
+    "in_subquery_customers",
+    "q12_priority_by_ship_delay",
+    "q20_dominant_suppliers",
+    "q2_min_balance_supplier",
+    "q4_late_ship_orders",
+    "regexp_extract_ids",
+    "stratified_sample_documents",
+    "multimodal_decode_stub",
+    "multimodal_frame_sample",
+    "events_weekday_hour_profile",
+    "order_cadence_percentiles",
     "events_transition_matrix",
     "events_value_histogram",
-    "events_weekday_hour_profile",
     "functions_showcase",
     "grouping_sets_revenue",
     "join_left_order_counts",
-    "join_right_order_customer",
-    "key_skew_profile",
-    "lineitem_unpivot_measures",
     "merge_upsert_orders",
-    "order_cadence_percentiles",
     "orders_backlog_aging",
-    "q12_priority_by_ship_delay",
-    "q13_order_count_histogram",
-    "q16_supplier_cnt_by_part",
     "q17_small_quantity_revenue",
     "q18_large_orders",
-    "q20_dominant_suppliers",
-    "q21_waiting_suppliers",
     "q22_idle_rich_customers",
-    "q4_late_ship_orders",
-    "q8_market_share",
-    "q9_product_profit",
     "revenue_concentration_deciles",
     "salted_hot_key_agg",
     "session_path_topk",
     "supplier_concentration_hhi",
     "weighted_median_price_by_nation",
     "window_trailing_30d_spend",
-    "window_value_functions",
 )
 
 _HISTORY_PATH = Path(__file__).with_name("checked_history.json")

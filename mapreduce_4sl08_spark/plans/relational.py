@@ -129,7 +129,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~1e12 rows/group); the e4/e6 products carry the hi/lo split. The
     AVGs stay double: their quotients are not decimal-round numbers,
     so the tie class doesn't apply, and 1/n shrinks the error."""
-    l = t(spark, sf_dir, "lineitem")
+    # fanout: 10 aggregate measures over every surviving row is the
+    # heaviest partial-agg map work in the relational block (r21: 0.66x)
+    l = t(spark, sf_dir, "lineitem", fanout=True)
     return (
         l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -186,7 +188,9 @@ ORDER BY l_returnflag, l_linestatus
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
-    l = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp"))
+    # fanout on the probe side only: lineitem feeds two broadcast-hash
+    # probes + the revenue partial agg, single-task otherwise (r21: 0.76x)
+    l = t(spark, sf_dir, "lineitem", fanout=True).filter(F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp"))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)

@@ -28,7 +28,10 @@ from .warehouse import _share_e6_expr
 
 
 def wordcount_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
+    # fanout: tokenize + regex-normalize + explode is the reference
+    # engine's whole map phase — r21 measured 0.55x with the scan
+    # parallelism floor (single-task on a 1-row-group input otherwise)
+    docs = t(spark, sf_dir, "documents", fanout=True)
     return word_count(docs.select(F.col("text").alias("value")))
 
 
@@ -499,7 +502,10 @@ def _shingle_sets(spark: SparkSession, sf_dir: str, n: int = 3):
     cached = _SHINGLE_MEMO.get(memo_key)
     if cached is not None:
         return cached
-    d = t(spark, sf_dir, "documents")
+    # fanout: the per-doc shingle build (tokenize + n-gram + distinct +
+    # sort) is the heaviest map work in the repo — single-task on a
+    # 1-row-group input, it profiled at ~4.8 s/stage at sf0.1 (r21)
+    d = t(spark, sf_dir, "documents", fanout=True)
     toks = F.split(F.lower(F.trim("text")), TOKEN_SPLIT_RE)
     # Shingle distinctness only exists WITHIN a document, so the whole
     # index is built ROW-LOCALLY in one scan, zero shuffle: the per-doc
@@ -538,11 +544,12 @@ def _verify_pairs(cand: DataFrame, sets: DataFrame, threshold: float) -> DataFra
                      F.col("sh_set").alias("set_b"), F.col("n_sh").alias("n_sh_b"))
     return (
         cand.join(sa, "doc_a").join(sb, "doc_b")
-        .filter(F.lit(q) * F.least("n_sh_a", "n_sh_b")
-                >= F.lit(p) * F.greatest("n_sh_a", "n_sh_b"))
-        .withColumn("n_common", F.size(F.array_intersect("set_a", "set_b")).cast("long"))
-        .withColumn("jaccard", F.round(
-            F.col("n_common") / (F.col("n_sh_a") + F.col("n_sh_b") - F.col("n_common")), 4))
+        .filter(F.expr(f"{q} * least(n_sh_a, n_sh_b)"
+                       f" >= {p} * greatest(n_sh_a, n_sh_b)"))
+        .withColumn("n_common", F.expr(
+            "CAST(size(array_intersect(set_a, set_b)) AS BIGINT)"))
+        .withColumn("jaccard", F.expr(
+            "round(n_common / (n_sh_a + n_sh_b - n_common), 4)"))
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -624,8 +631,7 @@ def _jaccard_candidates(spark: SparkSession, sf_dir: str,
     w = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("shingle").asc())
     # Chaudhuri prefix pos <= n - ceil((p/q)·n) + 1, in the exact
     # integer form p·n <= q·(n - pos + 1)   [ceil(x) <= m  <=>  x <= m]
-    in_prefix = (F.lit(p) * F.col("n_sh")
-                 <= F.lit(q) * (F.col("n_sh") - F.col("pos") + 1))
+    in_prefix = F.expr(f"{p} * n_sh <= {q} * (n_sh - pos + 1)")
     # persisted: both sides of the self-join read this prefix index —
     # without persistence the doc-frequency join + rank window run twice
     pref = (
@@ -669,25 +675,20 @@ def _jaccard_candidates(spark: SparkSession, sf_dir: str,
     #   positional:   (q+p)·ubound >= p·(|A|+|B|)   [ubound >= α]
     #   probe prefix: 2p·|A| <= (q+p)·(|A| - pos_a + 1)
     #   length:       q·|A| >= p·|B|
-    alpha_ok = (F.lit(q + p)
-                * (1 + F.least(F.col("a.n_sh") - F.col("a.pos"),
-                               F.col("b.n_sh") - F.col("b.pos")))
-                >= F.lit(p) * (F.col("a.n_sh") + F.col("b.n_sh")))
+    alpha_ok = F.expr(
+        f"{q + p} * (1 + least(a.n_sh - a.pos, b.n_sh - b.pos))"
+        f" >= {p} * (a.n_sh + b.n_sh)")
     a_probe_prefix = (
-        F.lit(2 * p) * F.col("a.n_sh")
-        <= F.lit(q + p) * (F.col("a.n_sh") - F.col("a.pos") + 1))
-    a_before_b = (
-        (F.col("a.n_sh") < F.col("b.n_sh"))
-        | ((F.col("a.n_sh") == F.col("b.n_sh"))
-           & (F.col("a.doc_id") < F.col("b.doc_id"))))
+        f"{2 * p} * a.n_sh <= {q + p} * (a.n_sh - a.pos + 1)")
+    a_before_b = ("(a.n_sh < b.n_sh"
+                  " OR (a.n_sh = b.n_sh AND a.doc_id < b.doc_id))")
     cand = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & a_before_b
-               & a_probe_prefix
-               & (F.lit(q) * F.col("a.n_sh") >= F.lit(p) * F.col("b.n_sh")))
+        a.join(b, F.expr(
+            f"a.shingle = b.shingle AND {a_before_b}"
+            f" AND {a_probe_prefix} AND {q} * a.n_sh >= {p} * b.n_sh"))
         .filter(alpha_ok)
-        .select(F.least("a.doc_id", "b.doc_id").alias("doc_a"),
-                F.greatest("a.doc_id", "b.doc_id").alias("doc_b"))
+        .select(F.expr("least(a.doc_id, b.doc_id)").alias("doc_a"),
+                F.expr("greatest(a.doc_id, b.doc_id)").alias("doc_b"))
         .distinct()
     )
     return cand, sets
@@ -757,9 +758,12 @@ def _minhash_signatures(sh: DataFrame, perms: int) -> DataFrame:
     for k in range(2, (perms + 7) // 8 + 1):
         digested = digested.withColumn(
             f"dg{k}", F.md5(F.concat(F.col("shingle"), F.lit(f"#{k}"))))
+    # SQL-string aggregates (r21): one parsed expression per perm
+    # instead of four py4j round trips per perm — identical analyzed
+    # MIN(SUBSTRING(dg_k, off, 8)) tree, measurably cheaper driver time
     return digested.groupBy("doc_id").agg(
-        *[F.min(F.substring(F.col("dg" if p < 8 else f"dg{p // 8 + 1}"),
-                            1 + 3 * (p % 8), 8)).alias(f"mh{p}")
+        *[F.expr(f"min(substring({'dg' if p < 8 else f'dg{p // 8 + 1}'}, "
+                 f"{1 + 3 * (p % 8)}, 8))").alias(f"mh{p}")
           for p in range(perms)],
         F.count(F.lit(1)).alias("n_sh"),
     )
@@ -790,22 +794,23 @@ def _minhash_candidates(spark: SparkSession, sf_dir: str,
     # cross-engine at 24 perms by test_minhash_signature_cross_engine.
     sig = _minhash_signatures(sh, perms)
     # banding: hash the concatenation of each band's rows → bucket key
-    band_cols = []
-    for b in range(bands):
-        rws = [F.col(f"mh{b * rows + r}") for r in range(rows)]
-        band_cols.append(F.md5(F.concat_ws("|", *rws)).alias(f"band{b}"))
+    band_cols = [
+        F.expr("md5(concat_ws('|', "
+               + ", ".join(f"mh{b * rows + r}" for r in range(rows))
+               + "))").alias(f"band{b}")
+        for b in range(bands)
+    ]
     banded = sig.select("doc_id", "n_sh", *band_cols)
     # candidates: docs sharing any band bucket
     bands_long = banded.select(
         "doc_id",
-        F.explode(F.array(*[
-            F.concat(F.lit(f"b{b}:"), F.col(f"band{b}")) for b in range(bands)
-        ])).alias("bucket"),
+        F.explode(F.expr("array(" + ", ".join(
+            f"concat('b{b}:', band{b})" for b in range(bands)) + ")"))
+        .alias("bucket"),
     )
     x, y = bands_long.alias("x"), bands_long.alias("y")
     cand = (
-        x.join(y, (F.col("x.bucket") == F.col("y.bucket"))
-               & (F.col("x.doc_id") < F.col("y.doc_id")))
+        x.join(y, F.expr("x.bucket = y.bucket AND x.doc_id < y.doc_id"))
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
@@ -985,10 +990,16 @@ def _min_label_propagation(edges: DataFrame,
     join-and-count of changed rows (halves the per-round job cost;
     the driver still carries only a scalar).
     """
+    # lazy truncation throughout the loop (r21): each round's scalar
+    # convergence aggregate is the action that materializes that
+    # round's checkpoint blocks — one job per round instead of an
+    # eager-materialization job plus an aggregate job (halves the
+    # loop's job count; blocks and lineage cut are identical)
     labels = truncate_lineage(
         edges.groupBy(F.col("src").alias("doc_id"))
         .agg(F.min("dst").alias("nbr_min"))
-        .select("doc_id", F.least("doc_id", "nbr_min").alias("component"))
+        .select("doc_id", F.least("doc_id", "nbr_min").alias("component")),
+        eager=False,
     )
     prev_sum = None
     converged = False
@@ -1010,7 +1021,8 @@ def _min_label_propagation(edges: DataFrame,
         new_labels = truncate_lineage(
             labels.join(neighbor_min, "doc_id")
             .select("doc_id",
-                    F.least(F.col("component"), F.col("nbr_component")).alias("component"))
+                    F.least(F.col("component"), F.col("nbr_component")).alias("component")),
+            eager=False,
         )
         cur_sum = new_labels.agg(F.sum("component")).collect()[0][0]
         labels = new_labels
@@ -1056,7 +1068,8 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Spark default would leave reliable checkpoint files forever).
     edges = truncate_lineage(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))),
+        eager=False,  # materializes inside the loop's first-round job
     )
     labels = _min_label_propagation(edges)
     result = (

@@ -35,10 +35,13 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k of every probe vs the whole table (self excluded).
     Probe side is tiny → broadcast; the scan side streams, no shuffle until
     the final per-probe top-k (TakeOrdered per group via row_number)."""
-    e = vecs(spark, sf_dir)
-    probes = e.filter(F.col("vec_id") < _N_PROBES).select(
+    # fanout on the CANDIDATE side only (per-pair 64-dim JVM math after
+    # the broadcast join is the heavy map work; r21): the probe side
+    # feeds a BroadcastExchange, where a repartition parallelizes
+    # nothing and just adds a shuffle stage to the broadcast build
+    probes = vecs(spark, sf_dir).filter(F.col("vec_id") < _N_PROBES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
-    cand = e.select("vec_id", "embedding")
+    cand = vecs(spark, sf_dir, fanout=True).select("vec_id", "embedding")
     scored = (
         broadcast(probes).crossJoin(cand)
         .filter(F.col("vec_id") != F.col("query_id"))

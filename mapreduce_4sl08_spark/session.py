@@ -106,7 +106,7 @@ def cluster_conf(total_cores: int, input_bytes: int,
     }
 
 
-def truncate_lineage(df: "DataFrame") -> "DataFrame":  # noqa: F821
+def truncate_lineage(df: "DataFrame", eager: bool = True) -> "DataFrame":  # noqa: F821
     """Cut the logical-plan lineage of an iterative-loop intermediate.
 
     Every driver-side fixpoint loop (connected components, pagerank)
@@ -127,14 +127,22 @@ def truncate_lineage(df: "DataFrame") -> "DataFrame":  # noqa: F821
 
     Both paths materialize exactly the rows the subtree computes, so
     results are bit-identical — only failure semantics differ.
+
+    ``eager=False`` (r21) defers materialization to the caller's next
+    action over the returned frame: an iterative loop that follows
+    every truncation with a scalar aggregate (the convergence check)
+    then pays ONE job per round — the aggregate's pass both populates
+    the checkpoint blocks and computes the scalar — instead of a
+    materialization job plus an aggregate job. Identical blocks,
+    identical lineage cut; only job count differs.
     """
     ckpt_dir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
     if not ckpt_dir:
-        return df.localCheckpoint(eager=True)
+        return df.localCheckpoint(eager=eager)
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is None:
         sc.setCheckpointDir(ckpt_dir)
-    return df.checkpoint(eager=True)
+    return df.checkpoint(eager=eager)
 
 
 def apply_engine_conf(spark: SparkSession) -> SparkSession:

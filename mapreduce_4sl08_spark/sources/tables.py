@@ -79,6 +79,102 @@ def _ts_window_ns(bound: str) -> int:
     return secs * 10**9
 
 
+# --------------------------------------------- scan fan-out (r21, perf)
+#
+# The graded fixtures ship each table as ONE parquet file with ONE row
+# group, and a row group is parquet's unit of split parallelism — so
+# every scan runs as a single task and everything below the first
+# Exchange is single-threaded regardless of core count (measured r21:
+# the _shingle_sets builds were ~4.8 s single-task stages at sf0.1 on
+# local[32]). Optimization-guide remedy (§2.5 input skew): "one huge
+# unsplittable file … repartition immediately after the read". Design:
+#
+# - CONDITIONAL and scale-adaptive: fires only when the scan would
+#   yield fewer splits than the session's shuffle parallelism
+#   (estimated from file bytes vs maxPartitionBytes, the same
+#   arithmetic FilePartition uses, minus openCost) and the table is
+#   big enough for parallelism to matter. On a real cluster (the
+#   100 TB path) scans produce thousands of row-group splits and this
+#   is a structural no-op — nothing here is tuned to local[32].
+# - KEYED (hash), never round-robin: a keyless repartition(n) pays a
+#   local single-task sort of its input for retry determinism
+#   (spark.sql.execution.sortBeforeRepartition, SPARK-23207); hashing
+#   a stable high-cardinality key is deterministic for free. The key
+#   is the column downstream operators cluster by most, so the fan-out
+#   exchange is REUSED (ClusteredDistribution is satisfied by any
+#   HashPartitioning over a subset of the grouping keys): per-doc
+#   aggregations (minhash signatures, simhash bit sums, wordcount-
+#   adjacent text ops) and per-user windows (sessionize, applyInPandas
+#   features) then run WITHOUT their own shuffle.
+# - OPT-IN PER CALL SITE (`load_table(..., fanout=True)`), because the
+#   caller knows the downstream work shape and the scan does not: the
+#   r21 A/B bench (logs/bench_r21_baseline.json vs bench_r21_fanout.json)
+#   showed a table-global fan-out wins 0.55-0.83x exactly where per-row
+#   JVM compute is heavy (tokenize/shingle/md5 pipelines, multi-measure
+#   aggs, per-pair vector math) and loses a fixed exchange cost — or a
+#   32x Python-worker spin-up, for mapInPandas/applyInPandas consumers —
+#   on cheap queries (sort_customers 2.0x, multimodal_decode 3.0x).
+#   Dimensions (nation/region/supplier/part) never fan out: they feed
+#   BroadcastExchange, where a repartition parallelizes nothing.
+#
+# Catalyst pushes caller filters and projections below the repartition,
+# so PushedFilters/ReadSchema at the parquet scan are unchanged and the
+# exchange carries post-filter, post-projection bytes only (verified in
+# plans/r21/*_after.txt). Value-identical by construction: a hash
+# exchange only moves rows, and every registry query orders its output
+# by a unique key (proven: full 168/168 oracle sweep at sf0.01 with
+# fan-out active on every fact table, logs/sweep_r21_fanout_sf001.log).
+_FANOUT_KEYS: dict[str, str] = {
+    "customer": "c_custkey",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+    "events": "user_id",     # 1500 distinct, 0 nulls at sf0.1
+    "lineitem": "l_orderkey",
+    "orders": "o_custkey",
+}
+
+#: below this, a single-task scan is cheaper than any exchange
+_FANOUT_MIN_BYTES = 32 * 1024
+
+
+def _parse_bytes(v: str) -> int:
+    """Parse a Spark byte conf ('134217728', '128m', '1g')."""
+    s = v.strip().lower().removesuffix("b")
+    mult = {"k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4}
+    if s and s[-1] in mult:
+        return int(float(s[:-1]) * mult[s[-1]])
+    return int(s)
+
+
+def _scan_fanout_n(spark: SparkSession, path: str) -> int:
+    """Target partition count for the post-scan fan-out, or 0 to leave
+    the scan's own split parallelism alone. ``SPARK_GRAFT_SCAN_FANOUT``
+    overrides: ``off``/``0`` disables, an integer pins the count,
+    ``auto`` (default) derives it from input size vs session conf."""
+    mode = os.environ.get("SPARK_GRAFT_SCAN_FANOUT", "auto").strip().lower()
+    if mode in ("off", "0"):
+        return 0
+    try:
+        if os.path.isdir(path):
+            sizes = [e.stat().st_size for e in os.scandir(path)
+                     if e.is_file() and not e.name.startswith(("_", "."))]
+        else:
+            sizes = [os.path.getsize(path)]
+    except OSError:
+        return 0  # non-local path (cluster storage): splits are fine there
+    if sum(sizes) < _FANOUT_MIN_BYTES:
+        return 0
+    if mode != "auto":
+        return int(mode)
+    try:
+        max_pb = _parse_bytes(spark.conf.get("spark.sql.files.maxPartitionBytes"))
+        n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        return 0  # unparseable/cluster-managed conf: leave the scan alone
+    est_splits = sum(-(-s // max_pb) for s in sizes)
+    return n if est_splits < n else 0
+
+
 def ts_quarantine_sql(table: str) -> str:
     """The oracle twin of the load_table filter: a shadow-CTE body that
     replaces the raw view for every ts-reading oracle (DuckDB resolves
@@ -93,7 +189,7 @@ def ts_quarantine_sql(table: str) -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str,
-               quarantine: bool = True) -> DataFrame:
+               quarantine: bool = True, fanout: bool = False) -> DataFrame:
     """Scan one parquet table. Column pruning / predicate pushdown are left
     to Catalyst — callers express plans declaratively and the scan narrows
     itself (verify with .explain: PushedFilters / ReadSchema).
@@ -129,11 +225,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str,
             if dt == "bigint":  # TIMESTAMP(NANOS) read as ns epoch long
                 lo_hi = (F.lit(_ts_window_ns(TS_WINDOW_LO)),
                          F.lit(_ts_window_ns(TS_WINDOW_HI)))
+            elif dt == "timestamp_ntz":
+                lo_hi = (F.expr(f"TIMESTAMP_NTZ '{TS_WINDOW_LO}'"),
+                         F.expr(f"TIMESTAMP_NTZ '{TS_WINDOW_HI}'"))
             else:
-                kw = "TIMESTAMP_NTZ" if dt == "timestamp_ntz" else "TIMESTAMP"
-                lo_hi = (F.expr(f"{kw} '{TS_WINDOW_LO}'"),
-                         F.expr(f"{kw} '{TS_WINDOW_HI}'"))
+                # instant-typed: session-tz-invariant epoch-µs bounds
+                # (ADVICE r20 item 3 — a TIMESTAMP '<literal>' resolves
+                # in spark.sql.session.timeZone, so a raw non-UTC
+                # session would shift the quarantine boundary; these
+                # fold to the same constant under the pinned UTC zone)
+                lo_us, hi_us = ts_window_us()
+                lo_hi = (F.timestamp_micros(F.lit(lo_us)),
+                         F.timestamp_micros(F.lit(hi_us)))
             df = df.filter(F.col(col).isNull() | F.col(col).between(*lo_hi))
+    # fan-out BEFORE the events ts normalization below, so the per-row
+    # conversion runs on the post-exchange parallelism, not in the
+    # single scan task (key columns are raw scan columns either way)
+    fan_key = _FANOUT_KEYS.get(name) if fanout else None
+    if fan_key is not None and fan_key in df.columns:
+        n_fan = _scan_fanout_n(spark, os.path.join(sf_dir, f"{name}.parquet"))
+        if n_fan:
+            df = df.repartition(n_fan, F.col(fan_key))
     if name == "events":
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":

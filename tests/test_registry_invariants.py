@@ -419,20 +419,87 @@ def test_iterative_oracles_materialize_their_base_ctes():
     for the Spark side) and stalled the full-registry 10x sweep. Pin
     the hint so a rewrite doesn't silently reintroduce the blowup:
     every recursive oracle whose walk joins a derived base relation
-    must materialize that base."""
+    must materialize that base.
+
+    Generalized (ADVICE r20 item 4): instead of matching the literal
+    CTE names `pairs AS|edges AS`, parse every CTE definition out of
+    the oracle, find the recursive term (the CTE whose body references
+    its own name), and require AS MATERIALIZED on every OTHER defined
+    CTE that the recursive body references — so a future recursive
+    oracle with any base-CTE naming cannot escape the gate."""
     import re
 
+    _DEF = re.compile(
+        r"(\w+)\s*(?:\([^()]*\))?\s+AS\s+(MATERIALIZED\s+)?\(",
+        re.IGNORECASE)
+
+    def _cte_defs(sql: str, top_only: bool = True):
+        """(name, is_materialized, body) per `name [(cols)] AS
+        [MATERIALIZED] (body)` definition, bodies by balanced-paren
+        scan; with top_only, definitions nested inside an already
+        captured body (an inlined sub-WITH, e.g. the verbatim
+        DEDUP_JACCARD_SQL inside the CC oracles) are skipped — their
+        references resolve in the inner scope, not this one."""
+        out, spans = [], []
+        for m in _DEF.finditer(sql):
+            if top_only and any(s <= m.start() < e for s, e in spans):
+                continue
+            depth, i = 0, m.end() - 1
+            while i < len(sql):
+                if sql[i] == "(":
+                    depth += 1
+                elif sql[i] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                i += 1
+            spans.append((m.end(), i))
+            out.append((m.group(1), bool(m.group(2)), sql[m.end():i]))
+        return out
+
+    def _references(body: str, cte: str) -> bool:
+        """True if `body` references top-level CTE `cte`: an unqualified
+        mention (no `.`/word prefix — `main.orders` is the raw table,
+        not the shadow CTE) that is not shadowed by the body defining
+        its own CTE of the same name (the inlined sub-WITH case)."""
+        if any(n == cte for n, _, _ in _cte_defs(body, top_only=False)):
+            return False
+        return re.search(rf"(?<![\w.]){cte}\b", body) is not None
+
+    def _check_scope(name: str, sql: str):
+        """Yield (rec_name, other, materialized) for every derived-CTE
+        reference from a self-referencing CTE, in THIS scope and every
+        nested sub-WITH scope (the curation oracle nests the recursive
+        walk inside a `comp AS (...)` body)."""
+        defs = _cte_defs(sql)
+        for rec_name, _, rec_body in defs:
+            if not _references(rec_body, rec_name):
+                continue
+            for other, materialized, _ in defs:
+                if other != rec_name and _references(rec_body, other):
+                    yield rec_name, other, materialized
+        for _, _, body in defs:
+            yield from _check_scope(name, body)
+
+    checked = 0
     for name, spec in QUERIES.items():
         if spec.oracle is None or "WITH RECURSIVE" not in spec.oracle:
             continue
-        # trade_reachability_recursive's recursive term joins a raw
-        # TABLE (no derived base to re-execute) — exempt by structure
-        if not re.search(r"pairs AS|edges AS", spec.oracle):
-            continue
-        assert "AS MATERIALIZED" in spec.oracle, (
-            f"{name}: recursive oracle joins a derived base CTE without "
-            f"AS MATERIALIZED — it will re-execute the base per "
-            f"iteration and blow up at 10x+ fixtures")
+        found = list(_check_scope(name, spec.oracle))
+        assert found, (
+            f"{name}: WITH RECURSIVE oracle but no self-referencing "
+            f"CTE referencing a derived base found — the gate's parser "
+            f"needs updating")
+        for rec_name, other, materialized in found:
+            checked += 1
+            assert materialized, (
+                f"{name}: recursive term {rec_name} joins derived CTE "
+                f"{other} without AS MATERIALIZED — DuckDB re-executes "
+                f"it per iteration and blows up at 10x+ fixtures")
+    # the known population: four CC-family walks + the reachability
+    # walk all join `edges`; the gate must actually be exercising them
+    # (a parser regression would otherwise pass vacuously)
+    assert checked >= 5, f"materialization gate checked only {checked} refs"
     from mapreduce_4sl08_spark.plans.extended import PAGERANK_SQL
     assert PAGERANK_SQL.count("AS MATERIALIZED") == 16, (
         "the unrolled pagerank oracle must materialize all 16 CTEs "

@@ -209,7 +209,19 @@ def main() -> int:
         "sort_customers_multi_vs_r18_noise_floor":
             (QUERIES["sort_customers_multi"].fn,
              _r18_sort_multi),
+        # r21 (VERDICT r20 item 3): q6 read 0.633 s on the driver box vs
+        # its 0.3 s per-query baseline — the only >=2x row on record.
+        # Its plan is fingerprint-identical across those rounds, so the
+        # pair is the IDENTICAL plan against itself: the spread
+        # calibrates pure host noise, and the medians give q6's true
+        # warm cost on this box for comparison against the baseline.
+        "q6_forecast_revenue_identical_noise_floor":
+            (QUERIES["q6_forecast_revenue"].fn,
+             QUERIES["q6_forecast_revenue"].fn),
     }
+    only = os.environ.get("AB_ONLY")
+    if only:
+        pairs = {k: v for k, v in pairs.items() if only in k}
 
     for name, (now_fn, r16_fn) in pairs.items():
         # warm-up both arms: codegen/Arrow init outside the measurement

@@ -54,10 +54,14 @@ def main() -> int:
              .config("spark.driver.memory",
                      os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
              .getOrCreate())
-    con = duckdb.connect()
-    for tbl in TABLES:
-        con.execute(f"CREATE VIEW {tbl} AS SELECT * "
-                    f"FROM '{sf_dir}/{tbl}.parquet'")
+    def _fresh_con():
+        c = duckdb.connect()
+        for tbl in TABLES:
+            c.execute(f"CREATE VIEW {tbl} AS SELECT * "
+                      f"FROM '{sf_dir}/{tbl}.parquet'")
+        return c
+
+    con = _fresh_con()
 
     from tools.sweep_watchdog import timeboxed
 
@@ -87,6 +91,15 @@ def main() -> int:
             failures.append(name)
             status = "FAIL"
             traceback.print_exc()
+            # recycle the oracle connection (ADVICE r20 item 2): a
+            # watchdog that fires after con.execute() completed leaves a
+            # pending interrupt on the reused connection, which would
+            # abort the NEXT oracle with a spurious InterruptException
+            try:
+                con.close()
+            except Exception:
+                pass
+            con = _fresh_con()
         # per-query wall (Spark + DuckDB + compare) so round-over-round
         # sweep logs expose drift, not just red/green
         print(f"[{i:3d}/{len(qs)}] {status:15s} "

@@ -24,23 +24,34 @@ def budget_seconds() -> float:
 def timeboxed(label: str, fn: Callable, cancel: Callable[[], object],
               budget: float | None = None):
     """Run fn() under the wall-clock budget; on overrun fire cancel()
-    and re-raise as TimeoutError naming the side that overran. A
-    completion that races the timer within the same instant is
-    reported as a timeout — acceptable at a 600 s budget (the signal
-    is "this side is at the watchdog boundary" either way)."""
+    and re-raise as TimeoutError naming the side that overran.
+
+    Firing is tracked EXPLICITLY (ADVICE r20 item 1): the earlier
+    ``timer.is_alive()`` proxy raced in both directions — after
+    ``timer.cancel()`` a fast successful query could be misreported as
+    a timeout (the timer thread exits before the post-check), and in
+    the except path a just-fired timer still inside its cancel hook
+    kept ``is_alive()`` True, so a genuine overrun re-raised the raw
+    engine exception instead of the named TimeoutError."""
     if budget is None:
         budget = budget_seconds()
-    timer = threading.Timer(budget, cancel)
+    fired = threading.Event()
+
+    def _fire() -> None:
+        fired.set()
+        cancel()
+
+    timer = threading.Timer(budget, _fire)
     timer.start()
     try:
         out = fn()
     except Exception as e:
-        if not timer.is_alive():
+        if fired.is_set():
             raise TimeoutError(
                 f"{label} exceeded {budget:.0f}s watchdog") from e
         raise
     finally:
         timer.cancel()
-    if not timer.is_alive():
+    if fired.is_set():
         raise TimeoutError(f"{label} exceeded {budget:.0f}s watchdog")
     return out
