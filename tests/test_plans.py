@@ -37,8 +37,11 @@ def test_wordcount_is_the_reference_plan_plus_combiner(spark, sf_dir):
     # map-side combine — the reference shipped every (word,1) over the
     # network (SURVEY §4.3); Spark pre-aggregates
     assert "partial_count" in plan
-    # only the text column is scanned
-    assert "ReadSchema: struct<text:string>" in plan
+    # column pruning at the scan: text plus the fan-out hash key
+    # (doc_id rides along to feed the post-scan repartition, r21);
+    # the payload columns (lang/source/n_chars) must stay pruned
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+    assert "lang" not in plan and "n_chars" not in plan
 
 
 def test_global_topk_avoids_full_sort(spark, sf_dir):
