@@ -129,9 +129,14 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~1e12 rows/group); the e4/e6 products carry the hi/lo split. The
     AVGs stay double: their quotients are not decimal-round numbers,
     so the tie class doesn't apply, and 1/n shrinks the error."""
-    # fanout: 10 aggregate measures over every surviving row is the
-    # heaviest partial-agg map work in the relational block (r21: 0.66x)
-    l = t(spark, sf_dir, "lineitem", fanout=True)
+    # NO fan-out here (r21, measured twice): the map-side partial agg
+    # collapses everything to 4 groups BEFORE the shuffle, so a
+    # pre-agg exchange ships raw rows that the combine would have
+    # reduced to nothing — interleaved A/B: without 0.78 s vs with
+    # 0.94 s at sf0.1, 1.27 vs 1.53 s at the 10x fixture. Fan-out pays
+    # only where downstream KEEPS cardinality (tokenize/explode,
+    # windows, join probes) — see sources/tables.py.
+    l = t(spark, sf_dir, "lineitem")
     return (
         l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
