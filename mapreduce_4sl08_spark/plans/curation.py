@@ -45,7 +45,7 @@ def sequence_packing_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass 2 computes each shard's starting offset from the tiny per-shard
     totals table; the global cumsum is their sum. Identical values to
     the naive single-window form, shuffle-parallel at any scale."""
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", fanout=True)
     n_tok = F.size(F.split(F.trim("text"), TOKEN_SPLIT_RE)).cast("long")
     docs = d.select(
         "doc_id", "lang", n_tok.alias("n_tok"),
@@ -252,7 +252,7 @@ _BPE_TOP_K = 50
 
 
 def bpe_pretokenize_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", fanout=True)
     tok = F.explode(
         F.regexp_extract_all("text", F.lit(_BPE_PRETOKEN_RE), F.lit(0))).alias("token")
     counts = d.select(tok).groupBy("token").agg(F.count(F.lit(1)).alias("n"))
@@ -397,7 +397,7 @@ SPECS: list[QuerySpec] = [
 def cluster_best_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .text import _quality_score_expr, dedup_connected_components
     comp = dedup_connected_components(spark, sf_dir).select("doc_id", "component")
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", fanout=True)
     qual = d.select(
         "doc_id",
         F.round(_quality_score_expr() * 10000).cast("long").alias("q_e4"))
@@ -469,7 +469,7 @@ _SELECT_BUDGET_TOKENS = 5000
 
 def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .text import _quality_score_expr
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", fanout=True)
     n_tok = F.size(F.split(F.trim("text"), TOKEN_SPLIT_RE)).cast("long")
     per_doc = d.select(
         "lang", "doc_id", n_tok.alias("n_tok"),

@@ -159,7 +159,7 @@ ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
 def array_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-function surface over tokenized text: size, distinct,
     slice+join, containment, sort."""
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", fanout=True)
     toks = F.split(F.trim(F.lower("text")), TOKEN_SPLIT_RE)
     return (
         d.select(
@@ -375,7 +375,7 @@ def text_bigram_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level bigram frequency, top-20 — n-gram generation via
     word shingles + the same count/top-k machinery as the flagship."""
     from ..functions import word_shingles
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", fanout=True)
     toks = F.split(F.trim(F.lower("text")), TOKEN_SPLIT_RE)
     return (
         d.select(F.explode(word_shingles(toks, 2)).alias("bigram"))
@@ -405,7 +405,7 @@ def docs_with_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id = vec_id) with per-row text + vector features — the typical
     training-data assembly shape."""
     from ..functions import l2_norm
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", fanout=True)
     e = vecs(spark, sf_dir)
     return (
         d.join(e, d.doc_id == e.vec_id)
@@ -874,7 +874,7 @@ def text_char_trigram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-lang top-5 character trigrams of the normalized text — the
     classic language-profile n-gram statistic, via char_ngrams."""
     from ..functions import char_ngrams, normalize_word
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", fanout=True)
     tri = (
         d.select("lang", F.explode(
             char_ngrams(F.lower(F.regexp_replace("text", r"[^A-Za-z]", "")), 3)

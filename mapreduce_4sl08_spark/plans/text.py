@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from ..functions import NON_WORD_RE, TOKEN_SPLIT_RE, word_shingles
 from ..operators.wordcount import word_count
-from ..session import truncate_lineage
+from ..session import free_checkpoint, truncate_lineage
 from .base import QuerySpec, SessionMemo, t
 from .warehouse import _share_e6_expr
 
@@ -54,7 +54,7 @@ def text_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """posexplode: tokens with their ordinal positions (the positional
     variant of the flagship's explode) — restricted to the first 5
     positions of each doc to keep the check sharp."""
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", fanout=True)
     toks = F.split(F.trim(F.lower("text")), TOKEN_SPLIT_RE)
     return (
         d.select("doc_id", F.posexplode(toks).alias("pos", "token"))
@@ -82,7 +82,7 @@ ORDER BY doc_id, pos
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token counting: whitespace tokens + a BPE-ish
     word/number/punct-run regex count + char stats."""
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", fanout=True)
     toks = F.split(F.trim("text"), TOKEN_SPLIT_RE)
     return (
         d.select(
@@ -115,7 +115,7 @@ def quality_rules_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vs the curation pipeline's first-reason-only) — the audit view a
     data curator debugs with."""
     from ..operators.rules import apply_rules
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", fanout=True)
     toks = F.split(F.trim(F.lower("text")), TOKEN_SPLIT_RE)
     rules = {
         "min_tokens": F.size(toks) >= 30,
@@ -162,7 +162,7 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repetition: fraction of duplicated 3-gram
     occurrences (Gopher-style repetition filter signal) — 1 means the doc
     is pure repeats; pure built-ins, no UDF."""
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", fanout=True)
     toks = F.split(F.lower(F.trim("text")), TOKEN_SPLIT_RE)
     sh = word_shingles(toks, 3)
     return (
@@ -222,7 +222,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality scoring: length, mean word length, stopword
     ratio, alpha ratio → [0,1]-ish score; typical pretraining-corpus
     filter shape (C4/Gopher-style rules, arithmetic only)."""
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", fanout=True)
     toks = F.split(F.trim("text"), TOKEN_SPLIT_RE)
     n_tok = F.size(toks)
     stop_hits = F.size(F.expr(
@@ -292,7 +292,7 @@ def _lang_score_exprs() -> dict:
 
 
 def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", fanout=True)
     scores = _lang_score_exprs()
     d2 = d.select("doc_id", *[c.alias(f"score_{lang}") for lang, c in scores.items()])
     score_cols = [f"score_{lang}" for lang in _LANG_MARKERS]
@@ -340,7 +340,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalized text (a 2-hash sketch — the degenerate MinHash case) plus
     a whole-text hash. Rolling-hash flavored but built from set ops so
     both engines agree bit-for-bit."""
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", fanout=True)
     norm = F.lower(F.trim("text"))
     # stage norm and the hashed shingle array as columns: inlined, norm
     # would evaluate 3× per row (md5 + inside the split) and the
@@ -374,7 +374,7 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     while storing ~2/(w+1) of the hashes. md5-derived and set-valued, so
     both engines agree exactly. Output: one row per selected
     fingerprint (exploded — scalar columns hash-compare cleanly)."""
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", fanout=True)
     toks = F.split(F.lower(F.trim("text")), TOKEN_SPLIT_RE)
     # hs MUST be bound as a column before the window transform: an
     # unaliased expression inside the lambda is re-evaluated per window
@@ -530,24 +530,53 @@ def _shingle_sets(spark: SparkSession, sf_dir: str, n: int = 3):
 
 
 def _verify_pairs(cand: DataFrame, sets: DataFrame, threshold: float) -> DataFrame:
-    """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs via
-    array_intersect against per-doc shingle sets — O(candidates), never a
-    second inverted-index join. The AllPairs length filter runs first:
+    """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs.
+
+    r22 shape (guide §2.3 "shuffle keys and metadata instead of
+    payloads" + §3): ``n_common`` is counted by joining the pair list
+    against the per-doc shingle relation twice and aggregating, instead
+    of carrying both docs' FULL shingle arrays onto every candidate row
+    and running array_intersect per pair. The old shape shipped
+    O(candidates × |set|) array bytes into the verify join (and at 10×+
+    the sets relation outgrows the broadcast threshold, turning that
+    into a sort-merge join OVER THE ARRAYS); this one moves only
+    (doc_id, shingle) rows that actually match, and the count is
+    combiner-compressed before its one narrow exchange. Exactness is
+    unchanged: sh_set is array_distinct'd per doc, so COUNT(*) over
+    matching shingles IS |A ∩ B|.
+
+    The AllPairs length filter still runs first, on metadata only:
     J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so pairs with size ratio below
     the threshold floor are provably below the round-to-4-decimals
-    output filter and skip the set intersection entirely (exact BIGINT
-    form at p/q — see _threshold_floor_rational)."""
+    output filter and never reach the counting join (exact BIGINT form
+    at p/q — see _threshold_floor_rational).
+
+    A candidate pair with ZERO common shingles (possible for LSH band
+    collisions) drops out of the inner counting join — identical output
+    to the old jaccard=0 row for any threshold > 0, which every caller
+    uses (0.4/0.5/0.8). ``cand`` is consumed exactly once (it is the
+    expensive, usually-unpersisted cascade); n_sh_a/n_sh_b ride through
+    the count as grouping metadata — functionally dependent on the pair
+    key, 16 bytes/row."""
     p, q = _threshold_floor_rational(threshold)
-    sa = sets.select(F.col("doc_id").alias("doc_a"),
-                     F.col("sh_set").alias("set_a"), F.col("n_sh").alias("n_sh_a"))
-    sb = sets.select(F.col("doc_id").alias("doc_b"),
-                     F.col("sh_set").alias("set_b"), F.col("n_sh").alias("n_sh_b"))
-    return (
-        cand.join(sa, "doc_a").join(sb, "doc_b")
+    sizes = sets.select("doc_id", "n_sh")
+    c = (
+        cand.join(sizes.select(F.col("doc_id").alias("doc_a"),
+                               F.col("n_sh").alias("n_sh_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                           F.col("n_sh").alias("n_sh_b")), "doc_b")
         .filter(F.expr(f"{q} * least(n_sh_a, n_sh_b)"
                        f" >= {p} * greatest(n_sh_a, n_sh_b)"))
-        .withColumn("n_common", F.expr(
-            "CAST(size(array_intersect(set_a, set_b)) AS BIGINT)"))
+    )
+    sh_a = sets.select(F.col("doc_id").alias("doc_a"),
+                       F.explode("sh_set").alias("shingle"))
+    sh_b = sets.select(F.col("doc_id").alias("doc_b"),
+                       F.explode("sh_set").alias("shingle"))
+    return (
+        c.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b", "n_sh_a", "n_sh_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
         .withColumn("jaccard", F.expr(
             "round(n_common / (n_sh_a + n_sh_b - n_common), 4)"))
         .filter(F.col("jaccard") >= threshold)
@@ -820,7 +849,8 @@ def _minhash_candidates(spark: SparkSession, sf_dir: str,
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand, sets = _minhash_candidates(spark, sf_dir)
     # exact-Jaccard verification restricted to the banded candidates —
-    # array_intersect per pair, not a second inverted-index join
+    # a candidate-bounded counting join over the cached shingle sets
+    # (see _verify_pairs), never an UNRESTRICTED inverted-index self-join
     return (
         _verify_pairs(cand, sets, _JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
@@ -1025,6 +1055,13 @@ def _min_label_propagation(edges: DataFrame,
             eager=False,
         )
         cur_sum = new_labels.agg(F.sum("component")).collect()[0][0]
+        # the collect materialized new_labels' checkpoint blocks, so the
+        # previous round's label checkpoint is now dead — free it (guide
+        # §5 / VERDICT r21 item 5: resident blocks stay O(1) in round
+        # count instead of accumulating one label table per round; the
+        # loop never reads a superseded frame again, which is the
+        # free_checkpoint safety contract)
+        free_checkpoint(labels)
         labels = new_labels
         if cur_sum == prev_sum:
             converged = True
@@ -1166,7 +1203,7 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     the raw marker-filter lambdas would re-evaluate each ~6× per row
     (CollapseProject rightly refuses to merge multi-referenced non-cheap
     expressions; measured 2× slower fully inlined)."""
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", fanout=True)
     scores = _lang_score_exprs()
     staged = d.select(
         "doc_id",
@@ -1244,7 +1281,7 @@ _SPAN_TOKENS = 10
 
 
 def span_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", fanout=True)
     toks = F.split(F.trim(F.lower("text")), TOKEN_SPLIT_RE)
     n = _SPAN_TOKENS
     # guard: sequence(0, -1) counts DOWN in Spark — emit an empty array
@@ -1297,7 +1334,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-5 TF-IDF terms (integer rational-idf scores;
     ties by term asc). The shape every keyword/feature-extraction
     pipeline runs: token counts per doc ⋈ document frequencies."""
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", fanout=True)
     toks = (
         d.select("doc_id",
                  F.explode(F.split(F.trim(F.lower("text")), TOKEN_SPLIT_RE)).alias("term"))
@@ -1366,7 +1403,7 @@ def _per_doc_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, "pdt", sf_dir)
     pdt = _PDT_MEMO.get(key)
     if pdt is None:
-        d = t(spark, sf_dir, "documents")
+        d = t(spark, sf_dir, "documents", fanout=True)
         toks = (
             d.select("doc_id",
                      F.explode(F.split(F.trim(F.lower("text")),
@@ -1447,7 +1484,7 @@ def _per_doc_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, "pdb", sf_dir)
     pdb = _PDB_MEMO.get(key)
     if pdb is None:
-        d = t(spark, sf_dir, "documents")
+        d = t(spark, sf_dir, "documents", fanout=True)
         toks_col = F.split(F.trim(F.lower("text")), TOKEN_SPLIT_RE)
         big = d.select(
             "doc_id", F.explode(word_shingles(toks_col, 2)).alias("bigram"))
@@ -1540,7 +1577,7 @@ _DECON_N = 8
 def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training docs contaminated by 8-gram overlap with the eval slice:
     per doc, how many distinct shared grams and how many eval docs hit."""
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", fanout=True)
     toks = F.split(F.lower(F.trim("text")), TOKEN_SPLIT_RE)
     grams = (
         d.select("doc_id",
@@ -1640,7 +1677,7 @@ SPECS: list[QuerySpec] = [
 
 
 def lexical_diversity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", fanout=True)
     toks = F.split(F.lower(F.trim("text")), TOKEN_SPLIT_RE)
     ex = (d.select("doc_id", F.explode(toks).alias("tok"))
           .filter(F.col("tok") != ""))
@@ -1706,7 +1743,7 @@ _VOCAB_BT_MEMO: SessionMemo = SessionMemo()
 
 
 def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", fanout=True)
     bounds = d.agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
     bucket = F.expr("(doc_id - mn) * 20 div (mx - mn + 1)")
     docs = (d.crossJoin(F.broadcast(bounds))
@@ -1812,7 +1849,7 @@ SPECS.append(
 
 
 def boilerplate_template_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", fanout=True)
     skel_hash = F.md5(
         F.regexp_replace(F.lower(F.trim("text")), "[a-z0-9]+", "w"))
     return (

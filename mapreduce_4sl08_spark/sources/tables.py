@@ -126,10 +126,14 @@ def _ts_window_ns(bound: str) -> int:
 # Catalyst pushes caller filters and projections below the repartition,
 # so PushedFilters/ReadSchema at the parquet scan are unchanged and the
 # exchange carries post-filter, post-projection bytes only (verified in
-# plans/r21/*_after.txt). Value-identical by construction: a hash
-# exchange only moves rows, and every registry query orders its output
-# by a unique key (proven: full 168/168 oracle sweep at sf0.01 with
-# fan-out active on every fact table, logs/sweep_r21_fanout_sf001.log).
+# plans/r21/*_after.txt). Value identity: a hash exchange only MOVES
+# rows, and every registry query orders its output by a unique key —
+# but row order does feed the combine order of floating-point
+# aggregates downstream, so for double SUM/AVG consumers the identity
+# is covered empirically by the oracle comparison (full 168/168 sweep
+# at sf0.01 with fan-out active on every fact table,
+# logs/sweep_r21_fanout_sf001.log) and its tolerance, not guaranteed
+# bit-for-bit by construction (ADVICE r21 item 3).
 _FANOUT_KEYS: dict[str, str] = {
     "customer": "c_custkey",
     "documents": "doc_id",
@@ -171,7 +175,15 @@ def _scan_fanout_n(spark: SparkSession, path: str) -> int:
     if sum(sizes) < _FANOUT_MIN_BYTES:
         return 0
     if mode != "auto":
-        return int(mode)
+        # a typo'd value ('false', '-4') must not take the plan build
+        # down or flow a negative count into repartition() (ADVICE r21
+        # item 1): unparseable or non-positive pins fall back to auto
+        try:
+            pinned = int(mode)
+        except ValueError:
+            pinned = -1
+        if pinned > 0:
+            return pinned
     try:
         max_pb = _parse_bytes(spark.conf.get("spark.sql.files.maxPartitionBytes"))
         n = int(spark.conf.get("spark.sql.shuffle.partitions"))

@@ -37,10 +37,19 @@ def test_wordcount_is_the_reference_plan_plus_combiner(spark, sf_dir):
     # map-side combine — the reference shipped every (word,1) over the
     # network (SURVEY §4.3); Spark pre-aggregates
     assert "partial_count" in plan
-    # column pruning at the scan: text plus the fan-out hash key
-    # (doc_id rides along to feed the post-scan repartition, r21);
-    # the payload columns (lang/source/n_chars) must stay pruned
-    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+    # column pruning at the scan: when the fan-out gate fires, doc_id
+    # rides along to feed the post-scan repartition (r21); when it does
+    # not (SPARK_GRAFT_SCAN_FANOUT=off, sub-32KB fixture, or a real
+    # multi-split input), the scan is text-only — branch like the gate
+    # does instead of hard-coding one arm (ADVICE r21 item 2). Either
+    # way the payload columns (lang/source/n_chars) must stay pruned.
+    import os
+    from mapreduce_4sl08_spark.sources.tables import _scan_fanout_n
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    if _scan_fanout_n(spark, doc_path):
+        assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+    else:
+        assert "ReadSchema: struct<text:string>" in plan
     assert "lang" not in plan and "n_chars" not in plan
 
 
