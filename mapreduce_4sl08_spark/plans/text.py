@@ -530,53 +530,40 @@ def _shingle_sets(spark: SparkSession, sf_dir: str, n: int = 3):
 
 
 def _verify_pairs(cand: DataFrame, sets: DataFrame, threshold: float) -> DataFrame:
-    """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs.
-
-    r22 shape (guide §2.3 "shuffle keys and metadata instead of
-    payloads" + §3): ``n_common`` is counted by joining the pair list
-    against the per-doc shingle relation twice and aggregating, instead
-    of carrying both docs' FULL shingle arrays onto every candidate row
-    and running array_intersect per pair. The old shape shipped
-    O(candidates × |set|) array bytes into the verify join (and at 10×+
-    the sets relation outgrows the broadcast threshold, turning that
-    into a sort-merge join OVER THE ARRAYS); this one moves only
-    (doc_id, shingle) rows that actually match, and the count is
-    combiner-compressed before its one narrow exchange. Exactness is
-    unchanged: sh_set is array_distinct'd per doc, so COUNT(*) over
-    matching shingles IS |A ∩ B|.
-
-    The AllPairs length filter still runs first, on metadata only:
+    """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs via
+    array_intersect against per-doc shingle sets — O(candidates), never a
+    second inverted-index join. The AllPairs length filter runs first:
     J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so pairs with size ratio below
     the threshold floor are provably below the round-to-4-decimals
-    output filter and never reach the counting join (exact BIGINT form
-    at p/q — see _threshold_floor_rational).
+    output filter and skip the set intersection entirely (exact BIGINT
+    form at p/q — see _threshold_floor_rational).
 
-    A candidate pair with ZERO common shingles (possible for LSH band
-    collisions) drops out of the inner counting join — identical output
-    to the old jaccard=0 row for any threshold > 0, which every caller
-    uses (0.4/0.5/0.8). ``cand`` is consumed exactly once (it is the
-    expensive, usually-unpersisted cascade); n_sh_a/n_sh_b ride through
-    the count as grouping metadata — functionally dependent on the pair
-    key, 16 bytes/row."""
+    KEPT in the array form after an r22 interleaved A/B against the
+    counting-join alternative (join cand against the exploded
+    (doc_id, shingle) relation twice + groupBy count — the VERDICT r21
+    item-3 candidate direction): the arrays LOST NOTHING and the count
+    join lost 3x at BOTH scales (verify-only, same persisted
+    candidates: 0.57 vs 1.67 s at sf0.1, 4.9 vs 13.6 s at 10x —
+    logs/ab_jaccard_verify_r22.txt). Why the payload-shipping concern
+    does not bite here: this corpus's shingle sets are tiny (median
+    ~18 shingles, ~400 B/doc), so `sets` broadcasts at every probed
+    scale and the per-pair intersect is a few hash probes, while the
+    counting join explodes candidates x |set| rows (22 M at 10x)
+    through two joins and a wide-key hash aggregate. The counting form
+    only wins once |set| is large enough that per-candidate array
+    payloads dominate — documents orders of magnitude longer than this
+    fixture's; revisit if the corpus shape changes."""
     p, q = _threshold_floor_rational(threshold)
-    sizes = sets.select("doc_id", "n_sh")
-    c = (
-        cand.join(sizes.select(F.col("doc_id").alias("doc_a"),
-                               F.col("n_sh").alias("n_sh_a")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"),
-                           F.col("n_sh").alias("n_sh_b")), "doc_b")
+    sa = sets.select(F.col("doc_id").alias("doc_a"),
+                     F.col("sh_set").alias("set_a"), F.col("n_sh").alias("n_sh_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"),
+                     F.col("sh_set").alias("set_b"), F.col("n_sh").alias("n_sh_b"))
+    return (
+        cand.join(sa, "doc_a").join(sb, "doc_b")
         .filter(F.expr(f"{q} * least(n_sh_a, n_sh_b)"
                        f" >= {p} * greatest(n_sh_a, n_sh_b)"))
-    )
-    sh_a = sets.select(F.col("doc_id").alias("doc_a"),
-                       F.explode("sh_set").alias("shingle"))
-    sh_b = sets.select(F.col("doc_id").alias("doc_b"),
-                       F.explode("sh_set").alias("shingle"))
-    return (
-        c.join(sh_a, "doc_a")
-        .join(sh_b, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b", "n_sh_a", "n_sh_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .withColumn("n_common", F.expr(
+            "CAST(size(array_intersect(set_a, set_b)) AS BIGINT)"))
         .withColumn("jaccard", F.expr(
             "round(n_common / (n_sh_a + n_sh_b - n_common), 4)"))
         .filter(F.col("jaccard") >= threshold)
@@ -849,8 +836,7 @@ def _minhash_candidates(spark: SparkSession, sf_dir: str,
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand, sets = _minhash_candidates(spark, sf_dir)
     # exact-Jaccard verification restricted to the banded candidates —
-    # a candidate-bounded counting join over the cached shingle sets
-    # (see _verify_pairs), never an UNRESTRICTED inverted-index self-join
+    # array_intersect per pair, not a second inverted-index join
     return (
         _verify_pairs(cand, sets, _JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
@@ -1891,7 +1877,12 @@ SPECS.append(
 
 
 def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents")
+    # fanout: the only winner of the heavy-map/low-cardinality-agg class
+    # in the r22 interleaved A/B (0.56 vs 0.82 s — 8 marker-filter
+    # lambdas per row dwarf the exchange; the mixture/source reports
+    # with one split per row LOST 1.2-1.3x and stay un-fanned,
+    # logs/ab_fanout_lowcard_r22.txt)
+    d = t(spark, sf_dir, "documents", fanout=True)
     scores = _lang_score_exprs()
     staged = d.select(
         F.col("lang").alias("true_lang"),

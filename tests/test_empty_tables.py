@@ -23,6 +23,7 @@ import pytest
 
 from mapreduce_4sl08_spark.plans import QUERIES
 from tests.conftest import SF_SMOKE as SRC
+from tests.parallel_sweep import cursor_per_thread, reraise, sweep
 
 TABLES = ("region nation customer supplier part orders lineitem "
           "events documents embeddings").split()
@@ -47,10 +48,20 @@ def duck_sf0(sf0_dir):
     return con
 
 
+@pytest.fixture(scope="module")
+def _swept(spark, sf0_dir, duck_sf0):
+    duck = cursor_per_thread(duck_sf0)
+
+    def check(name):
+        spec = QUERIES[name]
+        rows = spec.fn(spark, sf0_dir).collect()
+        assert isinstance(rows, list)  # executed without an engine error
+        if spec.oracle is not None:
+            duck().execute(spec.oracle).fetchall()
+
+    return sweep(sorted(QUERIES), check)
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
-def test_query_survives_empty_tables(spark, sf0_dir, duck_sf0, name):
-    spec = QUERIES[name]
-    rows = spec.fn(spark, sf0_dir).collect()
-    assert isinstance(rows, list)  # executed without an engine error
-    if spec.oracle is not None:
-        duck_sf0.execute(spec.oracle).fetchall()
+def test_query_survives_empty_tables(_swept, name):
+    reraise(_swept, name)

@@ -26,6 +26,7 @@ import pytest
 from mapreduce_4sl08_spark.plans import QUERIES
 from tests.conftest import SF_SMOKE as SRC
 from tests.oracle import compare_frames
+from tests.parallel_sweep import cursor_per_thread, reraise, sweep
 from tools.null_fixtures import KEY_COLS, TABLES
 
 
@@ -56,13 +57,22 @@ def duck_sfneg(sfneg_dir):
     return con
 
 
+@pytest.fixture(scope="module")
+def _swept(spark, sfneg_dir, duck_sfneg):
+    duck = cursor_per_thread(duck_sfneg)
+
+    def check(name):
+        spec = QUERIES[name]
+        spark_pdf = spec.fn(spark, sfneg_dir).toPandas()
+        if spec.oracle is None:
+            assert spark_pdf is not None
+            return
+        oracle_pdf = duck().execute(spec.oracle).fetchdf()
+        compare_frames(spark_pdf, oracle_pdf, name)
+
+    return sweep(sorted(QUERIES), check)
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
-def test_query_matches_oracle_on_negative_measures(spark, sfneg_dir,
-                                                   duck_sfneg, name):
-    spec = QUERIES[name]
-    spark_pdf = spec.fn(spark, sfneg_dir).toPandas()
-    if spec.oracle is None:
-        assert spark_pdf is not None
-        return
-    oracle_pdf = duck_sfneg.execute(spec.oracle).fetchdf()
-    compare_frames(spark_pdf, oracle_pdf, name)
+def test_query_matches_oracle_on_negative_measures(_swept, name):
+    reraise(_swept, name)

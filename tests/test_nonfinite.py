@@ -38,6 +38,7 @@ import pytest
 from mapreduce_4sl08_spark.plans import QUERIES
 from tests.conftest import SF_SMOKE as SRC
 from tests.oracle import compare_frames
+from tests.parallel_sweep import cursor_per_thread, reraise, sweep
 from tools.null_fixtures import TABLES, build_nonfinite
 
 
@@ -56,16 +57,25 @@ def duck_sfnonfinite(sfnonfinite_dir):
     return con
 
 
+@pytest.fixture(scope="module")
+def _swept(spark, sfnonfinite_dir, duck_sfnonfinite):
+    duck = cursor_per_thread(duck_sfnonfinite)
+
+    def check(name):
+        spec = QUERIES[name]
+        spark_pdf = spec.fn(spark, sfnonfinite_dir).toPandas()
+        if spec.oracle is None:
+            assert spark_pdf is not None
+            return
+        oracle_pdf = duck().execute(spec.oracle).fetchdf()
+        compare_frames(spark_pdf, oracle_pdf, name)
+
+    return sweep(sorted(QUERIES), check)
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
-def test_query_matches_oracle_on_nonfinite(spark, sfnonfinite_dir,
-                                           duck_sfnonfinite, name):
-    spec = QUERIES[name]
-    spark_pdf = spec.fn(spark, sfnonfinite_dir).toPandas()
-    if spec.oracle is None:
-        assert spark_pdf is not None
-        return
-    oracle_pdf = duck_sfnonfinite.execute(spec.oracle).fetchdf()
-    compare_frames(spark_pdf, oracle_pdf, name)
+def test_query_matches_oracle_on_nonfinite(_swept, name):
+    reraise(_swept, name)
 
 
 def test_quarantine_gates_report_nonfinite(spark, sfnonfinite_dir):

@@ -46,6 +46,7 @@ import pytest
 from mapreduce_4sl08_spark.plans import QUERIES
 from tests.conftest import SF_SMOKE as SRC
 from tests.oracle import compare_frames
+from tests.parallel_sweep import cursor_per_thread, reraise, sweep
 from tools.null_fixtures import TABLES, build_same_row, build_staggered
 
 
@@ -79,24 +80,43 @@ def duck_sfnull_staggered(sfnull_staggered_dir):
     return con
 
 
-@pytest.mark.parametrize("name", sorted(QUERIES))
-def test_query_handles_null_columns(spark, sfnull_dir, duck_sfnull, name):
-    spec = QUERIES[name]
-    spark_pdf = spec.fn(spark, sfnull_dir).toPandas()
-    if spec.oracle is None:
-        assert spark_pdf is not None
-        return
-    oracle_pdf = duck_sfnull.execute(spec.oracle).fetchdf()
-    compare_frames(spark_pdf, oracle_pdf, name)
+@pytest.fixture(scope="module")
+def _swept_same_row(spark, sfnull_dir, duck_sfnull):
+    duck = cursor_per_thread(duck_sfnull)
+
+    def check(name):
+        spec = QUERIES[name]
+        spark_pdf = spec.fn(spark, sfnull_dir).toPandas()
+        if spec.oracle is None:
+            assert spark_pdf is not None
+            return
+        oracle_pdf = duck().execute(spec.oracle).fetchdf()
+        compare_frames(spark_pdf, oracle_pdf, name)
+
+    return sweep(sorted(QUERIES), check)
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
-def test_query_matches_oracle_on_staggered_nulls(spark, sfnull_staggered_dir,
-                                                 duck_sfnull_staggered, name):
-    spec = QUERIES[name]
-    spark_pdf = spec.fn(spark, sfnull_staggered_dir).toPandas()
-    if spec.oracle is None:
-        assert spark_pdf is not None
-        return
-    oracle_pdf = duck_sfnull_staggered.execute(spec.oracle).fetchdf()
-    compare_frames(spark_pdf, oracle_pdf, name)
+def test_query_handles_null_columns(_swept_same_row, name):
+    reraise(_swept_same_row, name)
+
+
+@pytest.fixture(scope="module")
+def _swept_staggered(spark, sfnull_staggered_dir, duck_sfnull_staggered):
+    duck = cursor_per_thread(duck_sfnull_staggered)
+
+    def check(name):
+        spec = QUERIES[name]
+        spark_pdf = spec.fn(spark, sfnull_staggered_dir).toPandas()
+        if spec.oracle is None:
+            assert spark_pdf is not None
+            return
+        oracle_pdf = duck().execute(spec.oracle).fetchdf()
+        compare_frames(spark_pdf, oracle_pdf, name)
+
+    return sweep(sorted(QUERIES), check)
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle_on_staggered_nulls(_swept_staggered, name):
+    reraise(_swept_staggered, name)

@@ -23,6 +23,7 @@ import pytest
 from mapreduce_4sl08_spark.plans import QUERIES
 from tests.conftest import SF_SMOKE as SRC
 from tests.oracle import compare_frames
+from tests.parallel_sweep import cursor_per_thread, reraise, sweep
 
 TABLES = ("region nation customer supplier part orders lineitem "
           "events documents embeddings").split()
@@ -47,13 +48,22 @@ def duck_sf1row(sf1row_dir):
     return con
 
 
+@pytest.fixture(scope="module")
+def _swept(spark, sf1row_dir, duck_sf1row):
+    duck = cursor_per_thread(duck_sf1row)
+
+    def check(name):
+        spec = QUERIES[name]
+        spark_pdf = spec.fn(spark, sf1row_dir).toPandas()
+        if spec.oracle is None:
+            assert spark_pdf is not None
+            return
+        oracle_pdf = duck().execute(spec.oracle).fetchdf()
+        compare_frames(spark_pdf, oracle_pdf, name)
+
+    return sweep(sorted(QUERIES), check)
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
-def test_query_matches_oracle_on_one_row_tables(spark, sf1row_dir,
-                                                duck_sf1row, name):
-    spec = QUERIES[name]
-    spark_pdf = spec.fn(spark, sf1row_dir).toPandas()
-    if spec.oracle is None:
-        assert spark_pdf is not None  # executed without an engine error
-        return
-    oracle_pdf = duck_sf1row.execute(spec.oracle).fetchdf()
-    compare_frames(spark_pdf, oracle_pdf, name)
+def test_query_matches_oracle_on_one_row_tables(_swept, name):
+    reraise(_swept, name)

@@ -5,7 +5,8 @@ import pytest
 
 from mapreduce_4sl08_spark.plans import QUERIES
 
-from .oracle import duckdb_connection, run_compare
+from .oracle import compare_frames, duckdb_connection
+from .parallel_sweep import cursor_per_thread, reraise, sweep
 
 ORACLE_SPECS = [s for s in QUERIES.values() if s.oracle]
 # Every registry query must carry an oracle — rows-only entries were
@@ -22,9 +23,20 @@ def con(sf_dir):
     c.close()
 
 
+@pytest.fixture(scope="module")
+def _swept(spark, con, sf_dir):
+    duck = cursor_per_thread(con)
+
+    def check(name):
+        spec = QUERIES[name]
+        compare_frames(spec.fn(spark, sf_dir).toPandas(),
+                       duck().execute(spec.oracle).fetchdf(), name)
+
+    return sweep([s.name for s in ORACLE_SPECS], check)
+
+
 @pytest.mark.parametrize("spec", ORACLE_SPECS, ids=lambda s: s.name)
-def test_oracle_match(spark, con, sf_dir, spec):
-    n = run_compare(spark, con, spec, sf_dir)
-    assert n >= 0
+def test_oracle_match(_swept, spec):
+    reraise(_swept, spec.name)
 
 

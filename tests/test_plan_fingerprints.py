@@ -63,6 +63,15 @@ def test_normalize_plan_renumbers_ids_but_not_string_literals():
     assert norm("Project [col.#9]") == norm("Project [col.#41]")
     # while an id-looking literal after '(' stays verbatim
     assert "(#2," in norm("Project [concat(#2, a#7)]")
+    # the fan-out's conf-derived partition count is canonicalized (r22:
+    # 8-partition test sessions vs default generator sessions made the
+    # r21 fan-out queries' fingerprints conf-dependent) — the KEY is
+    # still hashed, so a re-keyed fan-out drifts while a resized one
+    # does not
+    assert (norm("RepartitionByExpression [doc_id#3L], 8")
+            == norm("RepartitionByExpression [doc_id#9L], 32"))
+    assert (norm("RepartitionByExpression [doc_id#3L], 8")
+            != norm("RepartitionByExpression [user_id#3L], 8"))
 
 
 def test_fingerprint_snapshot_covers_exactly_the_registry():
@@ -71,18 +80,30 @@ def test_fingerprint_snapshot_covers_exactly_the_registry():
         "python tools/gen_plan_fingerprints.py")
 
 
+@pytest.fixture(scope="module")
+def _swept(spark):
+    from tests.parallel_sweep import sweep
+
+    def check(name):
+        assert name in _SNAPSHOT, (
+            f"{name} has no fingerprint — run "
+            f"python tools/gen_plan_fingerprints.py")
+        # same sf_dir as the generator BY CONSTRUCTION: paths are
+        # embedded in the plan's scan, so a divergence would drift all
+        # fingerprints at once
+        live = _tool.fingerprint(QUERIES[name].fn(spark, _tool.SF_DIR))
+        if live == _SNAPSHOT[name]:
+            return
+        assert name in registry._ROUND_PRIORITY, (
+            f"{name}'s plan changed but it is not in _ROUND_PRIORITY — "
+            f"the driver would never re-prove it. Add it to the priority "
+            f"tuple in plans/registry.py, then regenerate the snapshot "
+            f"with python tools/gen_plan_fingerprints.py")
+
+    return sweep(sorted(QUERIES), check)
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES), ids=str)
-def test_plan_drift_requires_priority_reproof(spark, name):
-    assert name in _SNAPSHOT, (
-        f"{name} has no fingerprint — run "
-        f"python tools/gen_plan_fingerprints.py")
-    # same sf_dir as the generator BY CONSTRUCTION: paths are embedded
-    # in the plan's scan, so a divergence would drift all 126 at once
-    live = _tool.fingerprint(QUERIES[name].fn(spark, _tool.SF_DIR))
-    if live == _SNAPSHOT[name]:
-        return
-    assert name in registry._ROUND_PRIORITY, (
-        f"{name}'s plan changed but it is not in _ROUND_PRIORITY — the "
-        f"driver would never re-prove it. Add it to the priority tuple "
-        f"in plans/registry.py, then regenerate the snapshot with "
-        f"python tools/gen_plan_fingerprints.py")
+def test_plan_drift_requires_priority_reproof(_swept, name):
+    from tests.parallel_sweep import reraise
+    reraise(_swept, name)

@@ -24,20 +24,31 @@ SCALAR_AGG_QUERIES = {
 }
 
 
+@pytest.fixture(scope="module")
+def _no_rowpy_swept(spark):
+    from tests.parallel_sweep import sweep
+
+    def check(name):
+        df = QUERIES[name].fn(spark, SF_SMOKE)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan, (
+            f"{name} uses a row-at-a-time Python UDF — use built-ins or "
+            f"an Arrow-batched form:\n{plan[:600]}")
+        # registry-wide quadratic-join gate: a CartesianProduct shuffles
+        # |L|×|R| rows and is never acceptable at 100 TB. The legitimate
+        # scalar/crossJoin shapes compile to BroadcastNestedLoopJoin
+        # over a broadcast one-row/tiny aggregate, which stays allowed.
+        assert "CartesianProduct" not in plan, (
+            f"{name} plans a CartesianProduct — broadcast the small "
+            f"side or add a join key:\n{plan[:600]}")
+
+    return sweep(sorted(QUERIES), check)
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES), ids=str)
-def test_no_row_at_a_time_python(spark, name):
-    df = QUERIES[name].fn(spark, SF_SMOKE)
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "BatchEvalPython" not in plan, (
-        f"{name} uses a row-at-a-time Python UDF — use built-ins or an "
-        f"Arrow-batched form:\n{plan[:600]}")
-    # registry-wide quadratic-join gate: a CartesianProduct shuffles
-    # |L|×|R| rows and is never acceptable at 100 TB. The legitimate
-    # scalar/crossJoin shapes compile to BroadcastNestedLoopJoin over a
-    # broadcast one-row/tiny aggregate, which stays allowed.
-    assert "CartesianProduct" not in plan, (
-        f"{name} plans a CartesianProduct — broadcast the small side or "
-        f"add a join key:\n{plan[:600]}")
+def test_no_row_at_a_time_python(_no_rowpy_swept, name):
+    from tests.parallel_sweep import reraise
+    reraise(_no_rowpy_swept, name)
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES), ids=str)
@@ -341,20 +352,31 @@ def unbounded_global_windows(df) -> list[str]:
     return bad
 
 
+@pytest.fixture(scope="module")
+def _global_window_swept(spark):
+    from tests.parallel_sweep import sweep
+
+    def check(name):
+        df = QUERIES[name].fn(spark, SF_SMOKE)
+        bad = unbounded_global_windows(df)
+        assert not bad, (
+            f"{name} plans a global (unpartitioned) window over an "
+            f"UNBOUNDED input — put a limit(k) or aggregate below it, "
+            f"or partition the window:\n" + "\n".join(bad))
+
+    return sweep(sorted(QUERIES), check)
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES), ids=str)
-def test_global_window_sits_above_bounded_input(spark, name):
+def test_global_window_sits_above_bounded_input(_global_window_swept, name):
     """VERDICT r17 item 5: the benign-global-window idiom (top-k or
     tiny-aggregate first, THEN the unpartitioned rank/cume window) was
     protected only by comments. Mechanical form: any Window.orderBy
     without partitionBy must have a limit(k) or aggregate BELOW it in
     the analyzed plan. A violation is a plan that sorts the raw
     relation on one executor."""
-    df = QUERIES[name].fn(spark, SF_SMOKE)
-    bad = unbounded_global_windows(df)
-    assert not bad, (
-        f"{name} plans a global (unpartitioned) window over an "
-        f"UNBOUNDED input — put a limit(k) or aggregate below it, or "
-        f"partition the window:\n" + "\n".join(bad))
+    from tests.parallel_sweep import reraise
+    reraise(_global_window_swept, name)
 
 
 def test_global_window_gate_catches_bad_plan(spark):

@@ -31,6 +31,7 @@ import pytest
 from mapreduce_4sl08_spark.plans import QUERIES
 from tests.conftest import SF_SMOKE as SRC
 from tests.oracle import compare_frames
+from tests.parallel_sweep import cursor_per_thread, reraise, sweep
 from tools.extremes_census import build_ts_wide
 from tools.null_fixtures import TABLES
 
@@ -114,17 +115,26 @@ def test_quarantine_window_edges_are_inclusive(spark, tmp_path):
         f"edge rows mis-quarantined: kept {kept}")
 
 
+@pytest.fixture(scope="module")
+def _swept(spark, sftswide_dir, duck_sftswide):
+    duck = cursor_per_thread(duck_sftswide)
+
+    def check(name):
+        spec = QUERIES[name]
+        spark_pdf = spec.fn(spark, sftswide_dir).toPandas()
+        if spec.oracle is None:
+            assert spark_pdf is not None
+            return
+        oracle_pdf = duck().execute(spec.oracle).fetchdf()
+        compare_frames(spark_pdf, oracle_pdf, name)
+
+    return sweep(sorted(QUERIES), check)
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
-def test_query_matches_oracle_on_out_of_window_ts(spark, sftswide_dir,
-                                                  duck_sftswide, name):
+def test_query_matches_oracle_on_out_of_window_ts(_swept, name):
     """The r19 'done' bar (VERDICT r18 item 1): the full driver-strict
     value compare for every registry query with year-9999/year-1 rows
     flowing end-to-end — both engines must exclude them identically
     (or, for the raw-reading quality gates, count them identically)."""
-    spec = QUERIES[name]
-    spark_pdf = spec.fn(spark, sftswide_dir).toPandas()
-    if spec.oracle is None:
-        assert spark_pdf is not None
-        return
-    oracle_pdf = duck_sftswide.execute(spec.oracle).fetchdf()
-    compare_frames(spark_pdf, oracle_pdf, name)
+    reraise(_swept, name)

@@ -25,6 +25,7 @@ import pytest
 from mapreduce_4sl08_spark.plans import QUERIES
 from tests.conftest import SF_SMOKE as SRC
 from tests.oracle import compare_frames
+from tests.parallel_sweep import cursor_per_thread, reraise, sweep
 
 TABLES = ("region nation customer supplier part orders lineitem "
           "events documents embeddings").split()
@@ -86,13 +87,22 @@ def duck_sfuni(sfuni_dir):
     return con
 
 
+@pytest.fixture(scope="module")
+def _swept(spark, sfuni_dir, duck_sfuni):
+    duck = cursor_per_thread(duck_sfuni)
+
+    def check(name):
+        spec = QUERIES[name]
+        spark_pdf = spec.fn(spark, sfuni_dir).toPandas()
+        if spec.oracle is None:
+            assert spark_pdf is not None
+            return
+        oracle_pdf = duck().execute(spec.oracle).fetchdf()
+        compare_frames(spark_pdf, oracle_pdf, name)
+
+    return sweep(sorted(QUERIES), check)
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
-def test_query_matches_oracle_on_unicode_text(spark, sfuni_dir, duck_sfuni,
-                                              name):
-    spec = QUERIES[name]
-    spark_pdf = spec.fn(spark, sfuni_dir).toPandas()
-    if spec.oracle is None:
-        assert spark_pdf is not None
-        return
-    oracle_pdf = duck_sfuni.execute(spec.oracle).fetchdf()
-    compare_frames(spark_pdf, oracle_pdf, name)
+def test_query_matches_oracle_on_unicode_text(_swept, name):
+    reraise(_swept, name)

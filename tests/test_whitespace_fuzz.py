@@ -26,6 +26,7 @@ import pytest
 from mapreduce_4sl08_spark.plans import QUERIES
 from tests.conftest import SF_SMOKE as SRC
 from tests.oracle import compare_frames
+from tests.parallel_sweep import cursor_per_thread, reraise, sweep
 
 TABLES = ("region nation customer supplier part orders lineitem "
           "events documents embeddings").split()
@@ -83,13 +84,22 @@ def duck_sffuzz(sffuzz_dir):
     return con
 
 
+@pytest.fixture(scope="module")
+def _swept(spark, sffuzz_dir, duck_sffuzz):
+    duck = cursor_per_thread(duck_sffuzz)
+
+    def check(name):
+        spec = QUERIES[name]
+        spark_pdf = spec.fn(spark, sffuzz_dir).toPandas()
+        if spec.oracle is None:
+            assert spark_pdf is not None
+            return
+        oracle_pdf = duck().execute(spec.oracle).fetchdf()
+        compare_frames(spark_pdf, oracle_pdf, name)
+
+    return sweep(sorted(QUERIES), check)
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
-def test_query_matches_oracle_on_whitespace_fuzz(spark, sffuzz_dir,
-                                                 duck_sffuzz, name):
-    spec = QUERIES[name]
-    spark_pdf = spec.fn(spark, sffuzz_dir).toPandas()
-    if spec.oracle is None:
-        assert spark_pdf is not None
-        return
-    oracle_pdf = duck_sffuzz.execute(spec.oracle).fetchdf()
-    compare_frames(spark_pdf, oracle_pdf, name)
+def test_query_matches_oracle_on_whitespace_fuzz(_swept, name):
+    reraise(_swept, name)

@@ -35,6 +35,7 @@ import pytest
 from mapreduce_4sl08_spark.plans import QUERIES
 from tests.conftest import SF_SMOKE as SRC
 from tests.oracle import compare_frames
+from tests.parallel_sweep import cursor_per_thread, reraise, sweep
 from tools.null_fixtures import TABLES
 
 
@@ -61,16 +62,25 @@ def duck_sfzerovec(sfzerovec_dir):
     return con
 
 
+@pytest.fixture(scope="module")
+def _swept(spark, sfzerovec_dir, duck_sfzerovec):
+    duck = cursor_per_thread(duck_sfzerovec)
+
+    def check(name):
+        spec = QUERIES[name]
+        spark_pdf = spec.fn(spark, sfzerovec_dir).toPandas()
+        if spec.oracle is None:
+            assert spark_pdf is not None
+            return
+        oracle_pdf = duck().execute(spec.oracle).fetchdf()
+        compare_frames(spark_pdf, oracle_pdf, name)
+
+    return sweep(sorted(QUERIES), check)
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
-def test_query_matches_oracle_on_zero_vector(spark, sfzerovec_dir,
-                                             duck_sfzerovec, name):
-    spec = QUERIES[name]
-    spark_pdf = spec.fn(spark, sfzerovec_dir).toPandas()
-    if spec.oracle is None:
-        assert spark_pdf is not None
-        return
-    oracle_pdf = duck_sfzerovec.execute(spec.oracle).fetchdf()
-    compare_frames(spark_pdf, oracle_pdf, name)
+def test_query_matches_oracle_on_zero_vector(_swept, name):
+    reraise(_swept, name)
 
 
 def test_quarantine_counts_degenerate_vectors(spark, sfzerovec_dir):
