@@ -538,6 +538,11 @@ def events_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines diverged per class; NULL is the one missing-value spelling
     they all skip identically (all-missing → 0.0 via fillna/COALESCE)."""
     from ..operators.grouped import user_session_features_fast
+    # NO fanout on the events read: re-tested at the 10x fixture per
+    # VERDICT r21 item 6 — neutral (2.29 vs 2.22 s interleaved,
+    # logs/ab_fanout_pandas_10x_r22.txt): applyInPandas already
+    # shuffles by user_id for the grouped map, so a pre-exchange
+    # adds nothing the grouping shuffle doesn't provide
     e = (t(spark, sf_dir, "events")
          .filter(F.col("ts").isNotNull())
          .withColumn("value", finite("value")))

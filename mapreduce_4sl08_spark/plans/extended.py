@@ -544,7 +544,12 @@ def _norm_udf(emb: pd.Series) -> pd.Series:
 def pandas_udf_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same result as embedding_norms but through a Pandas UDF —
     exercises the Arrow serialization path end to end (oracle-checked:
-    numpy double dot == JVM double fold at 4dp)."""
+    numpy double dot == JVM double fold at 4dp).
+
+    NO fanout on the vecs read: re-tested at the 10x fixture per
+    VERDICT r21 item 6 — neutral (0.57 vs 0.61 s interleaved,
+    logs/ab_fanout_pandas_10x_r22.txt); the Arrow path is already
+    column-pruned and the exchange buys nothing at these row counts."""
     e = vecs(spark, sf_dir)
     return (
         e.select("label", _norm_udf(F.col("embedding")).alias("norm"))

@@ -823,7 +823,11 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # null-payload exclusion (r16 null-sweep find): a NULL text row
     # encodes to a NULL payload, which the decode UDF cannot batch —
-    # same contract as vecs(): no payload, no decode, both engines
+    # same contract as vecs(): no payload, no decode, both engines.
+    # NO fanout: re-tested at the 10x fixture per VERDICT r21 item 6 —
+    # still a 1.24x loss (1.94 vs 1.56 s interleaved,
+    # logs/ab_fanout_pandas_10x_r22.txt): mapInPandas multiplies
+    # Python-worker spin-up by the partition count at these row counts
     d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     blobs = d.select(
         "doc_id",
@@ -856,6 +860,8 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import frame_sample
 
     # null-payload exclusion — see multimodal_decode_stub
+    # NO fanout (10x A/B loss 1.50 vs 1.12 s — same Python-worker
+    # spin-up class as decode_stub above; logs/ab_fanout_pandas_10x_r22.txt)
     d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     blobs = d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
     return frame_sample(blobs, every_n=10).orderBy("doc_id", "frame_idx")
@@ -877,7 +883,10 @@ def mapinarrow_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector L2 norms via mapInArrow — the lowest-overhead Python
     integration point: raw pyarrow RecordBatches in and out, no pandas
     conversion at all (vs mapInPandas). The batch math is one reshape +
-    one vectorized numpy reduction; rounding happens JVM-side after."""
+    one vectorized numpy reduction; rounding happens JVM-side after.
+
+    NO fanout on the vecs read (10x A/B neutral, 0.71 vs 0.69 s —
+    logs/ab_fanout_pandas_10x_r22.txt)."""
     e = vecs(spark, sf_dir).select("vec_id", "embedding")
 
     def batches(it):
